@@ -1,0 +1,48 @@
+"""Engine-wide configuration.
+
+Replaces the reference's mutable module globals BLOCK_CONFIG / TRAVERSAL_CONFIG
+(/root/reference/DeFT/deft/tree_decoding/tree_cache.py:587-588) with a typed,
+immutable config threaded through the stack.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionConfig:
+    """Static attention-plan / kernel parameters.
+
+    block_len: tokens per flattened KV block (the reference default is 128,
+        tree_cache.py:587; on TPU this is also the kernel's KV tile and must
+        be a multiple of 128 lanes).
+    max_q_tile: query *rows* per kernel tile (leaves x q_heads_per_kv_head,
+        folded for the MXU).  The reference limits 32 queries per partial
+        (tree_cache.py:661-723); here the limit is rows per MXU tile.
+    node_chunk_len: when set, DeFT-Node plans chunk node KV runs to at most
+        this many tokens (the reference's MAX_BLOCK_LEN node_chunk mode,
+        examples/run_DeFT_llama_paged.py:145-150).
+    """
+
+    block_len: int = 128
+    max_q_tile: int = 128
+    node_chunk_len: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level engine knobs."""
+
+    attention: AttentionConfig = dataclasses.field(default_factory=AttentionConfig)
+    # KV pool sizing: number of token slots.  None -> derived from HBM budget.
+    kv_pool_slots: Optional[int] = None
+    max_requests: int = 1024
+    max_context_len: int = 32768
+    # Shape-bucketing for jit: pad token counts to these granularities.
+    min_token_bucket: int = 1024
+    max_leaves: int = 128
+    dtype: str = "bfloat16"
+    # Fraction of free HBM the KV pool may claim when kv_pool_slots is None.
+    mem_fraction: float = 0.8
