@@ -1,0 +1,171 @@
+"""DeFT-Flatten attention plan, TPU formulation.
+
+The reference flattens the tree's KV into fixed 128-token blocks carrying a
+per-token int64 query bitmask and splits each block's query set into <=32-query
+"partials" combined by a two-stage atomic LSE reduction
+(/root/reference/DeFT/deft/tree_decoding/tree_cache.py:591-881,
+tree_attention.py:296-548).
+
+Here the same KV-guided, load-balanced partitioning is expressed without
+bitmasks or atomics:
+
+- Tree KV slots are laid out in **DFS node order** (the flatten order the
+  reference's dfs() produces is the same sequence, chopped every 128 tokens).
+- Leaves (queries) are numbered in **DFS order**, so each node's descendant
+  leaves form a contiguous interval [lo, hi).  Per token we record the
+  owning node's (lo, hi): "query q attends token t" == lo[t] <= q < hi[t].
+- The kernel is then one flash-attention pass over (q tile) x (kv block)
+  with a range mask, skipping any (tile, block) pair whose leaf intervals
+  don't intersect — IO-equivalent to the reference's KV-guided grouping
+  (each KV block is read once per 32-leaf query group that attends it),
+  with the LSE combination done by the online softmax in VMEM instead of a
+  second atomic kernel pass.
+
+All arrays are numpy, padded to bucketed static shapes (see plan.padding):
+the jitted decode step's signature depends only on the buckets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from deft_tpu.core.kv_pool import DUMP_SLOT
+from deft_tpu.core.tree import TreeCache, TreeNode
+from deft_tpu.plan.padding import pad_leaf_count, pad_token_count
+
+# Sentinel for "block attends nobody" (padding): empty interval.
+_EMPTY_LO = np.int32(2**30)
+
+
+@dataclasses.dataclass
+class FlattenPlan:
+    """Static-shape device plan for one tree-decode step."""
+
+    # KV side, DFS order, padded to T_pad (multiple of block_len):
+    kv_idx: np.ndarray      # (T_pad,) int32 pool slots (pad -> DUMP_SLOT)
+    tok_lo: np.ndarray      # (T_pad,) int32 leaf-interval lo (pad -> 2^30)
+    tok_hi: np.ndarray      # (T_pad,) int32 leaf-interval hi (pad -> 0)
+    blk_lo: np.ndarray      # (B,) int32 per-block min lo (tile-skip bound)
+    blk_hi: np.ndarray      # (B,) int32 per-block max hi
+    # Query side, DFS leaf order, padded to L_pad:
+    q_tokens: np.ndarray    # (L_pad,) int32 last token id per leaf
+    q_pos: np.ndarray       # (L_pad,) int32 RoPE position of that token
+    out_loc: np.ndarray     # (L_pad,) int32 pool slot for the new K/V
+    # True sizes (static python ints for the host; not traced):
+    n_tokens: int           # live tree KV tokens
+    n_leaves: int
+    block_len: int
+
+    @property
+    def t_pad(self) -> int:
+        return int(self.kv_idx.shape[0])
+
+    @property
+    def l_pad(self) -> int:
+        return int(self.q_tokens.shape[0])
+
+    @property
+    def num_blocks(self) -> int:
+        return self.t_pad // self.block_len
+
+
+def _leaf_arrays(
+    tree: TreeCache,
+    order: List[TreeNode],
+    leaf_to_q,
+    l_pad: int,
+):
+    q_tokens = np.zeros(l_pad, dtype=np.int32)
+    q_pos = np.zeros(l_pad, dtype=np.int32)
+    out_loc = np.full(l_pad, DUMP_SLOT, dtype=np.int32)
+    for node in order:
+        if not node.children:
+            q = leaf_to_q[node.id]
+            q_tokens[q] = node.token_ids[-1]
+            q_pos[q] = node.positions[-1]
+            out_loc[q] = node.kv_indices[-1]
+    return q_tokens, q_pos, out_loc
+
+
+def build_flatten_plan(
+    tree: TreeCache,
+    q_per_kv: int,
+    block_len: int = 128,
+    min_token_bucket: int = 1024,
+    node_aligned: bool = False,
+    chunk_len: Optional[int] = None,
+) -> FlattenPlan:
+    """Build the flatten plan for the current tree state.
+
+    Must be called *after* TreeCache.alloc() for the step, so each leaf's
+    newest KV slot (this step's token) is part of the plan and the leaf
+    attends its own current token.
+
+    node_aligned=True gives the DeFT-Node variant: each node's KV run is
+    padded up to a block boundary so no 128-token block mixes nodes —
+    the node-granularity KV-guided grouping of the reference's
+    TREE_DECODE_NODE mode (tree_attention.py:169-293), at the cost of
+    padding waste on small nodes.  chunk_len additionally splits long node
+    runs (reference node_chunk mode); with block-tiled kernels chunking is
+    implicit, so chunk_len only affects accounting.
+    """
+    order, leaf_to_q, lo_arr, hi_arr = tree.dfs_plan_order()
+    n_leaves = len(tree.leaves)
+    l_pad = pad_leaf_count(n_leaves, q_per_kv)
+
+    idx_parts: List[np.ndarray] = []
+    lo_parts: List[np.ndarray] = []
+    hi_parts: List[np.ndarray] = []
+    for i, node in enumerate(order):
+        kv = node.kv_indices
+        n = len(kv)
+        if n == 0:
+            continue
+        idx_parts.append(kv)
+        lo_parts.append(np.full(n, lo_arr[i], dtype=np.int32))
+        hi_parts.append(np.full(n, hi_arr[i], dtype=np.int32))
+        if node_aligned and n % block_len != 0:
+            pad = block_len - (n % block_len)
+            idx_parts.append(np.full(pad, DUMP_SLOT, dtype=np.int32))
+            lo_parts.append(np.full(pad, _EMPTY_LO, dtype=np.int32))
+            hi_parts.append(np.zeros(pad, dtype=np.int32))
+
+    if idx_parts:
+        kv_idx = np.concatenate(idx_parts)
+        tok_lo = np.concatenate(lo_parts)
+        tok_hi = np.concatenate(hi_parts)
+    else:
+        kv_idx = np.empty(0, dtype=np.int32)
+        tok_lo = np.empty(0, dtype=np.int32)
+        tok_hi = np.empty(0, dtype=np.int32)
+
+    n_tokens = int(kv_idx.shape[0])
+    t_pad = pad_token_count(n_tokens, block_len, min_token_bucket)
+    pad = t_pad - n_tokens
+    if pad:
+        kv_idx = np.concatenate([kv_idx, np.full(pad, DUMP_SLOT, dtype=np.int32)])
+        tok_lo = np.concatenate([tok_lo, np.full(pad, _EMPTY_LO, dtype=np.int32)])
+        tok_hi = np.concatenate([tok_hi, np.zeros(pad, dtype=np.int32)])
+
+    nb = t_pad // block_len
+    blk_lo = tok_lo.reshape(nb, block_len).min(axis=1)
+    blk_hi = tok_hi.reshape(nb, block_len).max(axis=1)
+
+    q_tokens, q_pos, out_loc = _leaf_arrays(tree, order, leaf_to_q, l_pad)
+    live_tokens = sum(n.kv_len for n in order)
+    return FlattenPlan(
+        kv_idx=kv_idx,
+        tok_lo=tok_lo,
+        tok_hi=tok_hi,
+        blk_lo=blk_lo,
+        blk_hi=blk_hi,
+        q_tokens=q_tokens,
+        q_pos=q_pos,
+        out_loc=out_loc,
+        n_tokens=live_tokens,
+        n_leaves=n_leaves,
+        block_len=block_len,
+    )

@@ -1,0 +1,142 @@
+"""Plan-builder oracle tests: the padded device arrays must encode exactly
+the tree's attention structure (every leaf attends precisely its own
+root-to-leaf path)."""
+
+import numpy as np
+
+from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache, TreeIndexPool
+from deft_tpu.plan import (
+    build_flatten_plan,
+    build_node_plan,
+    build_seq_plan,
+    build_tree_index_plan,
+)
+
+
+def grow_random_tree(seed=0, steps=5, prompt=20, tree_index=False):
+    """Follows the generation protocol: after every alloc(), each surviving
+    leaf appends exactly one token (greedy append, or via branching into
+    children) — so node kv_len == token count when a plan is built."""
+    rng = np.random.RandomState(seed)
+    kv = TokenKVPool(8192)
+    req = ReqToTokenPool(64, 2048)
+    ti = TreeIndexPool(64, 2048) if tree_index else None
+    tree = TreeCache(kv, req, ti)
+    tree.init_prompt(list(rng.randint(1, 100, size=prompt)))
+    # iter-0 branching after prefill
+    for c in tree.branch(tree.root, int(rng.randint(2, 4))):
+        c.append_token(int(rng.randint(100)))
+    for step in range(steps):
+        tree.alloc()
+        for leaf in sorted(tree.leaves.values(), key=lambda x: x.id):
+            r = rng.rand()
+            if r < 0.25 and len(tree.leaves) < 12:
+                for c in tree.branch(leaf, int(rng.randint(2, 4))):
+                    c.append_token(int(rng.randint(100)))
+            elif r > 0.92 and len(tree.leaves) > 2:
+                tree.cut(leaf)
+            else:
+                leaf.append_token(int(rng.randint(100)))
+    tree.alloc()  # slots for the latest tokens (plan contract)
+    return tree
+
+
+def leaf_paths(tree):
+    """Oracle: leaf q -> ordered list of (kv_slot, position) on its path."""
+    _, leaf_to_q, _, _ = tree.dfs_plan_order()
+    paths = {}
+    for leaf in tree.leaves.values():
+        chain = []
+        node = leaf
+        while node is not None:
+            chain.append(node)
+            node = node.parent
+        chain.reverse()
+        slots = np.concatenate([n.kv_indices for n in chain if n.kv_len])
+        paths[leaf_to_q[leaf.id]] = slots
+    return paths
+
+
+def check_plan_mask(tree, plan):
+    paths = leaf_paths(tree)
+    n_live = sum(n.kv_len for n in tree.nodes.values())
+    # every live slot appears exactly once among unpadded plan entries
+    live_mask = plan.tok_hi > plan.tok_lo
+    live_slots = plan.kv_idx[live_mask]
+    assert len(live_slots) == n_live
+    assert len(np.unique(live_slots)) == n_live
+    # the [lo,hi) interval mask == path membership, for every (q, token)
+    for q, slots in paths.items():
+        path_set = set(int(s) for s in slots)
+        attends = (plan.tok_lo <= q) & (q < plan.tok_hi)
+        got = set(int(s) for s in plan.kv_idx[attends])
+        assert got == path_set, f"leaf {q}: mask set != path set"
+    # block bounds really bound their tokens
+    nb = plan.num_blocks
+    tl = plan.tok_lo.reshape(nb, plan.block_len)
+    th = plan.tok_hi.reshape(nb, plan.block_len)
+    assert np.all(plan.blk_lo == tl.min(axis=1))
+    assert np.all(plan.blk_hi == th.max(axis=1))
+    # q-side arrays point at each leaf's latest token
+    _, leaf_to_q, _, _ = tree.dfs_plan_order()
+    for leaf in tree.leaves.values():
+        q = leaf_to_q[leaf.id]
+        assert plan.q_tokens[q] == leaf.token_ids[-1]
+        assert plan.q_pos[q] == leaf.positions[-1]
+        assert plan.out_loc[q] == leaf.kv_indices[-1]
+
+
+def test_flatten_plan_mask_oracle():
+    for seed in range(4):
+        tree = grow_random_tree(seed)
+        plan = build_flatten_plan(tree, q_per_kv=4, min_token_bucket=128)
+        check_plan_mask(tree, plan)
+
+
+def test_node_plan_mask_oracle_and_alignment():
+    tree = grow_random_tree(2)
+    plan = build_node_plan(tree, q_per_kv=4, min_token_bucket=128)
+    check_plan_mask(tree, plan)
+    # node alignment: within any block all live tokens share one interval
+    nb = plan.num_blocks
+    tl = plan.tok_lo.reshape(nb, plan.block_len)
+    th = plan.tok_hi.reshape(nb, plan.block_len)
+    for b in range(nb):
+        live = th[b] > tl[b]
+        if live.any():
+            assert len(np.unique(tl[b][live])) == 1
+            assert len(np.unique(th[b][live])) == 1
+
+
+def test_tree_index_plan_matches_flatten():
+    tree = grow_random_tree(3, tree_index=True)
+    p_node = build_node_plan(tree, q_per_kv=4, min_token_bucket=128)
+    p_ti = build_tree_index_plan(tree, q_per_kv=4, min_token_bucket=128)
+    assert np.array_equal(p_node.kv_idx, p_ti.kv_idx)
+    assert np.array_equal(p_node.tok_lo, p_ti.tok_lo)
+    assert np.array_equal(p_node.tok_hi, p_ti.tok_hi)
+    check_plan_mask(tree, p_ti)
+
+
+def test_seq_plan_paths():
+    tree = grow_random_tree(1)
+    plan = build_seq_plan(tree, q_per_kv=4, min_token_bucket=128)
+    paths = leaf_paths(tree)
+    assert plan.total_kv == sum(len(p) for p in paths.values())
+    for q, slots in paths.items():
+        n = plan.seq_lens[q]
+        assert n == len(slots)
+        assert np.array_equal(plan.paths[q, :n], slots)
+    # padded rows are inert
+    for q in range(plan.n_leaves, plan.l_pad):
+        assert plan.seq_lens[q] == 0
+
+
+def test_flatten_plan_static_shapes_bucket():
+    """Same bucket => identical shapes across steps (jit cache friendliness)."""
+    tree = grow_random_tree(0, steps=3)
+    p1 = build_flatten_plan(tree, q_per_kv=4)
+    tree.alloc()
+    p2 = build_flatten_plan(tree, q_per_kv=4)
+    assert p1.kv_idx.shape == p2.kv_idx.shape
+    assert p1.q_tokens.shape == p2.q_tokens.shape
