@@ -1,0 +1,126 @@
+"""Model configuration (parity: /root/reference/DeFT/deft/model_config.py:16-58
++ hf_transformers_utils context-length inference :54-66), Llama family."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_layers: int = 22
+    num_q_heads: int = 32
+    num_kv_heads: int = 4
+    head_dim: int = 64
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[Dict[str, Any]] = None
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = False
+
+    @property
+    def q_per_kv(self) -> int:
+        assert self.num_q_heads % self.num_kv_heads == 0
+        return self.num_q_heads // self.num_kv_heads
+
+    @property
+    def context_len(self) -> int:
+        """Max context, honoring rope factor like the reference
+        (hf_transformers_utils.py:54-66)."""
+        ctx = self.max_position_embeddings
+        if self.rope_scaling and "factor" in self.rope_scaling:
+            rtype = self.rope_scaling.get(
+                "rope_type", self.rope_scaling.get("type", "")
+            )
+            if rtype not in ("llama3", "yarn"):
+                ctx = int(ctx * self.rope_scaling["factor"])
+        return ctx
+
+    @staticmethod
+    def from_hf_config(cfg: Dict[str, Any]) -> "LlamaConfig":
+        hidden = cfg["hidden_size"]
+        n_q = cfg["num_attention_heads"]
+        return LlamaConfig(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_q_heads=n_q,
+            num_kv_heads=cfg.get("num_key_value_heads", n_q),
+            head_dim=cfg.get("head_dim", hidden // n_q),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=cfg.get("rope_scaling"),
+            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+        )
+
+    @staticmethod
+    def from_pretrained(path: str) -> "LlamaConfig":
+        with open(os.path.join(path, "config.json")) as f:
+            return LlamaConfig.from_hf_config(json.load(f))
+
+
+# Random-init presets for tests/benchmarks (no-egress environment: HF weights
+# must come from a local path; these mirror real architectures' shapes).
+PRESETS: Dict[str, LlamaConfig] = {
+    # CPU-testable toy: big enough for GQA + rope paths, tiny vocab.
+    "tiny": LlamaConfig(
+        vocab_size=512,
+        hidden_size=128,
+        intermediate_size=256,
+        num_layers=2,
+        num_q_heads=4,
+        num_kv_heads=2,
+        head_dim=32,
+        max_position_embeddings=2048,
+    ),
+    # TinyLlama-1.1B-Chat shapes.
+    "1b": LlamaConfig(
+        vocab_size=32000,
+        hidden_size=2048,
+        intermediate_size=5632,
+        num_layers=22,
+        num_q_heads=32,
+        num_kv_heads=4,
+        head_dim=64,
+        max_position_embeddings=4096,
+    ),
+    # Llama-3.1-8B shapes (the reference's headline benchmark model).
+    "8b": LlamaConfig(
+        vocab_size=128256,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_layers=32,
+        num_q_heads=32,
+        num_kv_heads=8,
+        head_dim=128,
+        rope_theta=500000.0,
+        rope_scaling={
+            "rope_type": "llama3",
+            "factor": 8.0,
+            "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 8192,
+        },
+        max_position_embeddings=131072,
+    ),
+    # 8B with fewer layers: fits HBM alongside big KV pools for kernels work.
+    "8b-8l": LlamaConfig(
+        vocab_size=128256,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_layers=8,
+        num_q_heads=32,
+        num_kv_heads=8,
+        head_dim=128,
+        rope_theta=500000.0,
+        max_position_embeddings=131072,
+    ),
+}

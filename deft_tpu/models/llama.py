@@ -1,0 +1,184 @@
+"""Llama-family model executor (pure-function forward over a pytree).
+
+Parity surface: /root/reference/DeFT/deft/models/llama2.py (LlamaMLP :24-48,
+LlamaAttention :51-113, LlamaDecoderLayer :116-177, LlamaModel :180-222) and
+layers/{layernorm,activation,linear,logits_processor}.py.
+
+TPU-first design:
+- One ``lax.scan`` over stacked layer params: a single compiled decoder-layer
+  body regardless of depth (compile time O(1) in layers).
+- The paged KV pools (num_layers, slots, kv_heads, head_dim) ride the scan
+  carry and are updated with scatter-at; under donation XLA performs these
+  in place.
+- Attention is a pluggable callable so every ForwardMode shares this forward:
+  the DeFT-Flatten Pallas kernel, the DeFT-Node variant, the sequential
+  flash-decoding baseline, and the dense medusa oracle.
+- All norm/softmax math fp32, matmuls bf16 with fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deft_tpu.models.config import LlamaConfig
+
+
+class DecodeBatch(NamedTuple):
+    """One tree-decode step (shapes static per bucket; see plan/)."""
+
+    q_tokens: jnp.ndarray  # (R,) int32
+    q_pos: jnp.ndarray     # (R,) int32
+    out_loc: jnp.ndarray   # (R,) int32 pool slots for new K/V
+    kv_idx: jnp.ndarray    # (T,) int32 tree KV slots (DFS) — flatten modes
+    tok_lo: jnp.ndarray    # (T,) int32
+    tok_hi: jnp.ndarray    # (T,) int32
+    blk_lo: jnp.ndarray    # (B,) int32
+    blk_hi: jnp.ndarray    # (B,) int32
+
+
+class SeqBatch(NamedTuple):
+    """One decode step for the sequential (per-leaf) baseline."""
+
+    q_tokens: jnp.ndarray  # (R,) int32
+    q_pos: jnp.ndarray     # (R,) int32
+    out_loc: jnp.ndarray   # (R,) int32
+    paths: jnp.ndarray     # (R, C) int32 per-leaf KV slots
+    seq_lens: jnp.ndarray  # (R,) int32
+
+
+class PrefillBatch(NamedTuple):
+    tokens: jnp.ndarray     # (P,) int32
+    positions: jnp.ndarray  # (P,) int32
+    out_loc: jnp.ndarray    # (P,) int32
+    length: jnp.ndarray     # () int32 true prompt length
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _split_qkv(cfg: LlamaConfig, qkv: jnp.ndarray):
+    n = qkv.shape[0]
+    D = cfg.head_dim
+    nq, nkv = cfg.num_q_heads, cfg.num_kv_heads
+    q = qkv[:, : nq * D].reshape(n, nq, D)
+    k = qkv[:, nq * D : (nq + nkv) * D].reshape(n, nkv, D)
+    v = qkv[:, (nq + nkv) * D :].reshape(n, nkv, D)
+    return q, k, v
+
+
+# An attention impl consumes
+#   (q, k_new, v_new, k_pool, v_pool, layer_idx, batch, scale)
+# and returns (R, Hq, D).  Decode impls gather KV from the pool at
+# [layer_idx, indices] (one fused gather); prefill impls attend the in-flight
+# k_new/v_new directly and ignore the pool.
+AttnFn = Callable[..., jnp.ndarray]
+
+
+def _forward(
+    cfg: LlamaConfig,
+    params: Dict[str, jnp.ndarray],
+    rope_apply: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    k_pool: jnp.ndarray,
+    v_pool: jnp.ndarray,
+    tokens: jnp.ndarray,
+    positions: jnp.ndarray,
+    out_loc: jnp.ndarray,
+    attn: AttnFn,
+    batch,
+):
+    x = params["embed"][tokens]
+    scale = cfg.head_dim ** -0.5
+    layer_params = {
+        k: params[k] for k in ("ln1", "wqkv", "wo", "ln2", "wgu", "wdown")
+    }
+
+    def body(carry, xs):
+        x, kp, vp = carry
+        lp, li = xs
+        h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+        qkv = h @ lp["wqkv"]
+        q, k, v = _split_qkv(cfg, qkv)
+        q = rope_apply(q, positions)
+        k = rope_apply(k, positions)
+        kp = kp.at[li, out_loc].set(k.astype(kp.dtype))
+        vp = vp.at[li, out_loc].set(v.astype(vp.dtype))
+        o = attn(q, k, v, kp, vp, li, batch, scale)
+        x = x + o.reshape(x.shape[0], -1).astype(x.dtype) @ lp["wo"]
+        h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+        gu = h @ lp["wgu"]
+        g = gu[:, : cfg.intermediate_size]
+        u = gu[:, cfg.intermediate_size :]
+        x = x + (jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u) @ lp[
+            "wdown"
+        ]
+        return (x, kp, vp), None
+
+    (x, k_pool, v_pool), _ = jax.lax.scan(
+        body,
+        (x, k_pool, v_pool),
+        (layer_params, jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+    )
+    x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)
+    return x, k_pool, v_pool
+
+
+def decode_forward(
+    cfg: LlamaConfig,
+    params: Dict[str, jnp.ndarray],
+    rope_apply,
+    k_pool: jnp.ndarray,
+    v_pool: jnp.ndarray,
+    batch,
+    attn: AttnFn,
+):
+    """One tree-decode step: returns (logits (R, V) fp32, k_pool, v_pool)."""
+    x, k_pool, v_pool = _forward(
+        cfg,
+        params,
+        rope_apply,
+        k_pool,
+        v_pool,
+        batch.q_tokens,
+        batch.q_pos,
+        batch.out_loc,
+        attn,
+        batch,
+    )
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, k_pool, v_pool
+
+
+def prefill_forward(
+    cfg: LlamaConfig,
+    params: Dict[str, jnp.ndarray],
+    rope_apply,
+    k_pool: jnp.ndarray,
+    v_pool: jnp.ndarray,
+    batch: PrefillBatch,
+    attn: AttnFn,
+):
+    """Prefill over the prompt; returns (last-token logits (V,) fp32, pools).
+
+    ``attn`` here is a causal self-attention impl over the in-flight
+    projections (KV pool rows are written but not re-read during prefill)."""
+    x, k_pool, v_pool = _forward(
+        cfg,
+        params,
+        rope_apply,
+        k_pool,
+        v_pool,
+        batch.tokens,
+        batch.positions,
+        batch.out_loc,
+        attn,
+        batch,
+    )
+    last = x[batch.length - 1]
+    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    return logits, k_pool, v_pool

@@ -1,0 +1,137 @@
+"""Parameter loading: HF safetensors/bin -> stacked-layer pytree, bf16.
+
+Parity surface: the reference's load_weights + hf_model_weights_iterator
+(/root/reference/DeFT/deft/models/llama2.py:252-295, utils.py:116-175).
+TPU-first: per-layer tensors are stacked into (num_layers, ...) arrays so the
+forward is a lax.scan over layers (one compiled layer body instead of an
+unrolled 32-layer graph), and projections are kept as (in, out) matrices for
+row-major MXU matmuls.  QKV and gate/up are merged like the reference's
+QKVLinear/MergedLinear (linear.py:8-117).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deft_tpu.models.config import LlamaConfig
+
+
+def _param_shapes(cfg: LlamaConfig) -> Dict[str, Any]:
+    E = cfg.hidden_size
+    D = cfg.head_dim
+    L = cfg.num_layers
+    I = cfg.intermediate_size
+    return {
+        "embed": (cfg.vocab_size, E),
+        "ln1": (L, E),
+        "wqkv": (L, E, (cfg.num_q_heads + 2 * cfg.num_kv_heads) * D),
+        "wo": (L, cfg.num_q_heads * D, E),
+        "ln2": (L, E),
+        "wgu": (L, E, 2 * I),
+        "wdown": (L, I, E),
+        "ln_f": (E,),
+        "lm_head": (E, cfg.vocab_size),
+    }
+
+
+def random_params(
+    cfg: LlamaConfig, seed: int = 0, dtype: jnp.dtype = jnp.bfloat16
+) -> Dict[str, jnp.ndarray]:
+    """Random-init params with sane scales (tests / benchmarks; the
+    environment has no network egress for HF downloads)."""
+    shapes = _param_shapes(cfg)
+    rng = np.random.RandomState(seed)
+    params: Dict[str, jnp.ndarray] = {}
+    for name, shape in shapes.items():
+        if name.startswith("ln"):
+            arr = np.ones(shape, dtype=np.float32)
+        else:
+            fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
+            arr = rng.normal(0.0, 1.0 / np.sqrt(fan_in), size=shape).astype(
+                np.float32
+            )
+        params[name] = jnp.asarray(arr, dtype=dtype)
+    return params
+
+
+def _iter_hf_weights(path: str):
+    """Yield (name, np.ndarray) from safetensors (preferred) or torch .bin."""
+    st_files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(f, framework="np") as sf:
+                for name in sf.keys():
+                    yield name, sf.get_tensor(name)
+        return
+    bin_files = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin")))
+    if not bin_files:
+        raise FileNotFoundError(f"no safetensors or .bin weights under {path}")
+    import torch
+
+    for f in bin_files:
+        state = torch.load(f, map_location="cpu", weights_only=True)
+        for name, t in state.items():
+            yield name, t.to(torch.float32).numpy()
+
+
+def load_params(
+    path: str, cfg: LlamaConfig, dtype: jnp.dtype = jnp.bfloat16
+) -> Dict[str, jnp.ndarray]:
+    """Load a local HF Llama checkpoint into the stacked pytree layout."""
+    E, D, L = cfg.hidden_size, cfg.head_dim, cfg.num_layers
+    nq, nkv = cfg.num_q_heads, cfg.num_kv_heads
+    shapes = _param_shapes(cfg)
+    bufs = {k: np.zeros(v, dtype=np.float32) for k, v in shapes.items()}
+    seen_lm_head = False
+
+    for name, w in _iter_hf_weights(path):
+        w = np.asarray(w, dtype=np.float32)
+        if name == "model.embed_tokens.weight":
+            bufs["embed"][:] = w
+        elif name == "lm_head.weight":
+            bufs["lm_head"][:] = w.T
+            seen_lm_head = True
+        elif name == "model.norm.weight":
+            bufs["ln_f"][:] = w
+        elif name.startswith("model.layers."):
+            parts = name.split(".")
+            li = int(parts[2])
+            sub = ".".join(parts[3:])
+            if sub == "input_layernorm.weight":
+                bufs["ln1"][li] = w
+            elif sub == "post_attention_layernorm.weight":
+                bufs["ln2"][li] = w
+            elif sub == "self_attn.q_proj.weight":
+                bufs["wqkv"][li, :, : nq * D] = w.T
+            elif sub == "self_attn.k_proj.weight":
+                bufs["wqkv"][li, :, nq * D : (nq + nkv) * D] = w.T
+            elif sub == "self_attn.v_proj.weight":
+                bufs["wqkv"][li, :, (nq + nkv) * D :] = w.T
+            elif sub == "self_attn.o_proj.weight":
+                bufs["wo"][li] = w.T
+            elif sub == "mlp.gate_proj.weight":
+                bufs["wgu"][li, :, : cfg.intermediate_size] = w.T
+            elif sub == "mlp.up_proj.weight":
+                bufs["wgu"][li, :, cfg.intermediate_size :] = w.T
+            elif sub == "mlp.down_proj.weight":
+                bufs["wdown"][li] = w.T
+            elif "rotary_emb" in sub:
+                pass  # tables are recomputed
+            else:
+                raise KeyError(f"unmapped weight {name}")
+        else:
+            raise KeyError(f"unmapped weight {name}")
+
+    if not seen_lm_head:
+        assert cfg.tie_word_embeddings or True
+        bufs["lm_head"][:] = bufs["embed"].T
+    return {k: jnp.asarray(v, dtype=dtype) for k, v in bufs.items()}

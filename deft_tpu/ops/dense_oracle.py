@@ -1,0 +1,67 @@
+"""Dense masked attention in plain XLA.
+
+Two roles:
+1. Numerical oracle for every kernel test (the reference's only real check:
+   dense torch attention per leaf, tests/model/test_DeFT_kernel.py:212-305).
+2. The "Tree Attention Medusa" baseline mode (reference UNPAGED_MEDUSA,
+   unpaged/causal_masked.py:4-17): materializes the full (q, kv) scores +
+   mask — the IO-heavy baseline DeFT's accounting penalizes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_NEG = -0.7 * jnp.finfo(jnp.float32).max
+
+
+def dense_tree_attention(
+    q: jnp.ndarray,       # (R, Hq, D) — R = padded leaves
+    k: jnp.ndarray,       # (T, Hkv, D) tree KV in DFS order
+    v: jnp.ndarray,       # (T, Hkv, D)
+    tok_lo: jnp.ndarray,  # (T,) int32
+    tok_hi: jnp.ndarray,  # (T,) int32
+    scale: float,
+) -> jnp.ndarray:
+    """Exact tree attention: query row r (leaf r) attends token t iff
+    tok_lo[t] <= r < tok_hi[t]."""
+    R, Hq, D = q.shape
+    T, Hkv, _ = k.shape
+    qpk = Hq // Hkv
+    kx = jnp.repeat(k, qpk, axis=1)  # (T, Hq, D)
+    vx = jnp.repeat(v, qpk, axis=1)
+    s = jnp.einsum(
+        "rhd,thd->rht", q.astype(jnp.float32), kx.astype(jnp.float32)
+    ) * scale
+    leaf = jnp.arange(R, dtype=jnp.int32)
+    mask = (tok_lo[None, :] <= leaf[:, None]) & (leaf[:, None] < tok_hi[None, :])
+    s = jnp.where(mask[:, None, :], s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.where(l == 0.0, 1.0, l)
+    return jnp.einsum("rht,thd->rhd", p, vx.astype(jnp.float32)).astype(q.dtype)
+
+
+def dense_causal_attention(
+    q: jnp.ndarray,  # (N, Hq, D)
+    k: jnp.ndarray,  # (N, Hkv, D)
+    v: jnp.ndarray,  # (N, Hkv, D)
+    scale: float,
+) -> jnp.ndarray:
+    """Dense causal self-attention (prefill oracle / small-prompt fallback)."""
+    N, Hq, D = q.shape
+    Hkv = k.shape[1]
+    qpk = Hq // Hkv
+    kx = jnp.repeat(k, qpk, axis=1)
+    vx = jnp.repeat(v, qpk, axis=1)
+    s = jnp.einsum(
+        "nhd,thd->nht", q.astype(jnp.float32), kx.astype(jnp.float32)
+    ) * scale
+    i = jnp.arange(N, dtype=jnp.int32)
+    causal = i[:, None] >= i[None, :]
+    s = jnp.where(causal[:, None, :], s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    return jnp.einsum("nht,thd->nhd", p, vx.astype(jnp.float32)).astype(q.dtype)

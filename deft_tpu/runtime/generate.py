@@ -1,0 +1,125 @@
+"""The tree-decoding generation loop.
+
+Parity surface: /root/reference/DeFT/deft/tree_decoding/generation/
+tree_generate.py:20-284 — prefill, then per iteration: alloc one KV slot per
+leaf, build the attention plan, forward, softmax(+1e-6), apply the branch
+controller, record PerfMetrics; stop on controller signal or max_gen_len.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from deft_tpu.obs import GlobalTimer, PerfMetrics
+from deft_tpu.runtime.modes import ForwardMode
+from deft_tpu.runtime.runner import ModelRunner
+
+
+def tree_generate(
+    model: ModelRunner,
+    mode: ForwardMode,
+    tokenizer,
+    prompt_ids,
+    max_seq_len: int,
+    width: int,
+    depth: int,
+    branch_controller,
+    tree_template=None,
+    output_file: Optional[str] = None,
+    perf_metrics: Optional[PerfMetrics] = None,
+    print_branches: bool = False,
+) -> PerfMetrics:
+    if perf_metrics is None:
+        perf_metrics = PerfMetrics(output_file)
+    prompt_ids = [int(t) for t in prompt_ids]
+    prompt_len = len(prompt_ids)
+    max_gen_len = max_seq_len - prompt_len
+    assert max_gen_len > 0, "max_seq_len must exceed prompt length"
+
+    branch_controller.set_execution_graph(tree_template)
+
+    kv_bytes_per_tok = (
+        model.cfg.num_kv_heads * model.cfg.head_dim * 4  # K+V bf16
+    ) * model.cfg.num_layers
+
+    start_time = time.perf_counter()
+    logits = model.forward_prefill(prompt_ids)
+    stop = branch_controller.apply_branching(
+        model=model,
+        iter=0,
+        max_gen_len=max_gen_len,
+        width=width,
+        depth=depth,
+        logits=logits,
+        execution_graph=branch_controller.tree_templates,
+    )
+    ttft = (time.perf_counter() - start_time) * 1000
+    perf_metrics.TTFT = ttft
+
+    if not stop:
+        for it in range(1, max_gen_len):
+            for name in ("prepare", "branch", "attn_mem", "attn_comp",
+                         "traversal", "alloc", "tree_metadata"):
+                GlobalTimer.reset(name)
+            step_start = time.perf_counter()
+
+            GlobalTimer.start("prepare")
+            GlobalTimer.start("alloc")
+            model.tree.alloc()
+            GlobalTimer.stop("alloc")
+            GlobalTimer.start("tree_metadata")
+            plan = model.build_plan(mode)
+            GlobalTimer.stop("tree_metadata")
+            GlobalTimer.stop("prepare")
+
+            logits, fwd_t = model.forward_tree_decode(mode, plan)
+
+            # analytic KV/mask IO accounting (per layer x layers)
+            if mode.is_sequential:
+                perf_metrics.KV_IO += plan.total_kv * kv_bytes_per_tok
+            else:
+                perf_metrics.KV_IO += plan.n_tokens * kv_bytes_per_tok
+                perf_metrics.Mask_IO += plan.n_tokens * 8 * model.cfg.num_layers
+
+            GlobalTimer.start("branch")
+            stop = branch_controller.apply_branching(
+                model=model,
+                iter=it,
+                max_gen_len=max_gen_len,
+                width=width,
+                depth=depth,
+                logits=logits,
+                execution_graph=branch_controller.tree_templates,
+            )
+            GlobalTimer.stop("branch")
+
+            iter_cost = (time.perf_counter() - step_start) * 1000
+            perf_metrics.update(
+                iter_time=iter_cost,
+                prepare=GlobalTimer.get("prepare"),
+                forward=fwd_t * 1000,
+                branch=GlobalTimer.get("branch"),
+                attn_mem=GlobalTimer.get("attn_mem"),
+                attn_comp=GlobalTimer.get("attn_comp"),
+                traversal=GlobalTimer.get("traversal"),
+                alloc=GlobalTimer.get("alloc"),
+                tree_metadata=GlobalTimer.get("tree_metadata"),
+            )
+            if stop:
+                break
+
+    e2e = (time.perf_counter() - start_time) * 1000
+    perf_metrics.update_e2e_latency(e2e)
+    perf_metrics.prompt_len = prompt_len
+    perf_metrics.generated_len = model.tree.get_tree_token_number() - prompt_len
+    perf_metrics.update_decode_latency()
+    perf_metrics.update_attention_latency()
+    perf_metrics.compute_tpot()
+    perf_metrics.dump()
+    if print_branches:
+        model.tree.print_finished_branches(tokenizer)
+    model.tree.free()
+    model.token_to_kv_pool.clear()
+    model.req_to_token_pool.clear()
+    return perf_metrics

@@ -1,0 +1,338 @@
+"""Model runner: owns device state (params, KV pools) and the jitted
+prefill / tree-decode steps.
+
+Parity surface: /root/reference/DeFT/deft/model_runner.py (ModelRunner
+:234-424, InputMetadata :73-231).  TPU-first:
+
+- One jitted step per (mode-kernel, shape-bucket); jax's jit cache keys on
+  shapes, the plan builders' bucketing (plan/padding.py) bounds retraces.
+- KV pools are donated through the step (in-place scatter under XLA).
+- Sampling fast path: the step computes softmax+top-K *on device* and only
+  (K)-sized arrays cross the host boundary per step — the reference ships the
+  full (leaves, vocab) tensor to host every iteration; over an axon tunnel
+  that transfer would dominate TPOT.
+- Tree metadata never enters the kernel through globals (the reference
+  smuggles TreeMetadata through module globals, tree_cache.py:1021-1052);
+  plans are explicit step arguments.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deft_tpu.config import EngineConfig
+from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache, TreeIndexPool
+from deft_tpu.core.kv_pool import DUMP_SLOT
+from deft_tpu.models.config import LlamaConfig
+from deft_tpu.models.llama import (
+    DecodeBatch,
+    PrefillBatch,
+    SeqBatch,
+    decode_forward,
+    prefill_forward,
+)
+from deft_tpu.models.loader import load_params, random_params
+from deft_tpu.models.rope import apply_rope, rope_table
+from deft_tpu.obs import create_logger
+from deft_tpu.plan import (
+    build_flatten_plan,
+    build_node_plan,
+    build_seq_plan,
+    build_tree_index_plan,
+    pad_token_count,
+)
+from deft_tpu.plan.flatten import FlattenPlan
+from deft_tpu.plan.seq import SeqPlan
+from deft_tpu.runtime.modes import ForwardMode
+from deft_tpu.ops import attn_impls
+
+logger = create_logger("deft_tpu.runner")
+
+
+class LogitsView:
+    """Per-leaf next-token distribution, top-K resident on host, full
+    distribution lazily fetchable.  Row order == DFS leaf_to_q."""
+
+    def __init__(self, vals, ids, full=None):
+        self._vals = vals  # (R, K) probabilities (softmax + 1e-6)
+        self._ids = ids    # (R, K) int32 token ids, descending prob
+        self._full = full  # optional device (R, V) logits
+
+    @functools.cached_property
+    def vals(self) -> np.ndarray:
+        return np.asarray(self._vals)
+
+    @functools.cached_property
+    def ids(self) -> np.ndarray:
+        return np.asarray(self._ids)
+
+    @property
+    def k(self) -> int:
+        return self._vals.shape[-1]
+
+    def topk(self, row: int, k: int):
+        """Top-k (probs, token_ids) for one leaf row."""
+        assert k <= self.k, f"asked top-{k}, step computed top-{self.k}"
+        return self.vals[row, :k], self.ids[row, :k]
+
+    def argmax(self):
+        """(token_ids, probs) of the greedy token per row."""
+        return self.ids[:, 0], self.vals[:, 0]
+
+    def full_probs(self) -> np.ndarray:
+        assert self._full is not None, "full logits not retained"
+        x = np.asarray(self._full, dtype=np.float64)
+        e = np.exp(x - x.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True) + 1e-6
+
+
+class ModelRunner:
+    def __init__(
+        self,
+        model_config: LlamaConfig,
+        engine_config: EngineConfig = EngineConfig(),
+        model_path: Optional[str] = None,
+        params: Optional[Dict[str, jnp.ndarray]] = None,
+        kernels: str = "auto",
+        use_tree_index: bool = False,
+        seed: int = 0,
+        topk_k: int = 64,
+        retain_full_logits: bool = False,
+    ):
+        self.cfg = model_config
+        self.ecfg = engine_config
+        self.use_tree_index = use_tree_index
+        self.topk_k = min(topk_k, model_config.vocab_size)
+        self.retain_full_logits = retain_full_logits
+        if kernels == "auto":
+            kernels = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.kernels = kernels
+        self.dtype = jnp.bfloat16 if engine_config.dtype == "bfloat16" else jnp.float32
+
+        if params is not None:
+            self.params = params
+        elif model_path is not None:
+            logger.info("loading weights from %s", model_path)
+            self.params = load_params(model_path, model_config, self.dtype)
+        else:
+            logger.info("random-init params (seed=%d)", seed)
+            self.params = random_params(model_config, seed, self.dtype)
+
+        max_pos = min(self.cfg.context_len, engine_config.max_context_len)
+        self._rope_tbl = rope_table(
+            self.cfg.head_dim, max_pos, self.cfg.rope_theta, self.cfg.rope_scaling
+        )
+        self._rope_apply = lambda x, pos: apply_rope(x, pos, self._rope_tbl)
+
+        slots = engine_config.kv_pool_slots or self._profile_slots()
+        logger.info("KV pool: %d slots (%.1f MB per side)", slots,
+                    slots * self.cfg.num_layers * self.cfg.num_kv_heads
+                    * self.cfg.head_dim * 2 / 1e6)
+        shape = (self.cfg.num_layers, slots, self.cfg.num_kv_heads, self.cfg.head_dim)
+        self.k_pool = jnp.zeros(shape, dtype=self.dtype)
+        self.v_pool = jnp.zeros(shape, dtype=self.dtype)
+
+        self.token_to_kv_pool = TokenKVPool(slots)
+        self.req_to_token_pool = ReqToTokenPool(
+            engine_config.max_requests, engine_config.max_context_len
+        )
+        self.tree_index_pool = (
+            TreeIndexPool(engine_config.max_requests, engine_config.max_context_len)
+            if use_tree_index
+            else None
+        )
+        self.tree = TreeCache(
+            self.token_to_kv_pool, self.req_to_token_pool, self.tree_index_pool
+        )
+        self._jit_cache: Dict[str, Callable] = {}
+        self.decode_time = 0.0
+
+    # -- sizing ------------------------------------------------------------------
+    def _profile_slots(self) -> int:
+        """Size the KV pool from free device memory (reference
+        profile_max_num_token, model_runner.py:300-314)."""
+        cell = (
+            self.cfg.num_layers
+            * self.cfg.num_kv_heads
+            * self.cfg.head_dim
+            * 2  # K and V
+            * (2 if self.dtype == jnp.bfloat16 else 4)
+        )
+        free = None
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats and "bytes_limit" in stats:
+                free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
+                # weights may not be committed yet
+                free -= sum(
+                    int(np.prod(p.shape)) * p.dtype.itemsize
+                    for p in jax.tree_util.tree_leaves(self.params)
+                )
+        except Exception:
+            pass
+        if free is None:
+            free = 2 << 30
+        slots = int(free * self.ecfg.mem_fraction) // cell
+        return max(4096, min(slots, 1 << 21))
+
+    # -- attention impl selection -----------------------------------------------
+    def _attn_fn(self, mode: ForwardMode):
+        kind = mode.plan_kind
+        if mode is ForwardMode.UNPAGED_MEDUSA or self.kernels == "xla":
+            return {
+                "flatten": attn_impls.flatten_attn_xla,
+                "node": attn_impls.flatten_attn_xla,
+                "tree_index": attn_impls.flatten_attn_xla,
+                "seq": attn_impls.seq_attn_xla,
+            }[kind]
+        # Pallas kernels (TPU / interpret).
+        from deft_tpu.ops.flatten_attn import flatten_attn_pallas
+        from deft_tpu.ops.seq_attn import seq_attn_pallas
+
+        return {
+            "flatten": flatten_attn_pallas,
+            "node": flatten_attn_pallas,
+            "tree_index": flatten_attn_pallas,
+            "seq": seq_attn_pallas,
+        }[kind]
+
+    def _prefill_attn_fn(self):
+        if self.kernels == "xla":
+            return attn_impls.prefill_attn_xla
+        from deft_tpu.ops.prefill import prefill_attn_pallas
+
+        return prefill_attn_pallas
+
+    # -- jitted steps ----------------------------------------------------------
+    def _decode_step(self, mode: ForwardMode):
+        attn = self._attn_fn(mode)
+        key = f"decode/{mode.plan_kind}/{attn.__name__}"
+        if key not in self._jit_cache:
+            cfg, rope, K = self.cfg, self._rope_apply, self.topk_k
+            retain = self.retain_full_logits
+
+            def step(params, k_pool, v_pool, batch):
+                logits, k_pool, v_pool = decode_forward(
+                    cfg, params, rope, k_pool, v_pool, batch, attn
+                )
+                probs = jax.nn.softmax(logits, axis=-1) + 1e-6
+                vals, ids = jax.lax.top_k(probs, K)
+                out_logits = logits if retain else jnp.zeros((0,), jnp.float32)
+                return vals, ids, out_logits, k_pool, v_pool
+
+            self._jit_cache[key] = jax.jit(step, donate_argnums=(1, 2))
+        return self._jit_cache[key]
+
+    def _prefill_step(self):
+        key = "prefill"
+        if key not in self._jit_cache:
+            cfg, rope, K = self.cfg, self._rope_apply, self.topk_k
+            attn = self._prefill_attn_fn()
+
+            def step(params, k_pool, v_pool, batch):
+                logits, k_pool, v_pool = prefill_forward(
+                    cfg, params, rope, k_pool, v_pool, batch, attn
+                )
+                probs = jax.nn.softmax(logits, axis=-1) + 1e-6
+                vals, ids = jax.lax.top_k(probs, K)
+                return vals, ids, logits, k_pool, v_pool
+
+            self._jit_cache[key] = jax.jit(step, donate_argnums=(1, 2))
+        return self._jit_cache[key]
+
+    # -- public API ---------------------------------------------------------------
+    def reset_state(self) -> None:
+        """Release all tree/KV bookkeeping for a fresh generation (device
+        pools are reused as-is: slots are always written before being read)."""
+        if self.tree.root is not None:
+            self.tree.free()
+        self.token_to_kv_pool.clear()
+        self.req_to_token_pool.clear()
+        if self.tree_index_pool is not None:
+            self.tree_index_pool._free = list(
+                range(self.tree_index_pool.size - 1, -1, -1)
+            )
+        self.decode_time = 0.0
+
+    def forward_prefill(self, prompt_ids) -> LogitsView:
+        cache_loc = self.tree.init_prompt(list(map(int, prompt_ids)))
+        P = len(cache_loc)
+        P_pad = pad_token_count(P, self.ecfg.attention.block_len,
+                                self.ecfg.min_token_bucket)
+        tokens = np.zeros(P_pad, dtype=np.int32)
+        tokens[:P] = self.tree.root.token_ids
+        positions = np.zeros(P_pad, dtype=np.int32)
+        positions[:P] = np.arange(P)
+        out_loc = np.full(P_pad, DUMP_SLOT, dtype=np.int32)
+        out_loc[:P] = cache_loc
+        batch = PrefillBatch(
+            tokens=jnp.asarray(tokens),
+            positions=jnp.asarray(positions),
+            out_loc=jnp.asarray(out_loc),
+            length=jnp.asarray(P, dtype=jnp.int32),
+        )
+        vals, ids, logits, self.k_pool, self.v_pool = self._prefill_step()(
+            self.params, self.k_pool, self.v_pool, batch
+        )
+        return LogitsView(vals[None, :], ids[None, :],
+                          logits[None, :] if self.retain_full_logits else None)
+
+    def build_plan(self, mode: ForwardMode):
+        """Host-side attention plan for the current tree (call after alloc)."""
+        a = self.ecfg.attention
+        kw = dict(
+            q_per_kv=self.cfg.q_per_kv,
+            block_len=a.block_len,
+            min_token_bucket=self.ecfg.min_token_bucket,
+        )
+        kind = mode.plan_kind
+        if kind == "flatten":
+            return build_flatten_plan(self.tree, **kw)
+        if kind == "node":
+            return build_node_plan(self.tree, chunk_len=a.node_chunk_len, **kw)
+        if kind == "tree_index":
+            return build_tree_index_plan(self.tree, **kw)
+        if kind == "seq":
+            return build_seq_plan(self.tree, **kw)
+        raise ValueError(kind)
+
+    def _to_batch(self, mode: ForwardMode, plan):
+        if isinstance(plan, SeqPlan):
+            return SeqBatch(
+                q_tokens=jnp.asarray(plan.q_tokens),
+                q_pos=jnp.asarray(plan.q_pos),
+                out_loc=jnp.asarray(plan.out_loc),
+                paths=jnp.asarray(plan.paths),
+                seq_lens=jnp.asarray(plan.seq_lens),
+            )
+        assert isinstance(plan, FlattenPlan)
+        return DecodeBatch(
+            q_tokens=jnp.asarray(plan.q_tokens),
+            q_pos=jnp.asarray(plan.q_pos),
+            out_loc=jnp.asarray(plan.out_loc),
+            kv_idx=jnp.asarray(plan.kv_idx),
+            tok_lo=jnp.asarray(plan.tok_lo),
+            tok_hi=jnp.asarray(plan.tok_hi),
+            blk_lo=jnp.asarray(plan.blk_lo),
+            blk_hi=jnp.asarray(plan.blk_hi),
+        )
+
+    def forward_tree_decode(self, mode: ForwardMode, plan) -> tuple:
+        """Run one tree-decode step.  Returns (LogitsView, forward_seconds)."""
+        batch = self._to_batch(mode, plan)
+        step = self._decode_step(mode)
+        t0 = time.perf_counter()
+        vals, ids, logits, self.k_pool, self.v_pool = step(
+            self.params, self.k_pool, self.v_pool, batch
+        )
+        jax.block_until_ready(vals)
+        t = time.perf_counter() - t0
+        self.decode_time += t
+        view = LogitsView(vals, ids, logits if self.retain_full_logits else None)
+        return view, t

@@ -10,3 +10,6 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Persistent compile cache: repeated test runs skip XLA compiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/deft_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")

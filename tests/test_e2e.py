@@ -1,0 +1,161 @@
+"""End-to-end generation on a tiny random-weight model (CPU, XLA attention):
+the permanent correctness harness.
+
+- decode-step logits must match a fresh full-sequence prefill of the same
+  root-to-leaf path (validates pools, rope positions, GQA, masking);
+- all forward modes must generate identical tokens (attention is exact);
+- the four workloads must run the full protocol.
+"""
+
+import numpy as np
+import pytest
+
+from deft_tpu.config import AttentionConfig, EngineConfig
+from deft_tpu.control import Branch_Controller, workloads
+from deft_tpu.data.loader import ExecuteTree, ExecuteTreeNode
+from deft_tpu.models import PRESETS
+from deft_tpu.runtime import ForwardMode, ModelRunner, tree_generate
+
+ECFG = EngineConfig(
+    kv_pool_slots=4096,
+    max_requests=64,
+    max_context_len=512,
+    min_token_bucket=128,
+    dtype="float32",  # tight tolerances for numerics tests
+)
+
+
+def make_runner(**kw):
+    kw.setdefault("engine_config", ECFG)
+    kw.setdefault("kernels", "xla")
+    kw.setdefault("retain_full_logits", True)
+    return ModelRunner(PRESETS["tiny"], **kw)
+
+
+PROMPT = list(range(7, 19))  # 12 tokens
+
+
+def test_decode_matches_full_prefill():
+    """Each leaf's decode logits == prefill logits of its full path."""
+    runner = make_runner()
+    view = runner.forward_prefill(PROMPT)
+    tree = runner.tree
+    # branch into 3, give each a distinct token
+    _, ids0 = view.topk(0, 3)
+    children = tree.branch(tree.root, 3)
+    for c, child in enumerate(children):
+        child.append_token(int(ids0[c]))
+    # two greedy steps
+    per_leaf_logits = None
+    for _ in range(2):
+        tree.alloc()
+        plan = runner.build_plan(ForwardMode.TREE_DECODE_FLATTEN)
+        lv, _ = runner.forward_tree_decode(ForwardMode.TREE_DECODE_FLATTEN, plan)
+        ids, _ = lv.argmax()
+        per_leaf_logits = lv
+        for leaf in list(tree.leaves.values()):
+            leaf.append_token(int(ids[tree.leaf_to_q[leaf.id]]))
+
+    # oracle: prefill each full path (minus last unexecuted token) fresh
+    oracle = make_runner()
+    for leaf in tree.leaves.values():
+        q = tree.leaf_to_q[leaf.id]
+        path = []
+        node = leaf
+        chain = []
+        while node is not None:
+            chain.append(node)
+            node = node.parent
+        for node in reversed(chain):
+            path.extend(node.token_ids)
+        # decode step consumed path[:-1] (last token appended after decode)
+        oracle.reset_state()
+        oview = oracle.forward_prefill(path[:-1])
+        assert per_leaf_logits.topk(q, 1)[1][0] == oview.topk(0, 1)[1][0]
+        got = per_leaf_logits.full_probs()[q]
+        want = oview.full_probs()[0]
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
+
+
+MODES = [
+    ForwardMode.TREE_DECODE_FLATTEN,
+    ForwardMode.DECODE,
+    ForwardMode.TREE_DECODE_NODE,
+    ForwardMode.TREE_DECODE_INDEX_NODE,
+    ForwardMode.UNPAGED_MEDUSA,
+    ForwardMode.UNPAGED_DEFT_FLATTEN,
+    ForwardMode.UNPAGED_FD,
+]
+
+
+def run_simple(mode, **kw):
+    runner = make_runner(use_tree_index=True, **kw)
+    bc = Branch_Controller(workloads.simple_tree)
+    pm = tree_generate(
+        runner, mode, None, PROMPT, max_seq_len=24, width=3, depth=0,
+        branch_controller=bc,
+    )
+    return [tuple(s.token_ids) for s in runner.tree.all_finished_seqs], pm
+
+
+def test_cross_mode_equivalence():
+    """All modes are the same exact attention => identical generations."""
+    # max_gen_len=12: one token at prefill branching + 10 greedy appends
+    # (the final iteration outputs without appending, like the reference).
+    ref, _ = run_simple(ForwardMode.TREE_DECODE_FLATTEN)
+    assert len(ref) == 3 and all(len(t) == 11 for t in ref)
+    for mode in MODES[1:]:
+        got, _ = run_simple(mode)
+        assert got == ref, f"{mode} diverged from flatten"
+
+
+def test_workload_practical_tree():
+    # depth-2 template: root branches into 2 at iter 0; node 1 branches into
+    # 2 at iter 3; everything prunes at iter 6.
+    root = ExecuteTreeNode(0, value=1, start_offset=0, end_offset=0)
+    n1 = ExecuteTreeNode(1, value=3, start_offset=0, end_offset=3)
+    n2 = ExecuteTreeNode(2, value=6, start_offset=0, end_offset=6)
+    n3 = ExecuteTreeNode(3, value=3, start_offset=3, end_offset=6)
+    n4 = ExecuteTreeNode(4, value=3, start_offset=3, end_offset=6)
+    root.children = [n1, n2]
+    n1.children = [n3, n4]
+    tpl = ExecuteTree(root, [root, n1, n2, n3, n4])
+    assert tpl.branch_record[0] == {0: [1, 2]}
+    assert tpl.branch_record[3] == {1: [3, 4]}
+    assert 0 in tpl.prune_record[6]
+
+    runner = make_runner()
+    bc = Branch_Controller(workloads.practical_tree)
+    pm = tree_generate(
+        runner, ForwardMode.TREE_DECODE_FLATTEN, None, PROMPT,
+        max_seq_len=12 + 8, width=2, depth=2, branch_controller=bc,
+        tree_template=tpl,
+    )
+    seqs = runner.tree.all_finished_seqs
+    assert len(seqs) == 3  # leaves: n2, n3, n4 paths
+    assert pm.generated_len > 0
+
+
+def test_workload_speculative_decoding():
+    tpl = ExecuteTree(ExecuteTreeNode(0), [ExecuteTreeNode(i) for i in range(8)])
+    tpl.accepted_len_list = [2, 1, 3]
+    runner = make_runner(topk_k=16)
+    bc = Branch_Controller(workloads.speculative_decoding)
+    tree_generate(
+        runner, ForwardMode.TREE_DECODE_FLATTEN, None, PROMPT,
+        max_seq_len=12 + 32, width=8, depth=0, branch_controller=bc,
+        tree_template=tpl,
+    )
+    assert len(runner.tree.all_finished_seqs) == 8
+
+
+def test_workload_beam_search():
+    runner = make_runner()
+    bc = Branch_Controller(workloads.beam_search)
+    tree_generate(
+        runner, ForwardMode.TREE_DECODE_FLATTEN, None, PROMPT,
+        max_seq_len=24, width=4, depth=0, branch_controller=bc,
+    )
+    seqs = runner.tree.all_finished_seqs
+    assert len(seqs) == 4
+    assert all(len(s.token_ids) == 11 for s in seqs)
