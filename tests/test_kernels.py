@@ -1,0 +1,142 @@
+"""Pallas kernel numerics vs the dense XLA oracles (interpret mode on CPU).
+
+Mirrors the reference's only real kernel check — dense attention oracle with
+a relative-error tolerance (/root/reference/DeFT/tests/model/
+test_DeFT_kernel.py:212-305) — but as proper parametrized pytest units.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deft_tpu.ops.dense_oracle import dense_causal_attention, dense_tree_attention
+from deft_tpu.ops.flatten_attn import flatten_attention, fold_q, unfold_o
+from deft_tpu.ops.prefill import prefill_attention
+from deft_tpu.ops.seq_attn import seq_attention
+
+
+def rel_err(got, want):
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    return np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+
+
+def random_tree_intervals(rng, T, n_leaves, block_len):
+    """Random DFS-consistent (tok_lo, tok_hi): a chain of segments each owned
+    by a random interval, padding tail empty."""
+    lo = np.full(T, 2**30, dtype=np.int32)
+    hi = np.zeros(T, dtype=np.int32)
+    t = 0
+    n_live = rng.integers(T // 2, T - block_len + 1)
+    while t < n_live:
+        seg = int(rng.integers(1, 64))
+        seg = min(seg, n_live - t)
+        a = int(rng.integers(0, n_leaves))
+        b = int(rng.integers(a + 1, n_leaves + 1))
+        lo[t : t + seg] = a
+        hi[t : t + seg] = b
+        t += seg
+    nb = T // block_len
+    blk_lo = lo.reshape(nb, block_len).min(axis=1)
+    blk_hi = hi.reshape(nb, block_len).max(axis=1)
+    return lo, hi, blk_lo, blk_hi
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize(
+    "R,Hq,Hkv,D,T",
+    [
+        (16, 8, 2, 64, 512),
+        (32, 8, 8, 128, 384),  # MHA
+        (8, 32, 8, 128, 256),  # Llama-8B heads
+    ],
+)
+def test_flatten_kernel_vs_oracle(dtype, R, Hq, Hkv, D, T):
+    rng = np.random.default_rng(R * 31 + Hq)
+    block_len = 128
+    q = jnp.asarray(rng.standard_normal((R, Hq, D)), dtype)
+    k = jnp.asarray(rng.standard_normal((T, Hkv, D)), dtype)
+    v = jnp.asarray(rng.standard_normal((T, Hkv, D)), dtype)
+    lo, hi, blk_lo, blk_hi = random_tree_intervals(rng, T, R, block_len)
+    scale = D**-0.5
+
+    want = dense_tree_attention(q, k, v, jnp.asarray(lo), jnp.asarray(hi), scale)
+    qf = fold_q(q, Hkv)
+    kt = jnp.swapaxes(k, 0, 1)
+    vt = jnp.swapaxes(v, 0, 1)
+    got = unfold_o(
+        flatten_attention(
+            qf, kt, vt,
+            jnp.asarray(lo), jnp.asarray(hi),
+            jnp.asarray(blk_lo), jnp.asarray(blk_hi),
+            scale=scale, qpk=Hq // Hkv, block_len=block_len,
+        ),
+        R,
+    )
+    # rows with no visible tokens differ by convention (oracle: uniform over
+    # all, kernel: 0) — compare only rows that attend something.
+    visible = (lo[None, :] <= np.arange(R)[:, None]) & (
+        np.arange(R)[:, None] < hi[None, :]
+    )
+    live_rows = visible.any(axis=1)
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    assert rel_err(np.asarray(got)[live_rows], np.asarray(want)[live_rows]) < tol
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_seq_kernel_vs_oracle(dtype):
+    rng = np.random.default_rng(7)
+    R, Hq, Hkv, D, C = 16, 8, 2, 64, 384
+    qpk = Hq // Hkv
+    q = jnp.asarray(rng.standard_normal((R, Hq, D)), dtype)
+    kt = jnp.asarray(rng.standard_normal((R, C, Hkv, D)), dtype)
+    vt = jnp.asarray(rng.standard_normal((R, C, Hkv, D)), dtype)
+    seq_lens = jnp.asarray(
+        rng.integers(1, C + 1, size=R).astype(np.int32)
+    )
+    scale = D**-0.5
+
+    # oracle: per-leaf dense attention over its own prefix
+    kx = jnp.repeat(kt, qpk, axis=2)
+    vx = jnp.repeat(vt, qpk, axis=2)
+    s = jnp.einsum(
+        "rhd,rthd->rht", q.astype(jnp.float32), kx.astype(jnp.float32)
+    ) * scale
+    t = jnp.arange(C)[None, :] < seq_lens[:, None]
+    s = jnp.where(t[:, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    want = jnp.einsum("rht,rthd->rhd", p, vx.astype(jnp.float32))
+
+    got = seq_attention(
+        q.reshape(R, Hkv, qpk, D),
+        jnp.swapaxes(kt, 1, 2),
+        jnp.swapaxes(vt, 1, 2),
+        seq_lens,
+        scale=scale,
+    ).reshape(R, Hq, D)
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    assert rel_err(got, want) < tol
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("N,Hq,Hkv,D", [(256, 8, 2, 64), (128, 32, 8, 128)])
+def test_prefill_kernel_vs_oracle(dtype, N, Hq, Hkv, D):
+    rng = np.random.default_rng(N)
+    q = jnp.asarray(rng.standard_normal((N, Hq, D)), dtype)
+    k = jnp.asarray(rng.standard_normal((N, Hkv, D)), dtype)
+    v = jnp.asarray(rng.standard_normal((N, Hkv, D)), dtype)
+    scale = D**-0.5
+    want = dense_causal_attention(q, k, v, scale)
+    got = unfold_o(
+        prefill_attention(
+            fold_q(q, Hkv),
+            jnp.swapaxes(k, 0, 1),
+            jnp.swapaxes(v, 0, 1),
+            scale=scale,
+            qpk=Hq // Hkv,
+        ),
+        N,
+    )
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    assert rel_err(got, want) < tol
