@@ -1,0 +1,202 @@
+"""Experiment driver CLI.
+
+Flag parity with the reference driver
+(/root/reference/DeFT/examples/run_DeFT_llama_paged.py:269-316): --model,
+--mode, --mem, --Branch_controller, --dataset, --traversal, --max_depth,
+--max_width, --prompt_len, --max_seq_len, --tree_idx, --output_file.
+
+TPU/no-egress additions: --random-model tiny|1b|8b runs random-init weights
+with matching architecture shapes (HF downloads are impossible here; --model
+accepts a *local* HF checkpoint directory), --kernels pallas|xla, --platform
+cpu|tpu, --block_len, --print-branches.
+
+Usage:
+    python -m deft_tpu.cli.run --random-model tiny --mode flatten \
+        --Branch_controller Simple_Tree --max_width 4 --max_seq_len 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="deft_tpu tree-decoding driver")
+    p.add_argument("--model", type=str, default=None,
+                   help="local HF checkpoint dir (config.json + safetensors)")
+    p.add_argument("--random-model", type=str, default=None,
+                   choices=["tiny", "1b", "8b"],
+                   help="random-init preset (no weights needed)")
+    p.add_argument("--mode",
+                   choices=["node", "seq", "flatten", "tree", "node_chunk",
+                            "tree_index"],
+                   default="flatten")
+    p.add_argument("--mem", choices=["paged", "unpaged"], default="paged")
+    p.add_argument("--Branch_controller",
+                   choices=["Simple_Tree", "Beam_Search", "Random_Tree",
+                            "Practical_Tree", "Speculative_Decoding"],
+                   default="Simple_Tree")
+    p.add_argument("--dataset", type=str, default=None,
+                   help="tree-template JSON (Practical_Tree /"
+                        " Speculative_Decoding)")
+    p.add_argument("--traversal", choices=["dfs", "bfs_token", "bfs_node"],
+                   default="dfs",
+                   help="accepted for parity; plans always use DFS (the"
+                        " reference's non-dfs options are dead code,"
+                        " tree_cache.py:588,725)")
+    p.add_argument("--max_depth", type=int, default=10)
+    p.add_argument("--max_width", type=int, default=50)
+    p.add_argument("--prompt_len", type=int, default=None)
+    p.add_argument("--max_seq_len", type=int, default=500)
+    p.add_argument("--tree_idx", type=int, default=0)
+    p.add_argument("--output_file", type=str, default=None)
+    p.add_argument("--kernels", choices=["auto", "pallas", "xla"],
+                   default="auto")
+    p.add_argument("--platform", choices=["default", "cpu"], default="default")
+    p.add_argument("--block_len", type=int, default=128)
+    p.add_argument("--dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16")
+    p.add_argument("--kv_pool_slots", type=int, default=None)
+    p.add_argument("--print-branches", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+class _IdTokenizer:
+    """Fallback tokenizer for random-init models: ids <-> 'ids'."""
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+
+    def encode(self, text: str):
+        return [int(t) % self.vocab_size for t in text.split()]
+
+    def decode(self, ids, **kw):
+        return " ".join(str(int(t)) for t in ids)
+
+
+def _load_model_and_tokenizer(args):
+    from deft_tpu.config import AttentionConfig, EngineConfig
+    from deft_tpu.models import PRESETS, LlamaConfig
+    from deft_tpu.runtime import ModelRunner
+
+    ecfg = EngineConfig(
+        attention=AttentionConfig(
+            block_len=args.block_len,
+            node_chunk_len=args.block_len if args.mode == "node_chunk" else None,
+        ),
+        kv_pool_slots=args.kv_pool_slots,
+        dtype=args.dtype,
+    )
+    if args.random_model:
+        cfg = PRESETS[args.random_model]
+        runner = ModelRunner(cfg, ecfg, kernels=args.kernels, seed=args.seed)
+        tokenizer = _IdTokenizer(cfg.vocab_size)
+    elif args.model:
+        cfg_path = os.path.join(args.model, "config.json")
+        import json
+
+        with open(cfg_path) as f:
+            cfg = LlamaConfig.from_hf_config(json.load(f))
+        runner = ModelRunner(cfg, ecfg, model_path=args.model,
+                             kernels=args.kernels)
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(args.model)
+        except Exception:
+            tokenizer = _IdTokenizer(cfg.vocab_size)
+    else:
+        raise SystemExit("need --model <local hf dir> or --random-model")
+    return runner, tokenizer
+
+
+def _make_prompt(args, tokenizer, template) -> list:
+    """Prompt ids: template text if available, padded/trimmed to
+    --prompt_len (the reference pads likewise, run_DeFT_llama_paged.py:176)."""
+    ids = []
+    if template is not None and getattr(template, "prompt", None):
+        ids = list(tokenizer.encode(template.prompt))
+    if args.prompt_len:
+        if len(ids) >= args.prompt_len:
+            ids = ids[: args.prompt_len]
+        else:
+            vocab = getattr(tokenizer, "vocab_size", 32000)
+            import random
+
+            rnd = random.Random(args.seed)
+            ids = ids + [rnd.randrange(4, max(8, vocab - 1))
+                         for _ in range(args.prompt_len - len(ids))]
+    if not ids:
+        ids = list(range(7, 7 + min(16, max(2, args.max_seq_len // 2))))
+    return ids
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.prompt_len is not None and args.prompt_len <= 0:
+        args.prompt_len = None
+    if args.platform == "cpu":
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8",
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    print("Generation starts with arguments:",
+          ", ".join(f"{k}={v}" for k, v in vars(args).items()))
+
+    from deft_tpu.control import Branch_Controller, workloads
+    from deft_tpu.data.loader import (
+        generate_accepted_len_list,
+        load_prompts,
+        load_trees,
+    )
+    from deft_tpu.runtime import mode_from_cli, tree_generate
+
+    mode = mode_from_cli(args.mode, args.mem)
+
+    template = None
+    if args.Branch_controller == "Practical_Tree":
+        assert args.dataset, "--dataset required for Practical_Tree"
+        template = load_trees(args.dataset)[args.tree_idx]
+    elif args.Branch_controller == "Speculative_Decoding":
+        assert args.dataset, "--dataset required for Speculative_Decoding"
+        template = load_prompts(args.dataset)[args.tree_idx]
+
+    controller = Branch_Controller({
+        "Simple_Tree": workloads.simple_tree,
+        "Beam_Search": workloads.beam_search,
+        "Random_Tree": workloads.random_tree,
+        "Practical_Tree": workloads.practical_tree,
+        "Speculative_Decoding": workloads.speculative_decoding,
+    }[args.Branch_controller])
+
+    runner, tokenizer = _load_model_and_tokenizer(args)
+    prompt_ids = _make_prompt(args, tokenizer, template)
+    if template is not None and template.accepted_len_list is not None:
+        generate_accepted_len_list(args.max_seq_len - len(prompt_ids), template)
+
+    pm = tree_generate(
+        model=runner,
+        mode=mode,
+        tokenizer=tokenizer,
+        prompt_ids=prompt_ids,
+        max_seq_len=args.max_seq_len,
+        width=args.max_width,
+        depth=args.max_depth,
+        branch_controller=controller,
+        tree_template=template,
+        output_file=args.output_file,
+        print_branches=args.print_branches,
+    )
+    pm.print_latency()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
