@@ -62,16 +62,6 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
-def _split_qkv(cfg: LlamaConfig, qkv: jnp.ndarray):
-    n = qkv.shape[0]
-    D = cfg.head_dim
-    nq, nkv = cfg.num_q_heads, cfg.num_kv_heads
-    q = qkv[:, : nq * D].reshape(n, nq, D)
-    k = qkv[:, nq * D : (nq + nkv) * D].reshape(n, nkv, D)
-    v = qkv[:, (nq + nkv) * D :].reshape(n, nkv, D)
-    return q, k, v
-
-
 # An attention impl consumes
 #   (q, k_new, v_new, k_pool, v_pool, layer_idx, batch, scale)
 # and returns (R, Hq, D).  Decode impls gather KV from the pool at
@@ -94,16 +84,20 @@ def _forward(
 ):
     x = params["embed"][tokens]
     scale = cfg.head_dim ** -0.5
+    n = x.shape[0]
+    D = cfg.head_dim
     layer_params = {
-        k: params[k] for k in ("ln1", "wqkv", "wo", "ln2", "wgu", "wdown")
+        k: params[k]
+        for k in ("ln1", "wq", "wk", "wv", "wo", "ln2", "wg", "wu", "wdown")
     }
 
     def body(carry, xs):
         x, kp, vp = carry
         lp, li = xs
         h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        qkv = h @ lp["wqkv"]
-        q, k, v = _split_qkv(cfg, qkv)
+        q = (h @ lp["wq"]).reshape(n, cfg.num_q_heads, D)
+        k = (h @ lp["wk"]).reshape(n, cfg.num_kv_heads, D)
+        v = (h @ lp["wv"]).reshape(n, cfg.num_kv_heads, D)
         q = rope_apply(q, positions)
         k = rope_apply(k, positions)
         kp = kp.at[li, out_loc].set(k.astype(kp.dtype))
@@ -111,9 +105,8 @@ def _forward(
         o = attn(q, k, v, kp, vp, li, batch, scale)
         x = x + o.reshape(x.shape[0], -1).astype(x.dtype) @ lp["wo"]
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        gu = h @ lp["wgu"]
-        g = gu[:, : cfg.intermediate_size]
-        u = gu[:, cfg.intermediate_size :]
+        g = h @ lp["wg"]
+        u = h @ lp["wu"]
         x = x + (jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u) @ lp[
             "wdown"
         ]

@@ -31,10 +31,18 @@ def _param_shapes(cfg: LlamaConfig) -> Dict[str, Any]:
     return {
         "embed": (cfg.vocab_size, E),
         "ln1": (L, E),
-        "wqkv": (L, E, (cfg.num_q_heads + 2 * cfg.num_kv_heads) * D),
+        # q/k/v and gate/up are separate tensors (not the reference's merged
+        # QKVLinear/MergedLinear, linear.py:8-117): XLA fuses the matmuls
+        # anyway, and separate tensors shard cleanly along the tp axis
+        # (a merged output axis would put shard boundaries across the
+        # q/k/v and gate/up splits).
+        "wq": (L, E, cfg.num_q_heads * D),
+        "wk": (L, E, cfg.num_kv_heads * D),
+        "wv": (L, E, cfg.num_kv_heads * D),
         "wo": (L, cfg.num_q_heads * D, E),
         "ln2": (L, E),
-        "wgu": (L, E, 2 * I),
+        "wg": (L, E, I),
+        "wu": (L, E, I),
         "wdown": (L, I, E),
         "ln_f": (E,),
         "lm_head": (E, cfg.vocab_size),
@@ -111,17 +119,17 @@ def load_params(
             elif sub == "post_attention_layernorm.weight":
                 bufs["ln2"][li] = w
             elif sub == "self_attn.q_proj.weight":
-                bufs["wqkv"][li, :, : nq * D] = w.T
+                bufs["wq"][li] = w.T
             elif sub == "self_attn.k_proj.weight":
-                bufs["wqkv"][li, :, nq * D : (nq + nkv) * D] = w.T
+                bufs["wk"][li] = w.T
             elif sub == "self_attn.v_proj.weight":
-                bufs["wqkv"][li, :, (nq + nkv) * D :] = w.T
+                bufs["wv"][li] = w.T
             elif sub == "self_attn.o_proj.weight":
                 bufs["wo"][li] = w.T
             elif sub == "mlp.gate_proj.weight":
-                bufs["wgu"][li, :, : cfg.intermediate_size] = w.T
+                bufs["wg"][li] = w.T
             elif sub == "mlp.up_proj.weight":
-                bufs["wgu"][li, :, cfg.intermediate_size :] = w.T
+                bufs["wu"][li] = w.T
             elif sub == "mlp.down_proj.weight":
                 bufs["wdown"][li] = w.T
             elif "rotary_emb" in sub:

@@ -1,0 +1,93 @@
+"""NamedSharding specs for params, KV pools, and decode batches.
+
+Layouts (stacked-layer param tree from models/loader.py):
+
+- ``wq/wk/wv/wg/wu`` column-parallel on the output axis (tp); ``wo/wdown``
+  row-parallel on the input axis (tp) — the partial sums after o_proj /
+  down_proj are combined by the psum XLA inserts (Megatron pattern over ICI).
+- ``lm_head`` vocab-sharded (tp); embed replicated (cheap token gathers).
+- KV pools (layers, slots, kv_heads, head_dim) sharded on kv_heads (tp) —
+  every chip holds the full token range of its own heads, so the flatten
+  kernel needs no cross-chip traffic for the KV gather.
+- Decode batch: query rows (leaves) on dp; the flattened tree-KV token axis
+  on sp (cross-chip partial-LSE combine, DeFT's stage-2 generalized).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def param_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
+    def s(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    return {
+        "embed": s(),
+        "ln1": s(),
+        "wq": s(None, None, "tp"),
+        "wk": s(None, None, "tp"),
+        "wv": s(None, None, "tp"),
+        "wo": s(None, "tp", None),
+        "ln2": s(),
+        "wg": s(None, None, "tp"),
+        "wu": s(None, None, "tp"),
+        "wdown": s(None, "tp", None),
+        "ln_f": s(),
+        "lm_head": s(None, "tp"),
+    }
+
+
+def pool_sharding(mesh: Mesh) -> NamedSharding:
+    """(layers, slots, kv_heads, head_dim): kv-head sharded."""
+    return NamedSharding(mesh, P(None, None, "tp", None))
+
+
+def batch_shardings(mesh: Mesh, batch) -> Any:
+    """Shardings matching the batch namedtuple type (DecodeBatch / SeqBatch /
+    PrefillBatch)."""
+    def s(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    name = type(batch).__name__
+    if name == "DecodeBatch":
+        return type(batch)(
+            q_tokens=s("dp"),
+            q_pos=s("dp"),
+            out_loc=s("dp"),
+            kv_idx=s("sp"),
+            tok_lo=s("sp"),
+            tok_hi=s("sp"),
+            blk_lo=s(),
+            blk_hi=s(),
+        )
+    if name == "SeqBatch":
+        return type(batch)(
+            q_tokens=s("dp"),
+            q_pos=s("dp"),
+            out_loc=s("dp"),
+            paths=s("dp", "sp"),
+            seq_lens=s("dp"),
+        )
+    if name == "PrefillBatch":
+        return type(batch)(
+            tokens=s("sp"),
+            positions=s("sp"),
+            out_loc=s("sp"),
+            length=s(),
+        )
+    raise TypeError(name)
+
+
+def shard_decode_args(mesh: Mesh, params, k_pool, v_pool, batch):
+    """Place (params, pools, batch) onto the mesh with the specs above."""
+    ps = param_shardings(mesh)
+    params = {k: jax.device_put(v, ps[k]) for k, v in params.items()}
+    k_pool = jax.device_put(k_pool, pool_sharding(mesh))
+    v_pool = jax.device_put(v_pool, pool_sharding(mesh))
+    bs = batch_shardings(mesh, batch)
+    batch = type(batch)(*(jax.device_put(x, s) for x, s in zip(batch, bs)))
+    return params, k_pool, v_pool, batch

@@ -1,0 +1,67 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4: the standard JAX trick for testing SPMD without hardware)."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __graft_entry__ as graft  # noqa: E402
+from deft_tpu.parallel import make_mesh, shard_decode_args  # noqa: E402
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 8])
+def test_dryrun_multichip(n):
+    graft.dryrun_multichip(n)
+
+
+def test_mesh_factoring():
+    m = make_mesh(8, num_kv_heads=8)
+    assert m.devices.size == 8
+    assert set(m.axis_names) == {"dp", "sp", "tp"}
+    m2 = make_mesh(4, num_kv_heads=2)  # tp capped by kv heads
+    assert dict(zip(m2.axis_names, m2.devices.shape))["tp"] == 2
+
+
+def test_sharded_step_matches_single_device():
+    """The 8-way (dp, sp, tp)-sharded decode step must produce the same
+    logits as the unsharded one."""
+    import dataclasses
+
+    from deft_tpu.models.config import LlamaConfig
+    from deft_tpu.models.llama import decode_forward
+    from deft_tpu.runtime import ForwardMode
+
+    cfg = LlamaConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_q_heads=8, num_kv_heads=8, head_dim=32,
+        max_position_embeddings=1024,
+    )
+    runner = graft._make_runner(cfg, kernels="xla", slots=2048)
+    runner.dtype  # touch
+    batch = graft._decode_batch(runner, n_leaves=8, prompt_len=48)
+    attn = runner._attn_fn(ForwardMode.TREE_DECODE_FLATTEN)
+    rope = runner._rope_apply
+
+    def step(params, k_pool, v_pool, batch):
+        logits, *_ = decode_forward(
+            cfg, params, rope, k_pool, v_pool, batch, attn
+        )
+        return logits
+
+    want = jax.jit(step)(runner.params, runner.k_pool, runner.v_pool, batch)
+
+    mesh = make_mesh(8, num_kv_heads=cfg.num_kv_heads)
+    params, k_pool, v_pool, sbatch = shard_decode_args(
+        mesh, runner.params, runner.k_pool, runner.v_pool, batch
+    )
+    with mesh:
+        got = jax.jit(step)(params, k_pool, v_pool, sbatch)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-4, atol=2e-4,
+    )
