@@ -1,0 +1,111 @@
+"""Headline benchmark: DeFT-Flatten vs sequential flash-decoding TPOT on the
+reference's few-shot workload shape (width 50, prompt 4000, ~400 generated;
+/root/reference/README.md:214-219).
+
+Prints ONE JSON line:
+    {"metric": "tpot_speedup_flatten_vs_seq", "value": N, "unit": "x",
+     "vs_baseline": N / 1.32}
+vs_baseline compares against the reference GPU run's flatten-vs-seq TPOT
+speedup on the same workload (1.32x, BASELINE.md few-shot w=50 p4000).
+
+Runs on whatever backend jax selects (the real TPU chip under the driver).
+Model: TinyLlama-1.1B shapes, random-init (no-egress environment).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/deft_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import numpy as np  # noqa: E402
+
+
+WIDTH = int(os.environ.get("BENCH_WIDTH", 50))
+PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", 4000))
+GEN_LEN = int(os.environ.get("BENCH_GEN_LEN", 400))
+MODEL = os.environ.get("BENCH_MODEL", "1b")
+BASELINE_SPEEDUP = 1.32  # reference few-shot w50 p4000 (BASELINE.md)
+
+
+def run_mode(mode_name: str) -> dict:
+    from deft_tpu.config import EngineConfig
+    from deft_tpu.control import Branch_Controller, workloads
+    from deft_tpu.models import PRESETS
+    from deft_tpu.obs import PerfMetrics
+    from deft_tpu.runtime import ModelRunner, mode_from_cli, tree_generate
+
+    cfg = PRESETS[MODEL]
+    slots = PROMPT_LEN + WIDTH * (GEN_LEN + 8) + 1024
+    ecfg = EngineConfig(
+        kv_pool_slots=slots,
+        max_requests=max(64, 2 * WIDTH),
+        max_context_len=PROMPT_LEN + GEN_LEN + 64,
+    )
+    runner = ModelRunner(cfg, ecfg, kernels="auto", seed=0)
+    rng = np.random.default_rng(0)
+    prompt = [int(t) for t in rng.integers(4, cfg.vocab_size - 4, PROMPT_LEN)]
+    controller = Branch_Controller(workloads.simple_tree)
+    pm = tree_generate(
+        model=runner,
+        mode=mode_from_cli(mode_name),
+        tokenizer=None,
+        prompt_ids=prompt,
+        max_seq_len=PROMPT_LEN + GEN_LEN,
+        width=WIDTH,
+        depth=1,
+        branch_controller=controller,
+        perf_metrics=PerfMetrics(),
+    )
+    fwd = np.asarray(pm.forward_per_iter, dtype=np.float64)
+    iters = np.asarray(pm.iter_time, dtype=np.float64)
+    med = np.median(fwd)
+    # steady-state: drop recompile iterations (forward >> median)
+    steady = fwd[fwd < 5 * med]
+    return {
+        "mode": mode_name,
+        "tpot_ms": float(pm.TPOT),
+        "steady_fwd_ms": float(steady.mean()),
+        "iter_ms_median": float(np.median(iters)),
+        "generated": int(pm.generated_len),
+        "kv_io_bytes": float(pm.KV_IO),
+        "e2e_ms": float(pm.e2e_latency),
+        "ttft_ms": float(pm.TTFT),
+    }
+
+
+def main() -> int:
+    import jax
+
+    t0 = time.time()
+    info = {"backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "width": WIDTH, "prompt_len": PROMPT_LEN, "gen_len": GEN_LEN,
+            "model": MODEL}
+    print(f"# bench config: {info}", file=sys.stderr)
+
+    seq = run_mode("seq")
+    print(f"# seq:     {seq}", file=sys.stderr)
+    flat = run_mode("flatten")
+    print(f"# flatten: {flat}", file=sys.stderr)
+
+    speedup = seq["steady_fwd_ms"] / flat["steady_fwd_ms"]
+    print(f"# wall {time.time()-t0:.0f}s  steady-fwd speedup {speedup:.3f}x"
+          f"  (tpot {seq['tpot_ms']:.3f} -> {flat['tpot_ms']:.3f} ms/tok;"
+          f"  KV IO {seq['kv_io_bytes']:.3g} -> {flat['kv_io_bytes']:.3g} B)",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "tpot_speedup_flatten_vs_seq",
+        "value": round(speedup, 4),
+        "unit": "x",
+        "vs_baseline": round(speedup / BASELINE_SPEEDUP, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,21 +26,42 @@ DUMP_SLOT = 0
 
 
 class TokenKVPool:
-    def __init__(self, size: int):
+    """Slot allocator with two allocation paths:
+
+    - ``alloc(n)``       — contiguous-first batch alloc (prompt prefill).
+    - ``alloc_for(o, n)``— *chunked* per-owner alloc: each owner (a decoding
+      leaf) reserves a private ``chunk``-slot span and fills it sequentially,
+      so a leaf's appended KV is pool-contiguous in runs of up to ``chunk``
+      tokens.  This is what lets the flatten plan's DMA segments
+      (plan/flatten.py seg tables) read (SEG, head_dim) contiguous spans from
+      HBM instead of per-token gathers — SURVEY.md §7 "hard parts" #3.
+
+    Owners must be closed (``close_owner``) when they stop appending (leaf
+    branched or cut); the unused tail of their open chunk is recycled as
+    single slots.
+    """
+
+    def __init__(self, size: int, chunk: int = 128):
         assert size > 1
         self.size = size
+        self.chunk = chunk
         self.refs = np.zeros(size, dtype=np.int32)
         # Slot 0 reserved (see module docstring); never allocated.
         self._bump = 1
         self._recycled: list[int] = []
         self._free_count = size - 1
+        self._live = 0  # slots with refs > 0 (excludes reserved-unused)
+        # owner id -> [next_slot, end_slot) of its open chunk
+        self._open: dict[int, list] = {}
 
     # -- queries -------------------------------------------------------------
     def available_size(self) -> int:
         return self._free_count
 
     def used_size(self) -> int:
-        return self.size - 1 - self._free_count
+        """Live (referenced) slots; reserved-but-unused chunk tails are
+        neither used nor available until their owner closes."""
+        return self._live
 
     # -- alloc / free ----------------------------------------------------------
     def alloc(self, need_size: int) -> Optional[np.ndarray]:
@@ -58,7 +79,61 @@ class TokenKVPool:
             del self._recycled[-n_rec:]
         self.refs[out] = 1
         self._free_count -= need_size
+        self._live += need_size
         return out
+
+    def alloc_for(self, owner: int, need_size: int = 1) -> Optional[np.ndarray]:
+        """Allocate ``need_size`` slots from ``owner``'s open chunk(s)."""
+        out = np.empty(need_size, dtype=np.int32)
+        filled = 0
+        while filled < need_size:
+            span = self._open.get(owner)
+            if span is None or span[0] == span[1]:
+                if not self._open_chunk(owner):
+                    # pool fragmented/full: fall back to recycled singles
+                    rem = need_size - filled
+                    if len(self._recycled) < rem:
+                        return None
+                    out[filled:] = self._recycled[-rem:][::-1]
+                    del self._recycled[-rem:]
+                    self._free_count -= rem
+                    filled = need_size
+                    break
+                continue
+            take = min(need_size - filled, span[1] - span[0])
+            out[filled : filled + take] = np.arange(
+                span[0], span[0] + take, dtype=np.int32
+            )
+            span[0] += take
+            filled += take
+        self.refs[out] = 1
+        self._live += need_size
+        return out
+
+    def _reserved_unused(self) -> int:
+        return sum(e - n for n, e in self._open.values())
+
+    def _open_chunk(self, owner: int) -> bool:
+        """Reserve a fresh chunk from the bump region (free_count is charged
+        at reservation; handed-out slots are not charged again)."""
+        if self.size - self._bump < self.chunk:
+            return False
+        if self._free_count < self.chunk:
+            return False
+        self._open[owner] = [self._bump, self._bump + self.chunk]
+        self._bump += self.chunk
+        self._free_count -= self.chunk
+        return True
+
+    def close_owner(self, owner: int) -> None:
+        """Recycle the unused tail of ``owner``'s open chunk."""
+        span = self._open.pop(owner, None)
+        if span is None:
+            return
+        nxt, end = span
+        if end > nxt:
+            self._recycled.extend(range(nxt, end))
+            self._free_count += end - nxt
 
     def add_refs(self, indices: np.ndarray) -> None:
         """Increment refcounts (prefix sharing across branches)."""
@@ -72,6 +147,7 @@ class TokenKVPool:
             assert np.all(self.refs[dead] == 0)
             self._recycled.extend(int(i) for i in dead)
             self._free_count += len(dead)
+            self._live -= len(dead)
 
     # Reference naming: free == decrement refs, releasing slots at zero
     # (memory_pool.py:76-88).
@@ -82,3 +158,5 @@ class TokenKVPool:
         self._bump = 1
         self._recycled.clear()
         self._free_count = self.size - 1
+        self._live = 0
+        self._open.clear()

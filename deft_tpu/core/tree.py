@@ -255,12 +255,18 @@ class TreeCache:
     def alloc(self) -> np.ndarray:
         """Allocate one KV slot per leaf (sorted by leaf id, matching the
         reference's ordering, tree_cache.py:261-297); append to each leaf and
-        to its page-table row.  Returns the slots in that order."""
-        n = len(self.leaves)
-        out_cache_loc = self.token_to_kv_pool.alloc(n)
-        assert out_cache_loc is not None, "KV pool exhausted"
-        for idx, leaf in enumerate(sorted(self.leaves.values(), key=lambda x: x.id)):
-            loc = int(out_cache_loc[idx])
+        to its page-table row.  Returns the slots in that order.
+
+        Slots come from each leaf's private chunk (TokenKVPool.alloc_for), so
+        a leaf's appended KV stays pool-contiguous — the property the flatten
+        plan's DMA segment tables rely on."""
+        leaves = sorted(self.leaves.values(), key=lambda x: x.id)
+        out_cache_loc = np.empty(len(leaves), dtype=np.int32)
+        for idx, leaf in enumerate(leaves):
+            loc_arr = self.token_to_kv_pool.alloc_for(leaf.id, 1)
+            assert loc_arr is not None, "KV pool exhausted"
+            loc = int(loc_arr[0])
+            out_cache_loc[idx] = loc
             leaf.append_index(loc, self.tree_index_pool)
             if self.req_to_token_pool is not None:
                 req = self.leaf_to_req[leaf.id]
@@ -296,6 +302,8 @@ class TreeCache:
         self.remove_ref(node)
         for child in new_nodes:
             self.add_ref(child)
+        # node stops appending: recycle its open chunk tail
+        self.token_to_kv_pool.close_owner(node.id)
         return new_nodes
 
     def cut(self, node: TreeNode, record_deleted: bool = False) -> List[TreeNode]:
@@ -303,6 +311,7 @@ class TreeCache:
         assert len(node.children) == 0
         assert node.id in self.leaves
         self.leaves.pop(node.id)
+        self.token_to_kv_pool.close_owner(node.id)
         self.remove_ref(node)
         if self.req_to_token_pool is not None:
             req = self.leaf_to_req.pop(node.id, None)
@@ -359,6 +368,8 @@ class TreeCache:
         if self.req_to_token_pool is not None:
             for req in self.leaf_to_req.values():
                 self.req_to_token_pool.free(req)
+        for leaf_id in list(self.leaves):
+            self.token_to_kv_pool.close_owner(leaf_id)
         self.root = None
         self.nodes.clear()
         self.leaves.clear()

@@ -18,7 +18,7 @@ TPU-first design:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, NamedTuple
+from typing import Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,9 @@ class DecodeBatch(NamedTuple):
     tok_hi: jnp.ndarray    # (T,) int32
     blk_lo: jnp.ndarray    # (B,) int32
     blk_hi: jnp.ndarray    # (B,) int32
+    # (B * block_len/seg_len,) int32 DMA segment table for the in-kernel
+    # paged gather; None on plans that fell back to the XLA-gather path.
+    seg_src: Optional[jnp.ndarray] = None
 
 
 class SeqBatch(NamedTuple):
@@ -100,8 +103,10 @@ def _forward(
         v = (h @ lp["wv"]).reshape(n, cfg.num_kv_heads, D)
         q = rope_apply(q, positions)
         k = rope_apply(k, positions)
-        kp = kp.at[li, out_loc].set(k.astype(kp.dtype))
-        vp = vp.at[li, out_loc].set(v.astype(vp.dtype))
+        # pool layout (L, Hkv, S, D); mixed scalar+slice+array indexing fronts
+        # the advanced dims, so the update value keeps k's (n, Hkv, D) shape
+        kp = kp.at[li, :, out_loc].set(k.astype(kp.dtype))
+        vp = vp.at[li, :, out_loc].set(v.astype(vp.dtype))
         o = attn(q, k, v, kp, vp, li, batch, scale)
         x = x + o.reshape(x.shape[0], -1).astype(x.dtype) @ lp["wo"]
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)

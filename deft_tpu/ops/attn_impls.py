@@ -23,8 +23,8 @@ def flatten_attn_xla(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """Tree attention over the DFS-flattened plan, dense-masked XLA version
     (oracle for the Pallas flatten kernel; also the UNPAGED_MEDUSA dense
     baseline since the math materializes the full score matrix)."""
-    kt = k_pool[li, batch.kv_idx]
-    vt = v_pool[li, batch.kv_idx]
+    kt = jnp.swapaxes(k_pool[li][:, batch.kv_idx], 0, 1)  # (T, Hkv, D)
+    vt = jnp.swapaxes(v_pool[li][:, batch.kv_idx], 0, 1)
     return dense_tree_attention(q, kt, vt, batch.tok_lo, batch.tok_hi, scale)
 
 
@@ -32,8 +32,8 @@ def seq_attn_xla(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """Sequential per-leaf decode (Flash-Decoding baseline), XLA version:
     each leaf gathers and attends its own full path — the per-leaf KV
     re-reads are the point of this baseline."""
-    kt = k_pool[li][batch.paths]  # (R, C, Hkv, D)
-    vt = v_pool[li][batch.paths]
+    kt = jnp.moveaxis(k_pool[li][:, batch.paths], 0, 2)  # (R, C, Hkv, D)
+    vt = jnp.moveaxis(v_pool[li][:, batch.paths], 0, 2)
     R, C, Hkv, D = kt.shape
     Hq = q.shape[1]
     qpk = Hq // Hkv

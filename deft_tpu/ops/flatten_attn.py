@@ -194,10 +194,10 @@ def flatten_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """AttnFn entry: gather tree KV (XLA fused gather+transpose) and run the
     flatten kernel.  Matches attn_impls.flatten_attn_xla semantics."""
     R, Hq, D = q.shape
-    Hkv = k_pool.shape[2]
+    Hkv = k_pool.shape[1]
     qpk = Hq // Hkv
-    kt = jnp.swapaxes(k_pool[li, batch.kv_idx], 0, 1)  # (Hkv, T, D)
-    vt = jnp.swapaxes(v_pool[li, batch.kv_idx], 0, 1)
+    kt = k_pool[li][:, batch.kv_idx]  # (Hkv, T, D)
+    vt = v_pool[li][:, batch.kv_idx]
     qf = fold_q(q, Hkv)
     o = flatten_attention(
         qf,

@@ -133,10 +133,10 @@ def seq_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """AttnFn entry for the sequential baseline: per-leaf path gather (the
     baseline's defining per-leaf KV re-read) then flash decode."""
     R, Hq, D = q.shape
-    Hkv = k_pool.shape[2]
+    Hkv = k_pool.shape[1]
     qpk = Hq // Hkv
-    kt = jnp.swapaxes(k_pool[li][batch.paths], 1, 2)  # (R, Hkv, C, D)
-    vt = jnp.swapaxes(v_pool[li][batch.paths], 1, 2)
+    kt = jnp.swapaxes(k_pool[li][:, batch.paths], 0, 1)  # (R, Hkv, C, D)
+    vt = jnp.swapaxes(v_pool[li][:, batch.paths], 0, 1)
     qf = q.reshape(R, Hkv, qpk, D)
     o = seq_attention(qf, kt, vt, batch.seq_lens, scale=scale)
     return o.reshape(R, Hq, D)

@@ -42,8 +42,8 @@ def param_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
 
 
 def pool_sharding(mesh: Mesh) -> NamedSharding:
-    """(layers, slots, kv_heads, head_dim): kv-head sharded."""
-    return NamedSharding(mesh, P(None, None, "tp", None))
+    """(layers, kv_heads, slots, head_dim): kv-head sharded."""
+    return NamedSharding(mesh, P(None, "tp", None, None))
 
 
 def batch_shardings(mesh: Mesh, batch) -> Any:

@@ -21,6 +21,17 @@ bitmasks or atomics:
   with the LSE combination done by the online softmax in VMEM instead of a
   second atomic kernel pass.
 
+**DMA segment tables** (``seg_src``): when ``seg_len`` is set, every
+pool-contiguous KV run is padded to a seg_len multiple in the flattened
+layout, so each seg_len-token segment of every block is one contiguous
+(seg_len, head_dim) span in the KV pool.  The paged Pallas kernel
+(ops/paged_flatten_attn.py) then gathers KV HBM->VMEM with one async DMA
+per segment — 1x KV IO, no XLA gather materialization.  Pads carry empty
+leaf intervals, so the over-read garbage is masked.  ``paged`` is False
+(and the layout falls back to tight packing) when the tree is too
+fragmented for segment alignment to pay (e.g. hundreds of 1-token
+speculative-decoding leaves) — the runner then uses the gather kernel.
+
 All arrays are numpy, padded to bucketed static shapes (see plan.padding):
 the jitted decode step's signature depends only on the buckets.
 """
@@ -28,7 +39,7 @@ the jitted decode step's signature depends only on the buckets.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -38,6 +49,10 @@ from deft_tpu.plan.padding import pad_leaf_count, pad_token_count
 
 # Sentinel for "block attends nobody" (padding): empty interval.
 _EMPTY_LO = np.int32(2**30)
+
+# Max flattened-layout inflation tolerated for DMA segment alignment before
+# falling back to tight packing + gather kernel.
+_SEG_WASTE_LIMIT = 1.5
 
 
 @dataclasses.dataclass
@@ -58,6 +73,11 @@ class FlattenPlan:
     n_tokens: int           # live tree KV tokens
     n_leaves: int
     block_len: int
+    # DMA segment table: (B * block_len/seg_len,) int32 pool address of each
+    # segment's first token; None when not segment-aligned.
+    seg_src: Optional[np.ndarray] = None
+    seg_len: int = 0
+    paged: bool = False     # eligible for the in-kernel DMA gather path
 
     @property
     def t_pad(self) -> int:
@@ -90,6 +110,58 @@ def _leaf_arrays(
     return q_tokens, q_pos, out_loc
 
 
+def _contiguous_runs(kv: np.ndarray) -> List[np.ndarray]:
+    if len(kv) == 0:
+        return []
+    breaks = np.flatnonzero(np.diff(kv) != 1) + 1
+    return np.split(kv, breaks)
+
+
+def _assemble(
+    order, lo_arr, hi_arr, block_len, node_aligned, seg_len
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    idx_parts: List[np.ndarray] = []
+    lo_parts: List[np.ndarray] = []
+    hi_parts: List[np.ndarray] = []
+
+    def emit(idx, lo, hi):
+        n = len(idx)
+        idx_parts.append(np.asarray(idx, dtype=np.int32))
+        lo_parts.append(np.full(n, lo, dtype=np.int32))
+        hi_parts.append(np.full(n, hi, dtype=np.int32))
+
+    for i, node in enumerate(order):
+        kv = node.kv_indices
+        if len(kv) == 0:
+            continue
+        lo, hi = lo_arr[i], hi_arr[i]
+        if seg_len:
+            for run in _contiguous_runs(kv):
+                emit(run, lo, hi)
+                pad = (-len(run)) % seg_len
+                if pad:
+                    # pad with the addresses the segment DMA over-reads;
+                    # masked via the empty interval
+                    emit(run[-1] + 1 + np.arange(pad, dtype=np.int32),
+                         _EMPTY_LO, 0)
+        else:
+            emit(kv, lo, hi)
+        if node_aligned:
+            total = sum(len(p) for p in idx_parts)
+            pad = (-total) % block_len
+            if pad:
+                emit(np.full(pad, DUMP_SLOT, dtype=np.int32), _EMPTY_LO, 0)
+
+    if idx_parts:
+        return (
+            np.concatenate(idx_parts),
+            np.concatenate(lo_parts),
+            np.concatenate(hi_parts),
+        )
+    z = np.empty(0, dtype=np.int32)
+    return z, z.copy(), z.copy()
+
+
 def build_flatten_plan(
     tree: TreeCache,
     q_per_kv: int,
@@ -97,6 +169,7 @@ def build_flatten_plan(
     min_token_bucket: int = 1024,
     node_aligned: bool = False,
     chunk_len: Optional[int] = None,
+    seg_len: Optional[int] = 32,
 ) -> FlattenPlan:
     """Build the flatten plan for the current tree state.
 
@@ -111,51 +184,62 @@ def build_flatten_plan(
     padding waste on small nodes.  chunk_len additionally splits long node
     runs (reference node_chunk mode); with block-tiled kernels chunking is
     implicit, so chunk_len only affects accounting.
+
+    seg_len turns on DMA segment alignment (see module docstring); it is
+    dropped automatically when too wasteful or when a segment would read
+    past the pool end.
     """
     order, leaf_to_q, lo_arr, hi_arr = tree.dfs_plan_order()
     n_leaves = len(tree.leaves)
     l_pad = pad_leaf_count(n_leaves, q_per_kv)
+    live_tokens = sum(n.kv_len for n in order)
 
-    idx_parts: List[np.ndarray] = []
-    lo_parts: List[np.ndarray] = []
-    hi_parts: List[np.ndarray] = []
-    for i, node in enumerate(order):
-        kv = node.kv_indices
-        n = len(kv)
-        if n == 0:
-            continue
-        idx_parts.append(kv)
-        lo_parts.append(np.full(n, lo_arr[i], dtype=np.int32))
-        hi_parts.append(np.full(n, hi_arr[i], dtype=np.int32))
-        if node_aligned and n % block_len != 0:
-            pad = block_len - (n % block_len)
-            idx_parts.append(np.full(pad, DUMP_SLOT, dtype=np.int32))
-            lo_parts.append(np.full(pad, _EMPTY_LO, dtype=np.int32))
-            hi_parts.append(np.zeros(pad, dtype=np.int32))
-
-    if idx_parts:
-        kv_idx = np.concatenate(idx_parts)
-        tok_lo = np.concatenate(lo_parts)
-        tok_hi = np.concatenate(hi_parts)
-    else:
-        kv_idx = np.empty(0, dtype=np.int32)
-        tok_lo = np.empty(0, dtype=np.int32)
-        tok_hi = np.empty(0, dtype=np.int32)
+    seg = int(seg_len) if seg_len else 0
+    if seg:
+        assert block_len % seg == 0
+        kv_idx, tok_lo, tok_hi = _assemble(
+            order, lo_arr, hi_arr, block_len, node_aligned, seg
+        )
+        pool_size = tree.token_to_kv_pool.size
+        ok = len(kv_idx) <= _SEG_WASTE_LIMIT * max(live_tokens, 1)
+        if ok and len(kv_idx):
+            starts = kv_idx[::seg][: len(kv_idx) // seg]
+            ok = bool(np.all(starts + seg <= pool_size))
+        if not ok:
+            seg = 0
+    if not seg:
+        kv_idx, tok_lo, tok_hi = _assemble(
+            order, lo_arr, hi_arr, block_len, node_aligned, 0
+        )
 
     n_tokens = int(kv_idx.shape[0])
     t_pad = pad_token_count(n_tokens, block_len, min_token_bucket)
     pad = t_pad - n_tokens
     if pad:
-        kv_idx = np.concatenate([kv_idx, np.full(pad, DUMP_SLOT, dtype=np.int32)])
-        tok_lo = np.concatenate([tok_lo, np.full(pad, _EMPTY_LO, dtype=np.int32)])
+        # tail pads read the reserved scratch area [1, 1+seg) so every
+        # segment stays contiguous and in-bounds (fully-dead blocks are
+        # skipped by the kernel anyway)
+        if seg:
+            tail = 1 + (np.arange(pad, dtype=np.int32) % seg)
+        else:
+            tail = np.full(pad, DUMP_SLOT, dtype=np.int32)
+        kv_idx = np.concatenate([kv_idx, tail])
+        tok_lo = np.concatenate([tok_lo, np.full(pad, _EMPTY_LO, np.int32)])
         tok_hi = np.concatenate([tok_hi, np.zeros(pad, dtype=np.int32)])
 
     nb = t_pad // block_len
     blk_lo = tok_lo.reshape(nb, block_len).min(axis=1)
     blk_hi = tok_hi.reshape(nb, block_len).max(axis=1)
 
+    seg_src = None
+    paged = False
+    if seg:
+        view = kv_idx.reshape(-1, seg)
+        if bool(np.all(np.diff(view, axis=1) == 1)):
+            seg_src = np.ascontiguousarray(view[:, 0])
+            paged = True
+
     q_tokens, q_pos, out_loc = _leaf_arrays(tree, order, leaf_to_q, l_pad)
-    live_tokens = sum(n.kv_len for n in order)
     return FlattenPlan(
         kv_idx=kv_idx,
         tok_lo=tok_lo,
@@ -168,4 +252,7 @@ def build_flatten_plan(
         n_tokens=live_tokens,
         n_leaves=n_leaves,
         block_len=block_len,
+        seg_src=seg_src,
+        seg_len=seg if paged else 0,
+        paged=paged,
     )

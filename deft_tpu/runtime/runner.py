@@ -134,7 +134,10 @@ class ModelRunner:
         logger.info("KV pool: %d slots (%.1f MB per side)", slots,
                     slots * self.cfg.num_layers * self.cfg.num_kv_heads
                     * self.cfg.head_dim * 2 / 1e6)
-        shape = (self.cfg.num_layers, slots, self.cfg.num_kv_heads, self.cfg.head_dim)
+        # Head-major layout: per-(layer, head) token rows are contiguous, so
+        # tree-KV gathers (XLA or in-kernel DMA) read contiguous (run, D)
+        # spans instead of Hkv-strided 256B pieces.
+        shape = (self.cfg.num_layers, self.cfg.num_kv_heads, slots, self.cfg.head_dim)
         self.k_pool = jnp.zeros(shape, dtype=self.dtype)
         self.v_pool = jnp.zeros(shape, dtype=self.dtype)
 
@@ -182,7 +185,7 @@ class ModelRunner:
         return max(4096, min(slots, 1 << 21))
 
     # -- attention impl selection -----------------------------------------------
-    def _attn_fn(self, mode: ForwardMode):
+    def _attn_fn(self, mode: ForwardMode, paged: bool = False):
         kind = mode.plan_kind
         if mode is ForwardMode.UNPAGED_MEDUSA or self.kernels == "xla":
             return {
@@ -193,12 +196,14 @@ class ModelRunner:
             }[kind]
         # Pallas kernels (TPU / interpret).
         from deft_tpu.ops.flatten_attn import flatten_attn_pallas
+        from deft_tpu.ops.paged_flatten_attn import paged_flatten_attn_pallas
         from deft_tpu.ops.seq_attn import seq_attn_pallas
 
+        tree_attn = paged_flatten_attn_pallas if paged else flatten_attn_pallas
         return {
-            "flatten": flatten_attn_pallas,
-            "node": flatten_attn_pallas,
-            "tree_index": flatten_attn_pallas,
+            "flatten": tree_attn,
+            "node": tree_attn,
+            "tree_index": tree_attn,
             "seq": seq_attn_pallas,
         }[kind]
 
@@ -210,8 +215,8 @@ class ModelRunner:
         return prefill_attn_pallas
 
     # -- jitted steps ----------------------------------------------------------
-    def _decode_step(self, mode: ForwardMode):
-        attn = self._attn_fn(mode)
+    def _decode_step(self, mode: ForwardMode, paged: bool = False):
+        attn = self._attn_fn(mode, paged)
         key = f"decode/{mode.plan_kind}/{attn.__name__}"
         if key not in self._jit_cache:
             cfg, rope, K = self.cfg, self._rope_apply, self.topk_k
@@ -312,6 +317,7 @@ class ModelRunner:
                 seq_lens=jnp.asarray(plan.seq_lens),
             )
         assert isinstance(plan, FlattenPlan)
+        paged = plan.paged and self.kernels != "xla"
         return DecodeBatch(
             q_tokens=jnp.asarray(plan.q_tokens),
             q_pos=jnp.asarray(plan.q_pos),
@@ -321,12 +327,15 @@ class ModelRunner:
             tok_hi=jnp.asarray(plan.tok_hi),
             blk_lo=jnp.asarray(plan.blk_lo),
             blk_hi=jnp.asarray(plan.blk_hi),
+            seg_src=jnp.asarray(plan.seg_src) if paged else None,
         )
 
     def forward_tree_decode(self, mode: ForwardMode, plan) -> tuple:
         """Run one tree-decode step.  Returns (LogitsView, forward_seconds)."""
         batch = self._to_batch(mode, plan)
-        step = self._decode_step(mode)
+        step = self._decode_step(
+            mode, paged=getattr(batch, "seg_src", None) is not None
+        )
         t0 = time.perf_counter()
         vals, ids, logits, self.k_pool, self.v_pool = step(
             self.params, self.k_pool, self.v_pool, batch

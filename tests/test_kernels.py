@@ -140,3 +140,58 @@ def test_prefill_kernel_vs_oracle(dtype, N, Hq, Hkv, D):
     )
     tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
     assert rel_err(got, want) < tol
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_paged_flatten_kernel_vs_oracle(dtype):
+    """In-kernel DMA gather path vs the dense oracle, on a real tree with a
+    chunked pool (interpret mode)."""
+    from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache
+    from deft_tpu.ops.flatten_attn import fold_q, unfold_o
+    from deft_tpu.ops.paged_flatten_attn import paged_flatten_attention
+    from deft_tpu.plan import build_flatten_plan
+
+    rng = np.random.default_rng(3)
+    Hq, Hkv, D = 8, 2, 64
+    tree = TreeCache(TokenKVPool(8192), ReqToTokenPool(64, 2048))
+    tree.init_prompt(list(range(100)))
+    for i, c in enumerate(tree.branch(tree.root, 5)):
+        c.append_token(50 + i)
+    for _ in range(40):
+        tree.alloc()
+        for leaf in list(tree.leaves.values()):
+            leaf.append_token(int(rng.integers(1, 400)))
+    # prune one branch to fragment the pool a bit
+    tree.cut(sorted(tree.leaves.values(), key=lambda x: x.id)[0])
+    tree.alloc()
+    plan = build_flatten_plan(tree, q_per_kv=Hq // Hkv, min_token_bucket=256)
+    assert plan.paged, "plan should be seg-aligned on a chunked pool"
+
+    S = tree.token_to_kv_pool.size
+    k_pool = jnp.asarray(rng.standard_normal((1, Hkv, S, D)), dtype)
+    v_pool = jnp.asarray(rng.standard_normal((1, Hkv, S, D)), dtype)
+    R = plan.l_pad
+    q = jnp.asarray(rng.standard_normal((R, Hq, D)), dtype)
+    scale = D**-0.5
+
+    kt = jnp.swapaxes(k_pool[0][:, plan.kv_idx], 0, 1)  # (T, Hkv, D)
+    vt = jnp.swapaxes(v_pool[0][:, plan.kv_idx], 0, 1)
+    want = dense_tree_attention(
+        q, kt, vt, jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi), scale
+    )
+
+    got = unfold_o(
+        paged_flatten_attention(
+            fold_q(q, Hkv), k_pool, v_pool,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(plan.seg_src),
+            jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi),
+            jnp.asarray(plan.blk_lo), jnp.asarray(plan.blk_hi),
+            scale=scale, qpk=Hq // Hkv,
+            block_len=plan.block_len, seg_len=plan.seg_len,
+        ),
+        R,
+    )
+    live = np.arange(R) < plan.n_leaves
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    assert rel_err(np.asarray(got)[live], np.asarray(want)[live]) < tol
