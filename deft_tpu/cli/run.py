@@ -162,11 +162,29 @@ def main(argv=None) -> int:
 
     template = None
     if args.Branch_controller == "Practical_Tree":
-        assert args.dataset, "--dataset required for Practical_Tree"
-        template = load_trees(args.dataset)[args.tree_idx]
+        if args.dataset in (None, "synthetic"):
+            from deft_tpu.data.synthetic import synth_tot_tree
+
+            template = synth_tot_tree(
+                seed=args.seed + args.tree_idx,
+                width=min(args.max_width, 4),
+                max_leaves=args.max_width,
+                total_iters=max(8, args.max_seq_len
+                                - (args.prompt_len or 16) - 1),
+            )
+        else:
+            template = load_trees(args.dataset)[args.tree_idx]
     elif args.Branch_controller == "Speculative_Decoding":
-        assert args.dataset, "--dataset required for Speculative_Decoding"
-        template = load_prompts(args.dataset)[args.tree_idx]
+        if args.dataset in (None, "synthetic"):
+            from deft_tpu.data.synthetic import synth_spec_tree
+
+            template = synth_spec_tree(
+                token_tree_size=args.max_width,
+                gen_len=max(8, args.max_seq_len - (args.prompt_len or 16) - 1),
+                seed=args.seed + args.tree_idx,
+            )
+        else:
+            template = load_prompts(args.dataset)[args.tree_idx]
 
     controller = Branch_Controller({
         "Simple_Tree": workloads.simple_tree,

@@ -73,7 +73,9 @@ def practical_tree(model, iter, max_gen_len, width, depth, logits,
         else:
             if greedy_ids is None:
                 greedy_ids, greedy_probs = logits.argmax()
-            q = tree.leaf_to_q[leaf.id]
+            # iter 0 == prefill: one logits row for the root, leaf_to_q not
+            # built yet (templates may run the root greedily before branching)
+            q = 0 if iter == 0 else tree.leaf_to_q[leaf.id]
             leaf.append_token(
                 int(greedy_ids[q]), logprob=float(np.log(greedy_probs[q]))
             )
