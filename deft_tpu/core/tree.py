@@ -85,6 +85,7 @@ class TreeNode:
         "positions",
         "position_offset",
         "_kv",
+        "kv_runs",
         "ref_count",
         "cumulative_logprob",
         "node_index_row",
@@ -98,6 +99,9 @@ class TreeNode:
         self.positions: List[int] = []
         self.position_offset = 0
         self._kv = _IndexVec()
+        # pool-contiguous spans of _kv as [start, len] pairs, maintained
+        # incrementally so plan assembly is O(runs), not O(tokens)
+        self.kv_runs: List[List[int]] = []
         self.ref_count = 0  # number of leaves descending through this node
         self.cumulative_logprob = 0.0
         self.node_index_row: Optional[int] = None  # TreeIndexPool row
@@ -120,8 +124,15 @@ class TreeNode:
         if logprob is not None:
             self.cumulative_logprob += logprob
 
+    def _runs_push(self, index: int) -> None:
+        if self.kv_runs and self.kv_runs[-1][0] + self.kv_runs[-1][1] == index:
+            self.kv_runs[-1][1] += 1
+        else:
+            self.kv_runs.append([int(index), 1])
+
     def append_index(self, index: int, tree_index: Optional[TreeIndexPool] = None) -> None:
         self._kv.append(index)
+        self._runs_push(int(index))
         if tree_index is not None and self.node_index_row is not None:
             tree_index.node_to_kv[self.node_index_row, len(self._kv) - 1] = index
 
@@ -130,6 +141,19 @@ class TreeNode:
     ) -> None:
         start = len(self._kv)
         self._kv.extend(indices)
+        arr = np.asarray(indices)
+        if len(arr):
+            breaks = np.flatnonzero(np.diff(arr) != 1) + 1
+            bounds = np.concatenate([[0], breaks, [len(arr)]])
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                first = int(arr[a])
+                if (
+                    self.kv_runs
+                    and self.kv_runs[-1][0] + self.kv_runs[-1][1] == first
+                ):
+                    self.kv_runs[-1][1] += int(b - a)
+                else:
+                    self.kv_runs.append([first, int(b - a)])
         if tree_index is not None and self.node_index_row is not None:
             tree_index.node_to_kv[self.node_index_row, start : start + len(indices)] = (
                 indices
@@ -137,6 +161,7 @@ class TreeNode:
 
     def clear_indices(self) -> None:
         self._kv.clear()
+        self.kv_runs.clear()
 
     def __repr__(self) -> str:  # pragma: no cover
         return (

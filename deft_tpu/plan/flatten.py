@@ -110,56 +110,60 @@ def _leaf_arrays(
     return q_tokens, q_pos, out_loc
 
 
-def _contiguous_runs(kv: np.ndarray) -> List[np.ndarray]:
-    if len(kv) == 0:
-        return []
-    breaks = np.flatnonzero(np.diff(kv) != 1) + 1
-    return np.split(kv, breaks)
-
-
 def _assemble(
     order, lo_arr, hi_arr, block_len, node_aligned, seg_len
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    idx_parts: List[np.ndarray] = []
-    lo_parts: List[np.ndarray] = []
-    hi_parts: List[np.ndarray] = []
-
-    def emit(idx, lo, hi):
-        n = len(idx)
-        idx_parts.append(np.asarray(idx, dtype=np.int32))
-        lo_parts.append(np.full(n, lo, dtype=np.int32))
-        hi_parts.append(np.full(n, hi, dtype=np.int32))
-
+    """O(runs) assembly from each node's incrementally-maintained pool runs
+    (TreeNode.kv_runs): pass 1 sizes the layout, pass 2 fills preallocated
+    arrays with vectorized slice writes — this is the per-step host hot path
+    (the reference's per-step python DFS + block packing costs ~1-2 ms,
+    SURVEY.md §3.3)."""
+    # entries: (src_start, n_live, n_pad, lo, hi); src_start < 0 => DUMP pad
+    entries: List[Tuple[int, int, int, int, int]] = []
+    total = 0
     for i, node in enumerate(order):
-        kv = node.kv_indices
-        if len(kv) == 0:
+        if node.kv_len == 0:
             continue
-        lo, hi = lo_arr[i], hi_arr[i]
-        if seg_len:
-            for run in _contiguous_runs(kv):
-                emit(run, lo, hi)
-                pad = (-len(run)) % seg_len
-                if pad:
-                    # pad with the addresses the segment DMA over-reads;
-                    # masked via the empty interval
-                    emit(run[-1] + 1 + np.arange(pad, dtype=np.int32),
-                         _EMPTY_LO, 0)
-        else:
-            emit(kv, lo, hi)
+        lo, hi = int(lo_arr[i]), int(hi_arr[i])
+        for start, n in node.kv_runs:
+            pad = (-n) % seg_len if seg_len else 0
+            entries.append((start, n, pad, lo, hi))
+            total += n + pad
         if node_aligned:
-            total = sum(len(p) for p in idx_parts)
-            pad = (-total) % block_len
-            if pad:
-                emit(np.full(pad, DUMP_SLOT, dtype=np.int32), _EMPTY_LO, 0)
+            padb = (-total) % block_len
+            if padb:
+                entries.append((-1, 0, padb, 0, 0))
+                total += padb
 
-    if idx_parts:
-        return (
-            np.concatenate(idx_parts),
-            np.concatenate(lo_parts),
-            np.concatenate(hi_parts),
-        )
-    z = np.empty(0, dtype=np.int32)
-    return z, z.copy(), z.copy()
+    kv = np.empty(total, dtype=np.int32)
+    lo_a = np.empty(total, dtype=np.int32)
+    hi_a = np.empty(total, dtype=np.int32)
+    pos = 0
+    for start, n, pad, lo, hi in entries:
+        if n:
+            kv[pos : pos + n] = np.arange(start, start + n, dtype=np.int32)
+            lo_a[pos : pos + n] = lo
+            hi_a[pos : pos + n] = hi
+            pos += n
+        if pad:
+            if start < 0:
+                if seg_len:
+                    # seg-tiled scratch reads keep segments contiguous
+                    kv[pos : pos + pad] = 1 + (
+                        np.arange(pad, dtype=np.int32) % seg_len
+                    )
+                else:
+                    kv[pos : pos + pad] = DUMP_SLOT
+            else:
+                # addresses the segment DMA over-reads; masked out
+                kv[pos : pos + pad] = np.arange(
+                    start + n, start + n + pad, dtype=np.int32
+                )
+            lo_a[pos : pos + pad] = _EMPTY_LO
+            hi_a[pos : pos + pad] = 0
+            pos += pad
+    assert pos == total
+    return kv, lo_a, hi_a
 
 
 def build_flatten_plan(

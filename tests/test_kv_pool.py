@@ -1,0 +1,71 @@
+"""Chunked TokenKVPool allocator unit tests."""
+
+import numpy as np
+import pytest
+
+from deft_tpu.core.kv_pool import DUMP_SLOT, TokenKVPool
+
+
+def test_batch_alloc_contiguous():
+    p = TokenKVPool(1024)
+    a = p.alloc(100)
+    assert a[0] == 1 and np.all(np.diff(a) == 1)
+    assert p.used_size() == 100
+
+
+def test_chunked_alloc_contiguous_per_owner():
+    p = TokenKVPool(4096, chunk=64)
+    a = [int(p.alloc_for(7)[0]) for _ in range(70)]
+    b = [int(p.alloc_for(8)[0]) for _ in range(70)]
+    # each owner's stream is contiguous except possibly at chunk boundaries
+    # (sequentially-opened chunks may even be adjacent -> 0 jumps)
+    for stream in (a, b):
+        arr = np.array(stream)
+        jumps = np.flatnonzero(np.diff(arr) != 1)
+        assert len(jumps) <= 1
+        assert np.all((np.diff(arr) == 1) | ((np.arange(69) % 64) == 63))
+    assert not set(a) & set(b)
+    assert p.used_size() == 140
+
+
+def test_close_owner_recycles_tail():
+    p = TokenKVPool(1024, chunk=64)
+    locs = p.alloc_for(1, 10)
+    free_before = p.available_size()
+    p.close_owner(1)
+    assert p.available_size() == free_before + 54
+    # slots still referenced until freed
+    assert p.used_size() == 10
+    p.free(locs)
+    assert p.used_size() == 0
+
+
+def test_fallback_to_recycled_singles():
+    p = TokenKVPool(1 + 128, chunk=128)  # exactly one chunk
+    a = p.alloc_for(1, 128)
+    assert a is not None
+    p.free(a[:50])
+    # bump exhausted: new owner must fall back to recycled singles
+    b = p.alloc_for(2, 20)
+    assert b is not None
+    assert set(int(x) for x in b) <= set(int(x) for x in a[:50])
+    assert p.alloc_for(3, 100) is None  # over capacity
+
+
+def test_refcount_sharing():
+    p = TokenKVPool(256)
+    a = p.alloc(10)
+    p.add_refs(a)
+    p.free(a)
+    assert p.used_size() == 10  # still referenced once
+    p.free(a)
+    assert p.used_size() == 0
+
+
+def test_exhaustion_returns_none():
+    p = TokenKVPool(64, chunk=16)
+    assert p.alloc(100) is None
+    got = p.alloc(63)
+    assert got is not None
+    assert p.alloc(1) is None
+    assert p.alloc_for(1, 1) is None
