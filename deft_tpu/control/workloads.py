@@ -40,6 +40,13 @@ def simple_tree(model, iter, max_gen_len, width, depth, logits,
     return False
 
 
+def _simple_tree_structural(template, max_gen_len):
+    return {0, max_gen_len - 1}
+
+
+simple_tree.structural_iters = _simple_tree_structural
+
+
 def practical_tree(model, iter, max_gen_len, width, depth, logits,
                    execution_graph: Optional[ExecuteTree] = None, **kw) -> bool:
     """Multi-step (ToT) reasoning: replay an ExecuteTree's branch/prune
@@ -84,6 +91,16 @@ def practical_tree(model, iter, max_gen_len, width, depth, logits,
             tree.output_branch(leaf)
         stop = True
     return stop
+
+
+def _practical_tree_structural(template, max_gen_len):
+    s = {0, max_gen_len - 1}
+    if template is not None:
+        s |= set(template.branch_record) | set(template.prune_record)
+    return s
+
+
+practical_tree.structural_iters = _practical_tree_structural
 
 
 def speculative_decoding(model, iter, max_gen_len, width, depth, logits,

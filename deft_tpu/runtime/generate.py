@@ -57,6 +57,33 @@ def tree_generate(
     ttft = (time.perf_counter() - start_time) * 1000
     perf_metrics.TTFT = ttft
 
+    # Greedy-chain machinery: workloads declare which iterations make
+    # structural decisions (branch/prune) and therefore need host logits.
+    # All other iterations are greedy appends: the step's argmax ids chain
+    # into the next step's q_tokens ON DEVICE, tokens stream back via async
+    # copies, and the host backfills them into the tree lazily — no
+    # device->host sync on the decode fast path (SURVEY.md §7 hard part #5).
+    structural_fn = getattr(
+        branch_controller.branching_function, "structural_iters", None
+    )
+    structural = (
+        structural_fn(branch_controller.tree_templates, max_gen_len)
+        if structural_fn is not None
+        else None
+    )
+    pending = []  # (LogitsView, {q: (node, token_index)})
+    chain_view = None  # previous step's view when it was a chain step
+
+    def resolve_pending():
+        import numpy as _np
+
+        for view, backfills in pending:
+            ids, vals = view.ids, view.vals
+            for q, (node, ti) in backfills.items():
+                node.token_ids[ti] = int(ids[q, 0])
+                node.cumulative_logprob += float(_np.log(vals[q, 0]))
+        pending.clear()
+
     if not stop:
         for it in range(1, max_gen_len):
             for name in ("prepare", "branch", "attn_mem", "attn_comp",
@@ -73,7 +100,13 @@ def tree_generate(
             GlobalTimer.stop("tree_metadata")
             GlobalTimer.stop("prepare")
 
-            logits, fwd_t = model.forward_tree_decode(mode, plan)
+            is_struct = structural is None or it in structural
+            override = (
+                chain_view.greedy_ids_device if chain_view is not None else None
+            )
+            logits, fwd_t = model.forward_tree_decode(
+                mode, plan, q_tokens_override=override, block=is_struct
+            )
 
             # analytic KV/mask IO accounting (per layer x layers)
             if mode.is_sequential:
@@ -83,15 +116,31 @@ def tree_generate(
                 perf_metrics.Mask_IO += plan.n_tokens * 8 * model.cfg.num_layers
 
             GlobalTimer.start("branch")
-            stop = branch_controller.apply_branching(
-                model=model,
-                iter=it,
-                max_gen_len=max_gen_len,
-                width=width,
-                depth=depth,
-                logits=logits,
-                execution_graph=branch_controller.tree_templates,
-            )
+            if is_struct:
+                resolve_pending()
+                chain_view = None
+                stop = branch_controller.apply_branching(
+                    model=model,
+                    iter=it,
+                    max_gen_len=max_gen_len,
+                    width=width,
+                    depth=depth,
+                    logits=logits,
+                    execution_graph=branch_controller.tree_templates,
+                )
+            else:
+                # greedy append: placeholder tokens now, values backfilled
+                # from the async fetch at the next structural iteration
+                tree = model.tree
+                backfills = {}
+                for leaf in tree.leaves.values():
+                    q = tree.leaf_to_q[leaf.id]
+                    leaf.append_token(0)
+                    backfills[q] = (leaf, len(leaf.token_ids) - 1)
+                logits.fetch_async()
+                pending.append((logits, backfills))
+                chain_view = logits
+                stop = False
             GlobalTimer.stop("branch")
 
             iter_cost = (time.perf_counter() - step_start) * 1000
@@ -108,6 +157,7 @@ def tree_generate(
             )
             if stop:
                 break
+        resolve_pending()
 
     e2e = (time.perf_counter() - start_time) * 1000
     perf_metrics.update_e2e_latency(e2e)

@@ -72,6 +72,23 @@ class LogitsView:
     def ids(self) -> np.ndarray:
         return np.asarray(self._ids)
 
+    def fetch_async(self) -> None:
+        """Start a non-blocking device->host copy; later .vals/.ids reads
+        return without a fresh round-trip.  This is what lets greedy decode
+        steps pipeline on device without paying the tunnel/PCIe fetch RTT
+        every iteration."""
+        for arr in (self._vals, self._ids):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:  # non-jax array (tests)
+                pass
+
+    @property
+    def greedy_ids_device(self):
+        """Device-resident (R,) argmax token ids — feed these as the next
+        step's q_tokens to chain decode steps without any host sync."""
+        return self._ids[:, 0]
+
     @property
     def k(self) -> int:
         return self._vals.shape[-1]
@@ -330,9 +347,18 @@ class ModelRunner:
             seg_src=jnp.asarray(plan.seg_src) if paged else None,
         )
 
-    def forward_tree_decode(self, mode: ForwardMode, plan) -> tuple:
-        """Run one tree-decode step.  Returns (LogitsView, forward_seconds)."""
+    def forward_tree_decode(
+        self, mode: ForwardMode, plan, q_tokens_override=None, block: bool = True
+    ) -> tuple:
+        """Run one tree-decode step.  Returns (LogitsView, forward_seconds).
+
+        q_tokens_override: device-resident (R,) token ids (a previous step's
+        greedy ids) — chains steps on device with no host round-trip.
+        block=False enqueues without waiting (async pipelining; the timer
+        then measures enqueue cost only)."""
         batch = self._to_batch(mode, plan)
+        if q_tokens_override is not None:
+            batch = batch._replace(q_tokens=q_tokens_override)
         step = self._decode_step(
             mode, paged=getattr(batch, "seg_src", None) is not None
         )
@@ -340,7 +366,8 @@ class ModelRunner:
         vals, ids, logits, self.k_pool, self.v_pool = step(
             self.params, self.k_pool, self.v_pool, batch
         )
-        jax.block_until_ready(vals)
+        if block:
+            jax.block_until_ready(vals)
         t = time.perf_counter() - t0
         self.decode_time += t
         view = LogitsView(vals, ids, logits if self.retain_full_logits else None)

@@ -189,3 +189,33 @@ def test_pallas_interpret_e2e_matches_xla():
         # tree was freed by tree_generate; collect from finished seqs
         results[kernels] = sorted(results[kernels])
     assert results["xla"] == results["pallas"]
+
+
+def test_greedy_chain_matches_sync():
+    """Device-chained greedy decode (async token backfill) must produce
+    exactly the tokens of the fully-synchronous path."""
+    from deft_tpu.control import Branch_Controller, workloads
+    from deft_tpu.runtime import tree_generate
+
+    def run(chained: bool):
+        runner = make_runner()
+        fn = workloads.simple_tree
+        if not chained:
+            # strip the structural_iters declaration -> sync every iter
+            def sync_fn(*a, **k):
+                return workloads.simple_tree(*a, **k)
+            fn = sync_fn
+        tree_generate(
+            model=runner,
+            mode=ForwardMode.TREE_DECODE_FLATTEN,
+            tokenizer=None,
+            prompt_ids=PROMPT,
+            max_seq_len=len(PROMPT) + 14,
+            width=3,
+            depth=1,
+            branch_controller=Branch_Controller(fn),
+        )
+        return sorted(tuple(b.token_ids) for b in runner.tree.all_finished_seqs)
+
+    a, b = run(True), run(False)
+    assert a == b and len(a) == 3
