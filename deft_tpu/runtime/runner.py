@@ -339,7 +339,9 @@ class ModelRunner:
             q_tokens=jnp.asarray(plan.q_tokens),
             q_pos=jnp.asarray(plan.q_pos),
             out_loc=jnp.asarray(plan.out_loc),
-            kv_idx=jnp.asarray(plan.kv_idx),
+            # the paged kernel gathers via seg_src; skip the (T,) upload
+            kv_idx=jnp.zeros((1,), jnp.int32) if paged
+            else jnp.asarray(plan.kv_idx),
             tok_lo=jnp.asarray(plan.tok_lo),
             tok_hi=jnp.asarray(plan.tok_hi),
             blk_lo=jnp.asarray(plan.blk_lo),
