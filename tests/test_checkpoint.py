@@ -1,0 +1,62 @@
+"""Checkpoint/resume: tokens are the checkpoint; KV is rebuilt by
+re-prefill and must reproduce the original decode logits exactly."""
+
+import numpy as np
+
+from deft_tpu.config import EngineConfig
+from deft_tpu.models import PRESETS
+from deft_tpu.runtime import ForwardMode, ModelRunner
+from deft_tpu.runtime.checkpoint import restore, save_checkpoint
+
+ECFG = EngineConfig(
+    kv_pool_slots=4096, max_requests=64, max_context_len=512,
+    min_token_bucket=128, dtype="float32",
+)
+
+
+def _grow_tree(runner):
+    view = runner.forward_prefill(list(range(7, 23)))
+    tree = runner.tree
+    _, ids0 = view.topk(0, 3)
+    for c, child in enumerate(tree.branch(tree.root, 3)):
+        child.append_token(int(ids0[c]))
+    for _ in range(4):
+        tree.alloc()
+        plan = runner.build_plan(ForwardMode.TREE_DECODE_FLATTEN)
+        lv, _ = runner.forward_tree_decode(ForwardMode.TREE_DECODE_FLATTEN, plan)
+        ids, _ = lv.argmax()
+        for leaf in list(tree.leaves.values()):
+            leaf.append_token(int(ids[tree.leaf_to_q[leaf.id]]))
+    return runner
+
+
+def _next_step_logits(runner):
+    runner.tree.alloc()
+    plan = runner.build_plan(ForwardMode.TREE_DECODE_FLATTEN)
+    lv, _ = runner.forward_tree_decode(ForwardMode.TREE_DECODE_FLATTEN, plan)
+    return lv.vals[: plan.n_leaves], lv.ids[: plan.n_leaves]
+
+
+def test_save_restore_roundtrip(tmp_path):
+    runner = _grow_tree(ModelRunner(PRESETS["tiny"], ECFG, kernels="xla"))
+    path = str(tmp_path / "ckpt.json")
+    save_checkpoint(runner.tree, path)
+
+    want_tokens = {
+        n.id: list(n.token_ids) for n in runner.tree.nodes.values()
+    }
+    want_vals, want_ids = _next_step_logits(runner)
+
+    fresh = ModelRunner(
+        PRESETS["tiny"], ECFG, kernels="xla", params=runner.params
+    )
+    restore(fresh, path)
+    got_tokens = {n.id: list(n.token_ids) for n in fresh.tree.nodes.values()}
+    assert got_tokens == want_tokens
+    got_vals, got_ids = _next_step_logits(fresh)
+    # KV is recomputed through the prefill path (different reduction order
+    # than the original decode path), so near-tie top-k orderings may
+    # permute; the invariants are the greedy continuation and the
+    # distribution values.
+    np.testing.assert_array_equal(got_ids[:, 0], want_ids[:, 0])
+    np.testing.assert_allclose(got_vals, want_vals, rtol=1e-3, atol=1e-5)
