@@ -44,5 +44,8 @@ class EngineConfig:
     min_token_bucket: int = 1024
     max_leaves: int = 128
     dtype: str = "bfloat16"
+    # KV cache element type: "inherit" (same as dtype) or "int8"
+    # (per-(token, head) fp32 scales; halves KV HBM footprint and IO)
+    kv_dtype: str = "inherit"
     # Fraction of free HBM the KV pool may claim when kv_pool_slots is None.
     mem_fraction: float = 0.8

@@ -59,6 +59,48 @@ class PrefillBatch(NamedTuple):
     length: jnp.ndarray     # () int32 true prompt length
 
 
+class KVPool(NamedTuple):
+    """Paged KV arena for one of K/V.  ``data`` is (L, Hkv, S, D) in bf16,
+    or int8 with per-(token, head) fp32 ``scale`` (L, Hkv, S) — the int8 KV
+    cache halves HBM footprint and attention KV IO (no reference
+    counterpart; SURVEY.md §7 build item 8)."""
+
+    data: jnp.ndarray
+    scale: Optional[jnp.ndarray] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.scale is not None
+
+
+def kv_store(pool: KVPool, li, out_loc, x) -> KVPool:
+    """Scatter new per-token K or V rows (n, Hkv, D) into the pool,
+    quantizing if the pool is int8.  Mixed scalar+slice+array indexing
+    fronts the advanced dims, so update values keep x's (n, Hkv, ...)
+    shape."""
+    if not pool.quantized:
+        return pool._replace(
+            data=pool.data.at[li, :, out_loc].set(x.astype(pool.data.dtype))
+        )
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-8)  # (n, Hkv)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return KVPool(
+        pool.data.at[li, :, out_loc].set(q),
+        pool.scale.at[li, :, out_loc].set(s),
+    )
+
+
+def kv_gather(pool: KVPool, li, idx, out_dtype) -> jnp.ndarray:
+    """Gather + dequantize pool rows: idx (T,) -> (Hkv, T, D);
+    idx (R, C) -> (Hkv, R, C, D)."""
+    d = pool.data[li][:, idx]
+    if not pool.quantized:
+        return d
+    s = pool.scale[li][:, idx]
+    return (d.astype(jnp.float32) * s[..., None]).astype(out_dtype)
+
+
 def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -103,10 +145,8 @@ def _forward(
         v = (h @ lp["wv"]).reshape(n, cfg.num_kv_heads, D)
         q = rope_apply(q, positions)
         k = rope_apply(k, positions)
-        # pool layout (L, Hkv, S, D); mixed scalar+slice+array indexing fronts
-        # the advanced dims, so the update value keeps k's (n, Hkv, D) shape
-        kp = kp.at[li, :, out_loc].set(k.astype(kp.dtype))
-        vp = vp.at[li, :, out_loc].set(v.astype(vp.dtype))
+        kp = kv_store(kp, li, out_loc, k)
+        vp = kv_store(vp, li, out_loc, v)
         o = attn(q, k, v, kp, vp, li, batch, scale)
         x = x + o.reshape(x.shape[0], -1).astype(x.dtype) @ lp["wo"]
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)

@@ -193,11 +193,13 @@ def flatten_attention(
 def flatten_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """AttnFn entry: gather tree KV (XLA fused gather+transpose) and run the
     flatten kernel.  Matches attn_impls.flatten_attn_xla semantics."""
+    from deft_tpu.models.llama import kv_gather
+
     R, Hq, D = q.shape
-    Hkv = k_pool.shape[1]
+    Hkv = k_pool.data.shape[1]
     qpk = Hq // Hkv
-    kt = k_pool[li][:, batch.kv_idx]  # (Hkv, T, D)
-    vt = v_pool[li][:, batch.kv_idx]
+    kt = kv_gather(k_pool, li, batch.kv_idx, q.dtype)  # (Hkv, T, D)
+    vt = kv_gather(v_pool, li, batch.kv_idx, q.dtype)
     qf = fold_q(q, Hkv)
     o = flatten_attention(
         qf,

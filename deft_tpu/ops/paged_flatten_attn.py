@@ -219,6 +219,8 @@ def paged_flatten_attention(
 def paged_flatten_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """AttnFn entry for the paged path; requires batch.seg_src."""
     R, Hq, D = q.shape
+    assert not k_pool.quantized, "paged kernel int8 path: use gather fallback"
+    k_pool, v_pool = k_pool.data, v_pool.data
     Hkv = k_pool.shape[1]
     T = int(batch.tok_lo.shape[0])
     B = int(batch.blk_lo.shape[0])

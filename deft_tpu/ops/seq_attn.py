@@ -132,11 +132,13 @@ def seq_attention(
 def seq_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """AttnFn entry for the sequential baseline: per-leaf path gather (the
     baseline's defining per-leaf KV re-read) then flash decode."""
+    from deft_tpu.models.llama import kv_gather
+
     R, Hq, D = q.shape
-    Hkv = k_pool.shape[1]
+    Hkv = k_pool.data.shape[1]
     qpk = Hq // Hkv
-    kt = jnp.swapaxes(k_pool[li][:, batch.paths], 0, 1)  # (R, Hkv, C, D)
-    vt = jnp.swapaxes(v_pool[li][:, batch.paths], 0, 1)
+    kt = jnp.swapaxes(kv_gather(k_pool, li, batch.paths, q.dtype), 0, 1)
+    vt = jnp.swapaxes(kv_gather(v_pool, li, batch.paths, q.dtype), 0, 1)
     qf = q.reshape(R, Hkv, qpk, D)
     o = seq_attention(qf, kt, vt, batch.seq_lens, scale=scale)
     return o.reshape(R, Hq, D)

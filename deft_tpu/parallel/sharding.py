@@ -82,12 +82,22 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
     raise TypeError(name)
 
 
+def _put_pool(mesh, pool):
+    data = jax.device_put(pool.data, pool_sharding(mesh))
+    scale = (
+        jax.device_put(pool.scale, NamedSharding(mesh, P(None, "tp", None)))
+        if pool.scale is not None
+        else None
+    )
+    return type(pool)(data, scale)
+
+
 def shard_decode_args(mesh: Mesh, params, k_pool, v_pool, batch):
     """Place (params, pools, batch) onto the mesh with the specs above."""
     ps = param_shardings(mesh)
     params = {k: jax.device_put(v, ps[k]) for k, v in params.items()}
-    k_pool = jax.device_put(k_pool, pool_sharding(mesh))
-    v_pool = jax.device_put(v_pool, pool_sharding(mesh))
+    k_pool = _put_pool(mesh, k_pool)
+    v_pool = _put_pool(mesh, v_pool)
     bs = batch_shardings(mesh, batch)
     batch = type(batch)(*(jax.device_put(x, s) for x, s in zip(batch, bs)))
     return params, k_pool, v_pool, batch

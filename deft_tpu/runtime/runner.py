@@ -32,6 +32,7 @@ from deft_tpu.core.kv_pool import DUMP_SLOT
 from deft_tpu.models.config import LlamaConfig
 from deft_tpu.models.llama import (
     DecodeBatch,
+    KVPool,
     PrefillBatch,
     SeqBatch,
     decode_forward,
@@ -155,8 +156,16 @@ class ModelRunner:
         # tree-KV gathers (XLA or in-kernel DMA) read contiguous (run, D)
         # spans instead of Hkv-strided 256B pieces.
         shape = (self.cfg.num_layers, self.cfg.num_kv_heads, slots, self.cfg.head_dim)
-        self.k_pool = jnp.zeros(shape, dtype=self.dtype)
-        self.v_pool = jnp.zeros(shape, dtype=self.dtype)
+        self.kv_quantized = engine_config.kv_dtype == "int8"
+        if self.kv_quantized:
+            sshape = shape[:-1]
+            self.k_pool = KVPool(jnp.zeros(shape, jnp.int8),
+                                 jnp.ones(sshape, jnp.float32))
+            self.v_pool = KVPool(jnp.zeros(shape, jnp.int8),
+                                 jnp.ones(sshape, jnp.float32))
+        else:
+            self.k_pool = KVPool(jnp.zeros(shape, dtype=self.dtype))
+            self.v_pool = KVPool(jnp.zeros(shape, dtype=self.dtype))
 
         self.token_to_kv_pool = TokenKVPool(slots)
         self.req_to_token_pool = ReqToTokenPool(
@@ -177,12 +186,15 @@ class ModelRunner:
     def _profile_slots(self) -> int:
         """Size the KV pool from free device memory (reference
         profile_max_num_token, model_runner.py:300-314)."""
-        cell = (
+        elem = 2 if self.dtype == jnp.bfloat16 else 4
+        if self.ecfg.kv_dtype == "int8":
+            elem = 1 + 4.0 / self.cfg.head_dim  # int8 data + fp32 row scale
+        cell = int(
             self.cfg.num_layers
             * self.cfg.num_kv_heads
             * self.cfg.head_dim
             * 2  # K and V
-            * (2 if self.dtype == jnp.bfloat16 else 4)
+            * elem
         )
         free = None
         try:
@@ -334,7 +346,9 @@ class ModelRunner:
                 seq_lens=jnp.asarray(plan.seq_lens),
             )
         assert isinstance(plan, FlattenPlan)
-        paged = plan.paged and self.kernels != "xla"
+        # int8 KV takes the gather (XLA dequant) path until the paged kernel
+        # grows a scale-segment DMA
+        paged = plan.paged and self.kernels != "xla" and not self.kv_quantized
         return DecodeBatch(
             q_tokens=jnp.asarray(plan.q_tokens),
             q_pos=jnp.asarray(plan.q_pos),

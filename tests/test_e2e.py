@@ -219,3 +219,43 @@ def test_greedy_chain_matches_sync():
 
     a, b = run(True), run(False)
     assert a == b and len(a) == 3
+
+
+def test_int8_kv_cache_close_to_fp32():
+    """int8 KV (per-token-head scales) must track the fp32-KV distributions
+    closely and run the full generation loop."""
+    import dataclasses
+
+    from deft_tpu.control import Branch_Controller, workloads
+    from deft_tpu.runtime import tree_generate
+
+    def next_probs(kv_dtype):
+        ecfg = dataclasses.replace(ECFG, kv_dtype=kv_dtype)
+        runner = ModelRunner(PRESETS["tiny"], ecfg, kernels="xla")
+        runner.forward_prefill(PROMPT)
+        tree = runner.tree
+        for c, child in enumerate(tree.branch(tree.root, 3)):
+            child.append_token(11 + c)
+        tree.alloc()
+        plan = runner.build_plan(ForwardMode.TREE_DECODE_FLATTEN)
+        lv, _ = runner.forward_tree_decode(ForwardMode.TREE_DECODE_FLATTEN, plan)
+        return lv.vals[:3]
+
+    a = next_probs("inherit")
+    b = next_probs("int8")
+    assert np.abs(a - b).max() < 5e-3  # probabilities, near-uniform model
+
+    # full loop smoke with int8
+    ecfg = dataclasses.replace(ECFG, kv_dtype="int8")
+    runner = ModelRunner(PRESETS["tiny"], ecfg, kernels="xla")
+    tree_generate(
+        model=runner,
+        mode=ForwardMode.TREE_DECODE_FLATTEN,
+        tokenizer=None,
+        prompt_ids=PROMPT,
+        max_seq_len=len(PROMPT) + 10,
+        width=3,
+        depth=1,
+        branch_controller=Branch_Controller(workloads.simple_tree),
+    )
+    assert len(runner.tree.all_finished_seqs) == 3
