@@ -65,3 +65,54 @@ def test_sharded_step_matches_single_device():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_sharded_flatten_kernel_matches_oracle():
+    """(sp, tp)-sharded Pallas flatten kernel + cross-chip LSE merge must be
+    exact vs the dense oracle (8-device CPU mesh, interpret-mode kernels)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from deft_tpu.ops.dense_oracle import dense_tree_attention
+    from deft_tpu.ops.flatten_attn import fold_q, unfold_o
+    from deft_tpu.ops.sharded_flatten import flatten_attention_sharded
+
+    rng = np.random.default_rng(11)
+    R, Hq, Hkv, D, T = 16, 8, 4, 64, 1024  # T/sp=512, divisible by 128
+    block_len = 128
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("sp", "tp"))
+
+    q = jnp.asarray(rng.standard_normal((R, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((T, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((T, Hkv, D)), jnp.float32)
+    # DFS-ish intervals over a chain of segments
+    lo = np.full(T, 2**30, np.int32)
+    hi = np.zeros(T, np.int32)
+    lo[: T // 2] = 0
+    hi[: T // 2] = R
+    for r in range(R):
+        s = T // 2 + r * (T // 2 // R)
+        lo[s : s + T // 2 // R] = r
+        hi[s : s + T // 2 // R] = r + 1
+    nb = T // block_len
+    blk_lo = lo.reshape(nb, block_len).min(1)
+    blk_hi = hi.reshape(nb, block_len).max(1)
+    scale = D**-0.5
+
+    want = dense_tree_attention(q, k, v, jnp.asarray(lo), jnp.asarray(hi), scale)
+    with mesh:
+        got = unfold_o(
+            flatten_attention_sharded(
+                mesh,
+                fold_q(q, Hkv),
+                jnp.swapaxes(k, 0, 1),
+                jnp.swapaxes(v, 0, 1),
+                jnp.asarray(lo), jnp.asarray(hi),
+                jnp.asarray(blk_lo), jnp.asarray(blk_hi),
+                scale=scale, qpk=Hq // Hkv, block_len=block_len,
+                out_dtype=jnp.float32,
+            ),
+            R,
+        )
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert err < 2e-5, err
