@@ -1,0 +1,136 @@
+"""Experiment sweep driver (parity with the reference's experiments/
+run_*.sh harnesses, /root/reference/DeFT/experiments/): runs workload x mode
+grids, dumps reference-compatible PerfMetrics JSON per cell, and prints a
+summary table.
+
+Usage:
+  python experiments/run_sweep.py --suite few_shot --model 1b \
+      --modes flatten seq --out /tmp/deft_sweep
+  python experiments/run_sweep.py --suite reasoning --prompt-len 4000
+  python experiments/run_sweep.py --suite speculative --tree-size 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+SUITES = {
+    # suite -> (controller, defaults) mirroring README.md:214-219 shapes
+    "few_shot": ("Simple_Tree", dict(width=50, prompt_len=4000, gen_len=400)),
+    "reasoning": ("Practical_Tree", dict(width=16, prompt_len=1000,
+                                         gen_len=3500)),
+    "speculative": ("Speculative_Decoding", dict(width=64, prompt_len=1000,
+                                                 gen_len=1000)),
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", choices=sorted(SUITES), default="few_shot")
+    ap.add_argument("--model", default="1b")
+    ap.add_argument("--modes", nargs="+",
+                    default=["flatten", "node", "seq"])
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--prompt-len", type=int, default=None)
+    ap.add_argument("--gen-len", type=int, default=None)
+    ap.add_argument("--kv-dtype", default="inherit")
+    ap.add_argument("--out", default="/tmp/deft_sweep")
+    ap.add_argument("--platform", choices=["default", "cpu"],
+                    default="default")
+    args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    controller_name, d = SUITES[args.suite]
+    width = args.width or d["width"]
+    prompt_len = args.prompt_len or d["prompt_len"]
+    gen_len = args.gen_len or d["gen_len"]
+    os.makedirs(args.out, exist_ok=True)
+
+    import numpy as np
+
+    from deft_tpu.config import EngineConfig
+    from deft_tpu.control import Branch_Controller, workloads
+    from deft_tpu.data.synthetic import synth_spec_tree, synth_tot_tree
+    from deft_tpu.models import PRESETS
+    from deft_tpu.obs import PerfMetrics
+    from deft_tpu.runtime import ModelRunner, mode_from_cli, tree_generate
+
+    cfg = PRESETS[args.model]
+    rows = []
+    for mode_name in args.modes:
+        template = None
+        if controller_name == "Practical_Tree":
+            template = synth_tot_tree(seed=0, width=4, max_leaves=width,
+                                      total_iters=gen_len, mean_run=32)
+        elif controller_name == "Speculative_Decoding":
+            template = synth_spec_tree(token_tree_size=width,
+                                       gen_len=gen_len, seed=0)
+        slots = prompt_len + width * (gen_len + 8) + 2048
+        ecfg = EngineConfig(
+            kv_pool_slots=slots,
+            max_requests=max(64, 2 * width),
+            max_context_len=prompt_len + gen_len + 64,
+            kv_dtype=args.kv_dtype,
+        )
+        runner = ModelRunner(cfg, ecfg, kernels="auto", seed=0)
+        rng = np.random.default_rng(0)
+        prompt = [int(t) for t in
+                  rng.integers(4, cfg.vocab_size - 4, prompt_len)]
+        out_file = os.path.join(
+            args.out,
+            f"{args.suite}_{mode_name}_{args.model}"
+            f"_w{width}_p{prompt_len}_s{prompt_len + gen_len}.json",
+        )
+        fn = {
+            "Simple_Tree": workloads.simple_tree,
+            "Practical_Tree": workloads.practical_tree,
+            "Speculative_Decoding": workloads.speculative_decoding,
+        }[controller_name]
+        pm = tree_generate(
+            model=runner,
+            mode=mode_from_cli(mode_name),
+            tokenizer=None,
+            prompt_ids=prompt,
+            max_seq_len=prompt_len + gen_len,
+            width=width,
+            depth=10,
+            branch_controller=Branch_Controller(fn),
+            tree_template=template,
+            output_file=out_file,
+            perf_metrics=PerfMetrics(out_file),
+        )
+        rows.append((mode_name, pm.TPOT, pm.decode_latency,
+                     pm.attention_latency, pm.KV_IO, pm.generated_len))
+        print(f"[{args.suite}/{mode_name}] TPOT={pm.TPOT:.4f} ms/tok  "
+              f"decode={pm.decode_latency:.1f} ms  KV_IO={pm.KV_IO:.3g} B  "
+              f"gen={pm.generated_len}", flush=True)
+
+    print(f"\n{'mode':<12}{'TPOT ms/tok':>14}{'decode ms':>14}"
+          f"{'KV IO B':>14}{'gen':>8}")
+    base = next((r for r in rows if r[0] == "seq"), rows[-1])
+    for r in rows:
+        print(f"{r[0]:<12}{r[1]:>14.4f}{r[2]:>14.1f}{r[4]:>14.3g}{r[5]:>8}"
+              + (f"   ({base[1] / r[1]:.2f}x vs seq)" if base[1] else ""))
+    summary = {
+        "suite": args.suite, "model": args.model, "width": width,
+        "prompt_len": prompt_len, "gen_len": gen_len,
+        "rows": [dict(zip(("mode", "tpot_ms", "decode_ms", "attn_ms",
+                           "kv_io_bytes", "generated"), r)) for r in rows],
+    }
+    with open(os.path.join(args.out, f"{args.suite}_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
