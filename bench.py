@@ -40,7 +40,8 @@ def run_mode(mode_name: str) -> dict:
     from deft_tpu.runtime import ModelRunner, mode_from_cli, tree_generate
 
     cfg = PRESETS[MODEL]
-    slots = PROMPT_LEN + WIDTH * (GEN_LEN + 8) + 1024
+    # chunked allocator reserves up to 2 chunks (128 slots) per leaf
+    slots = PROMPT_LEN + WIDTH * (GEN_LEN + 8 + 256) + 1024
     ecfg = EngineConfig(
         kv_pool_slots=slots,
         max_requests=max(64, 2 * WIDTH),

@@ -39,6 +39,56 @@ def _llama3_scale_freqs(inv_freq: np.ndarray, scaling: Dict[str, Any]) -> np.nda
     return scaled
 
 
+def _yarn_correction_dim(num_rot: float, dim: int, base: float,
+                         orig_max: int) -> float:
+    return (dim * math.log(orig_max / (num_rot * 2 * math.pi))) / (
+        2 * math.log(base)
+    )
+
+
+def _yarn_ramp_mask(low: float, high: float, n: int) -> np.ndarray:
+    if low == high:
+        high += 1e-3
+    r = (np.arange(n, dtype=np.float64) - low) / (high - low)
+    return np.clip(r, 0.0, 1.0)
+
+
+def _yarn_scale_freqs(inv_freq: np.ndarray, scaling: Dict[str, Any],
+                      base: float, head_dim: int):
+    """YaRN (+ deepseek variant) frequency interpolation with ramp between
+    the beta_fast/beta_slow correction dims; returns (inv_freq, mscale)
+    where mscale multiplies cos/sin (attention temperature).  Parity:
+    reference rotary_embedding.py YaRNScalingRotaryEmbedding /
+    DeepseekScalingRotaryEmbedding."""
+    factor = float(scaling["factor"])
+    orig_max = int(scaling.get("original_max_position_embeddings", 4096))
+    beta_fast = float(scaling.get("beta_fast", 32))
+    beta_slow = float(scaling.get("beta_slow", 1))
+    half = len(inv_freq)
+    low = max(math.floor(
+        _yarn_correction_dim(beta_fast, head_dim, base, orig_max)), 0)
+    high = min(math.ceil(
+        _yarn_correction_dim(beta_slow, head_dim, base, orig_max)),
+        head_dim - 1)
+    # 1 where extrapolation (high-freq dims), 0 where interpolation;
+    # ramp bounds are in correction-dim units over the half-dim axis
+    extrap_mask = 1.0 - _yarn_ramp_mask(float(low), float(high), half)
+    inv = inv_freq / factor * (1.0 - extrap_mask) + inv_freq * extrap_mask
+
+    attn_factor = float(scaling.get("attention_factor") or
+                        scaling.get("attn_factor") or 0.0)
+    if attn_factor:
+        mscale = attn_factor
+    elif scaling.get("rope_type", scaling.get("type")) == "deepseek_yarn":
+        def _ms(s, m):
+            return 1.0 if s <= 1 else 0.1 * m * math.log(s) + 1.0
+        mscale = _ms(factor, float(scaling.get("mscale", 1.0))) / _ms(
+            factor, float(scaling.get("mscale_all_dim", 0.0)) or 1.0)
+    else:
+        mscale = 0.1 * math.log(factor) + 1.0 if factor > 1 else 1.0
+    return inv, mscale
+
+
 def rope_table(
     head_dim: int,
     max_pos: int,
@@ -46,22 +96,43 @@ def rope_table(
     scaling: Optional[Dict[str, Any]] = None,
 ) -> jnp.ndarray:
     """(max_pos, head_dim) fp32 table: [cos | sin] halves, HF layout
-    (cos/sin each repeated over the two rotated halves)."""
+    (cos/sin each repeated over the two rotated halves).
+
+    Scaling parity with the reference's vLLM-derived family
+    (/root/reference/DeFT/deft/layers/rotary_embedding.py:647-788):
+    linear, dynamic NTK, YaRN, Deepseek-YaRN, Llama-3."""
     half = head_dim // 2
     inv_freq = 1.0 / (theta ** (np.arange(0, half, dtype=np.float64) * 2 / head_dim))
+    mscale = 1.0
     if scaling is not None:
         rtype = scaling.get("rope_type", scaling.get("type", ""))
         if rtype == "llama3":
             inv_freq = _llama3_scale_freqs(inv_freq, scaling)
         elif rtype == "linear":
             inv_freq = inv_freq / scaling["factor"]
+        elif rtype == "dynamic":
+            # NTK-by-parts: rescale the base for the full table length
+            factor = float(scaling["factor"])
+            orig_max = int(scaling.get("original_max_position_embeddings",
+                                       max_pos))
+            seq_len = max(max_pos, orig_max)
+            base = theta * (
+                factor * seq_len / orig_max - (factor - 1)
+            ) ** (head_dim / (head_dim - 2))
+            inv_freq = 1.0 / (
+                base ** (np.arange(0, half, dtype=np.float64) * 2 / head_dim)
+            )
+        elif rtype in ("yarn", "deepseek_yarn"):
+            inv_freq, mscale = _yarn_scale_freqs(
+                inv_freq, scaling, theta, head_dim
+            )
         elif rtype in ("default", "", None):
             pass
         else:
             raise NotImplementedError(f"rope scaling {rtype!r}")
     pos = np.arange(max_pos, dtype=np.float64)
     freqs = np.outer(pos, inv_freq)  # (max_pos, half)
-    table = np.concatenate([np.cos(freqs), np.sin(freqs)], axis=-1)
+    table = np.concatenate([np.cos(freqs), np.sin(freqs)], axis=-1) * mscale
     return jnp.asarray(table, dtype=jnp.float32)
 
 

@@ -75,7 +75,7 @@ def main() -> int:
         elif controller_name == "Speculative_Decoding":
             template = synth_spec_tree(token_tree_size=width,
                                        gen_len=gen_len, seed=0)
-        slots = prompt_len + width * (gen_len + 8) + 2048
+        slots = prompt_len + width * (gen_len + 8 + 256) + 2048
         ecfg = EngineConfig(
             kv_pool_slots=slots,
             max_requests=max(64, 2 * width),

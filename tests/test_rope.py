@@ -1,0 +1,82 @@
+"""RoPE scaling-family parity vs HuggingFace transformers' reference
+implementations (transformers.modeling_rope_utils is the public ground truth
+for the same formulas the reference's vLLM-derived code implements)."""
+
+import numpy as np
+import pytest
+
+from deft_tpu.models.rope import rope_table
+
+tf_rope = pytest.importorskip("transformers.modeling_rope_utils")
+
+
+class _Cfg:
+    """Minimal config shim for ROPE_INIT_FUNCTIONS."""
+
+    def __init__(self, head_dim, theta, max_pos, scaling):
+        self.head_dim = head_dim
+        self.rope_theta = theta
+        # HF's dynamic-NTK scales relative to config.max_position_embeddings
+        # (the pre-extension length); our rope_table takes it via
+        # scaling["original_max_position_embeddings"]
+        self.max_position_embeddings = (
+            scaling or {}
+        ).get("original_max_position_embeddings", max_pos)
+        self.original_max_position_embeddings = (
+            scaling or {}
+        ).get("original_max_position_embeddings", max_pos)
+        self.rope_scaling = scaling
+        self.hidden_size = head_dim * 8
+        self.num_attention_heads = 8
+        self.partial_rotary_factor = 1.0
+
+    def get_text_config(self):
+        return self
+
+
+def _hf_freqs(rtype, head_dim, theta, max_pos, scaling):
+    fn = tf_rope.ROPE_INIT_FUNCTIONS[rtype]
+    import torch
+
+    cfg = _Cfg(head_dim, theta, max_pos, scaling)
+    inv_freq, attn_factor = fn(cfg, device="cpu",
+                               seq_len=torch.tensor(max_pos))
+    return np.asarray(inv_freq, dtype=np.float64), float(attn_factor)
+
+
+def _our_freqs(table, mscale_pos=1):
+    """Recover inv_freq * mscale from the table row at position 1."""
+    half = table.shape[1] // 2
+    return np.asarray(table[mscale_pos, half:], dtype=np.float64)
+
+
+@pytest.mark.parametrize(
+    "rtype,scaling",
+    [
+        ("default", None),
+        ("linear", {"rope_type": "linear", "factor": 4.0}),
+        ("llama3", {"rope_type": "llama3", "factor": 8.0,
+                    "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                    "original_max_position_embeddings": 8192}),
+        ("yarn", {"rope_type": "yarn", "factor": 4.0,
+                  "original_max_position_embeddings": 4096}),
+        ("dynamic", {"rope_type": "dynamic", "factor": 4.0,
+                     "original_max_position_embeddings": 2048}),
+    ],
+)
+def test_scaling_matches_transformers(rtype, scaling):
+    head_dim, theta, max_pos = 64, 10000.0, 8192
+    want_freq, want_attn = _hf_freqs(rtype, head_dim, theta, max_pos, scaling)
+    table = np.asarray(rope_table(head_dim, max_pos, theta, scaling))
+    # sin(pos=1 * f) * mscale ~= f * mscale for small f; compare via angle
+    half = head_dim // 2
+    got_sin = np.asarray(table[1, half:], dtype=np.float64)
+    got_cos = np.asarray(table[1, :half], dtype=np.float64)
+    got_angle = np.arctan2(got_sin, got_cos)
+    want_angle = np.mod(want_freq, 2 * np.pi)
+    want_angle = np.where(want_angle > np.pi, want_angle - 2 * np.pi,
+                          want_angle)
+    np.testing.assert_allclose(got_angle, want_angle, rtol=1e-5, atol=1e-6)
+    # attention factor folded into the table magnitude
+    mag = np.sqrt(got_sin**2 + got_cos**2)
+    np.testing.assert_allclose(mag, want_attn, rtol=1e-5)
