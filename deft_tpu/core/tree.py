@@ -196,12 +196,18 @@ class TreeCache:
     output_branch (:525-541), get_tree_token_number (:569-584).
     """
 
+    _owner_tag_counter = 0
+
     def __init__(
         self,
         token_to_kv_pool: TokenKVPool,
         req_to_token_pool: Optional[ReqToTokenPool] = None,
         tree_index_pool: Optional[TreeIndexPool] = None,
     ):
+        # distinct chunk-owner namespace per tree: several trees may share
+        # one TokenKVPool (batched decoding) and node ids repeat across trees
+        TreeCache._owner_tag_counter += 1
+        self._owner_tag = TreeCache._owner_tag_counter
         self.token_to_kv_pool = token_to_kv_pool
         self.req_to_token_pool = req_to_token_pool
         self.tree_index_pool = tree_index_pool
@@ -288,7 +294,7 @@ class TreeCache:
         leaves = sorted(self.leaves.values(), key=lambda x: x.id)
         out_cache_loc = np.empty(len(leaves), dtype=np.int32)
         for idx, leaf in enumerate(leaves):
-            loc_arr = self.token_to_kv_pool.alloc_for(leaf.id, 1)
+            loc_arr = self.token_to_kv_pool.alloc_for((self._owner_tag, leaf.id), 1)
             assert loc_arr is not None, "KV pool exhausted"
             loc = int(loc_arr[0])
             out_cache_loc[idx] = loc
@@ -328,7 +334,7 @@ class TreeCache:
         for child in new_nodes:
             self.add_ref(child)
         # node stops appending: recycle its open chunk tail
-        self.token_to_kv_pool.close_owner(node.id)
+        self.token_to_kv_pool.close_owner((self._owner_tag, node.id))
         return new_nodes
 
     def cut(self, node: TreeNode, record_deleted: bool = False) -> List[TreeNode]:
@@ -336,7 +342,7 @@ class TreeCache:
         assert len(node.children) == 0
         assert node.id in self.leaves
         self.leaves.pop(node.id)
-        self.token_to_kv_pool.close_owner(node.id)
+        self.token_to_kv_pool.close_owner((self._owner_tag, node.id))
         self.remove_ref(node)
         if self.req_to_token_pool is not None:
             req = self.leaf_to_req.pop(node.id, None)
@@ -394,7 +400,7 @@ class TreeCache:
             for req in self.leaf_to_req.values():
                 self.req_to_token_pool.free(req)
         for leaf_id in list(self.leaves):
-            self.token_to_kv_pool.close_owner(leaf_id)
+            self.token_to_kv_pool.close_owner((self._owner_tag, leaf_id))
         self.root = None
         self.nodes.clear()
         self.leaves.clear()

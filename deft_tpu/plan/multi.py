@@ -1,0 +1,118 @@
+"""Multi-tree (batched) flatten plan.
+
+The reference is strictly single-tree (its roadmap lists batching as future
+work, /root/reference/DeFT/README.md:248-258).  Here several decoding trees
+share the KV pool and decode in ONE jitted step: leaves are numbered
+globally (tree i's leaves occupy [leaf_offset_i, leaf_offset_i + n_i)), each
+tree's flattened KV keeps its per-token [lo, hi) interval shifted by the
+tree's leaf offset, and the segments concatenate — the kernel is unchanged.
+This is the data-parallel / continuous-batching axis: trees join and leave
+between steps (bucket changes retrace, absorbed by the jit cache).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from deft_tpu.core.tree import TreeCache
+from deft_tpu.plan.flatten import FlattenPlan, _EMPTY_LO, build_flatten_plan
+from deft_tpu.plan.padding import next_pow2, pad_token_count
+
+
+def build_multi_flatten_plan(
+    trees: Sequence[TreeCache],
+    q_per_kv: int,
+    block_len: int = 128,
+    min_token_bucket: int = 1024,
+    seg_len: int = 32,
+) -> FlattenPlan:
+    """Concatenate per-tree flatten plans into one batched plan.
+
+    Call after each tree's alloc().  Exact: a query of tree i can never
+    attend tokens of tree j (disjoint leaf intervals)."""
+    assert trees
+    plans: List[FlattenPlan] = []
+    for t in trees:
+        plans.append(build_flatten_plan(
+            t, q_per_kv,
+            block_len=block_len,
+            min_token_bucket=block_len,  # tight per-tree; pad globally below
+            seg_len=seg_len,
+        ))
+    paged = all(p.paged for p in plans)
+    seg = plans[0].seg_len if paged else 0
+
+    # -- KV side: concatenate with leaf-offset shifts ------------------------
+    kv_parts, lo_parts, hi_parts, seg_parts = [], [], [], []
+    leaf_offsets = []
+    off = 0
+    for p in plans:
+        leaf_offsets.append(off)
+        kv_parts.append(p.kv_idx)
+        lo = p.tok_lo.copy()
+        hi = p.tok_hi.copy()
+        live = lo < _EMPTY_LO
+        lo[live] += off
+        hi[hi > 0] += off
+        lo_parts.append(lo)
+        hi_parts.append(hi)
+        if paged:
+            seg_parts.append(p.seg_src)
+        off += p.n_leaves
+    n_leaves = off
+
+    kv_idx = np.concatenate(kv_parts)
+    tok_lo = np.concatenate(lo_parts)
+    tok_hi = np.concatenate(hi_parts)
+    n_tokens = sum(p.n_tokens for p in plans)
+
+    t_pad = pad_token_count(len(kv_idx), block_len, min_token_bucket)
+    pad = t_pad - len(kv_idx)
+    if pad:
+        tail = (
+            1 + (np.arange(pad, dtype=np.int32) % seg)
+            if paged
+            else np.zeros(pad, dtype=np.int32)
+        )
+        kv_idx = np.concatenate([kv_idx, tail])
+        tok_lo = np.concatenate([tok_lo, np.full(pad, _EMPTY_LO, np.int32)])
+        tok_hi = np.concatenate([tok_hi, np.zeros(pad, np.int32)])
+        if paged:
+            seg_parts.append(kv_idx[len(kv_idx) - pad :: seg][: pad // seg])
+    seg_src = np.concatenate(seg_parts) if paged else None
+
+    nb = t_pad // block_len
+    blk_lo = tok_lo.reshape(nb, block_len).min(axis=1)
+    blk_hi = tok_hi.reshape(nb, block_len).max(axis=1)
+
+    # -- query side: stack with global numbering -----------------------------
+    l_pad = max(next_pow2(max(n_leaves, 1)), 16 // max(q_per_kv, 1), 8)
+    q_tokens = np.zeros(l_pad, dtype=np.int32)
+    q_pos = np.zeros(l_pad, dtype=np.int32)
+    out_loc = np.zeros(l_pad, dtype=np.int32)
+    for p, off in zip(plans, leaf_offsets):
+        n = p.n_leaves
+        q_tokens[off : off + n] = p.q_tokens[:n]
+        q_pos[off : off + n] = p.q_pos[:n]
+        out_loc[off : off + n] = p.out_loc[:n]
+
+    plan = FlattenPlan(
+        kv_idx=kv_idx,
+        tok_lo=tok_lo,
+        tok_hi=tok_hi,
+        blk_lo=blk_lo,
+        blk_hi=blk_hi,
+        q_tokens=q_tokens,
+        q_pos=q_pos,
+        out_loc=out_loc,
+        n_tokens=n_tokens,
+        n_leaves=n_leaves,
+        block_len=block_len,
+        seg_src=seg_src,
+        seg_len=seg,
+        paged=paged,
+    )
+    plan.leaf_offsets = leaf_offsets  # type: ignore[attr-defined]
+    return plan

@@ -88,7 +88,7 @@ def restore(runner, path: str) -> None:
             if req is not None:
                 tree.req_to_token_pool.free(req)
             tree.remove_ref(parent)
-            tree.token_to_kv_pool.close_owner(parent.id)
+            tree.token_to_kv_pool.close_owner((tree._owner_tag, parent.id))
         node = tree.new_node(parent)
         id_map[rec["id"]] = node
         tree.leaves[node.id] = node
@@ -98,10 +98,12 @@ def restore(runner, path: str) -> None:
         node.cumulative_logprob = rec["cumulative_logprob"]
         # KV slots for this node's *executed* tokens (kv_len <= token count)
         if rec["kv_len"]:
-            locs = tree.token_to_kv_pool.alloc_for(node.id, rec["kv_len"])
+            locs = tree.token_to_kv_pool.alloc_for(
+                (tree._owner_tag, node.id), rec["kv_len"]
+            )
             assert locs is not None, "KV pool exhausted during restore"
             node.extend_indices(locs, tree.tree_index_pool)
-        tree.token_to_kv_pool.close_owner(node.id)
+        tree.token_to_kv_pool.close_owner((tree._owner_tag, node.id))
         if tree.req_to_token_pool is not None:
             req = tree.req_to_token_pool.alloc(1)
             assert req is not None

@@ -294,13 +294,16 @@ class ModelRunner:
             )
         self.decode_time = 0.0
 
-    def forward_prefill(self, prompt_ids) -> LogitsView:
-        cache_loc = self.tree.init_prompt(list(map(int, prompt_ids)))
+    def forward_prefill(self, prompt_ids, tree=None) -> LogitsView:
+        """Prefill a prompt into ``tree`` (default: the runner's own tree —
+        batched engines pass their per-request trees)."""
+        tree = tree if tree is not None else self.tree
+        cache_loc = tree.init_prompt(list(map(int, prompt_ids)))
         P = len(cache_loc)
         P_pad = pad_token_count(P, self.ecfg.attention.block_len,
                                 self.ecfg.min_token_bucket)
         tokens = np.zeros(P_pad, dtype=np.int32)
-        tokens[:P] = self.tree.root.token_ids
+        tokens[:P] = tree.root.token_ids
         positions = np.zeros(P_pad, dtype=np.int32)
         positions[:P] = np.arange(P)
         out_loc = np.full(P_pad, DUMP_SLOT, dtype=np.int32)
