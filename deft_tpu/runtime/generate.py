@@ -141,6 +141,14 @@ def tree_generate(
                 pending.append((logits, backfills))
                 chain_view = logits
                 stop = False
+                # bound the async queue: an unbounded enqueue storm (hundreds
+                # of steps x MB-scale plan uploads) can wedge slow transports;
+                # syncing every few steps amortizes the RTT without limiting
+                # device pipelining
+                if len(pending) % 8 == 0:
+                    import jax
+
+                    jax.block_until_ready(logits._vals)
             GlobalTimer.stop("branch")
 
             iter_cost = (time.perf_counter() - step_start) * 1000

@@ -1,0 +1,93 @@
+"""Attribute decode-step time: device compute vs per-step plan upload vs
+host plan build.  Run on the real TPU after a workload warmup.
+
+  python experiments/microbench_step.py [width] [prompt_len]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def main() -> int:
+    width = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    prompt_len = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+    steps = 200
+
+    from deft_tpu.config import EngineConfig
+    from deft_tpu.models import PRESETS
+    from deft_tpu.runtime import ForwardMode, ModelRunner
+
+    cfg = PRESETS["1b"]
+    ecfg = EngineConfig(
+        kv_pool_slots=prompt_len + width * (steps + 8 + 256) + 2048,
+        max_requests=max(64, 2 * width),
+        max_context_len=prompt_len + steps + 64,
+    )
+    runner = ModelRunner(cfg, ecfg, kernels="auto", seed=0)
+    print("backend:", jax.default_backend(), "kernels:", runner.kernels,
+          file=sys.stderr)
+
+    runner.forward_prefill(list(np.random.default_rng(0).integers(
+        4, cfg.vocab_size - 4, prompt_len)))
+    tree = runner.tree
+    for i, c in enumerate(tree.branch(tree.root, width)):
+        c.append_token(100 + i)
+    # grow to steady state
+    for _ in range(8):
+        tree.alloc()
+        for leaf in tree.leaves.values():
+            leaf.append_token(1)
+    tree.alloc()
+
+    mode = ForwardMode.TREE_DECODE_FLATTEN
+
+    # host plan build cost
+    t0 = time.perf_counter()
+    for _ in range(20):
+        plan = runner.build_plan(mode)
+    t_plan = (time.perf_counter() - t0) / 20 * 1000
+    print(f"host plan build        : {t_plan:7.3f} ms  "
+          f"(t_pad={plan.t_pad}, paged={plan.paged})")
+
+    # upload cost (fresh jnp.asarray of all plan arrays)
+    batch = runner._to_batch(mode, plan)
+    jax.block_until_ready(batch.tok_lo)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        b = runner._to_batch(mode, plan)
+        jax.block_until_ready(b.tok_lo)
+    t_upload = (time.perf_counter() - t0) / 20 * 1000
+    print(f"plan upload (H2D)      : {t_upload:7.3f} ms")
+
+    # device step with fixed, resident batch (pure compute + dispatch)
+    step = runner._decode_step(mode, paged=batch.seg_src is not None)
+    out = step(runner.params, runner.k_pool, runner.v_pool, batch)
+    jax.block_until_ready(out[0])
+    runner.k_pool, runner.v_pool = out[3], out[4]
+    t0 = time.perf_counter()
+    N = 30
+    for _ in range(N):
+        out = step(runner.params, runner.k_pool, runner.v_pool, batch)
+        runner.k_pool, runner.v_pool = out[3], out[4]
+    jax.block_until_ready(out[0])
+    t_dev = (time.perf_counter() - t0) / N * 1000
+    print(f"device step (resident) : {t_dev:7.3f} ms")
+
+    # fetch RTT
+    t0 = time.perf_counter()
+    np.asarray(out[0])
+    t_fetch = (time.perf_counter() - t0) * 1000
+    print(f"result fetch (D2H)     : {t_fetch:7.3f} ms")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
