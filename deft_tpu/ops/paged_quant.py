@@ -1,0 +1,188 @@
+"""Paged DeFT-Flatten kernel for the int8 KV cache: DMA-gathers int8 KV
+segments *and* their per-(token, head) fp32 scale segments from HBM,
+dequantizing in VMEM.  int8 halves the attention's HBM KV traffic on top of
+the flatten algorithm's tree-sharing savings.
+
+Same structure as ops/paged_flatten_attn.py (see that module for the
+double-buffering / segment-table design); only the operands differ.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deft_tpu.ops.flatten_attn import _NEG, _interpret, fold_q, unfold_o
+
+
+def _paged_q_kernel(
+    li_ref, seg_src_ref, blk_lo_ref, blk_hi_ref,
+    q_ref,
+    k_pool_ref, v_pool_ref,      # ANY (L, Hkv, S, D) int8
+    ks_pool_ref, vs_pool_ref,    # ANY (L, Hkv, S) f32
+    lo_ref, hi_ref,
+    o_ref,
+    kbuf, vbuf,                  # VMEM (2, BLOCK, D) int8
+    ksbuf, vsbuf,                # VMEM (2, BLOCK) f32
+    sem,                         # DMA sems (2, 4, nseg)
+    acc_ref, m_ref, l_ref,
+    *, scale, qpk, block_len, seg_len, num_blocks,
+):
+    h = pl.program_id(0)
+    b = pl.program_id(1)
+    li = li_ref[0]
+    nseg = block_len // seg_len
+
+    def seg_copies(bb, slot):
+        copies = []
+        for j in range(nseg):
+            src = seg_src_ref[bb * nseg + j]
+            dst = pl.ds(j * seg_len, seg_len)
+            copies.append(pltpu.make_async_copy(
+                k_pool_ref.at[li, h, pl.ds(src, seg_len), :],
+                kbuf.at[slot, dst, :], sem.at[slot, 0, j]))
+            copies.append(pltpu.make_async_copy(
+                v_pool_ref.at[li, h, pl.ds(src, seg_len), :],
+                vbuf.at[slot, dst, :], sem.at[slot, 1, j]))
+            copies.append(pltpu.make_async_copy(
+                ks_pool_ref.at[li, h, pl.ds(src, seg_len)],
+                ksbuf.at[slot, dst], sem.at[slot, 2, j]))
+            copies.append(pltpu.make_async_copy(
+                vs_pool_ref.at[li, h, pl.ds(src, seg_len)],
+                vsbuf.at[slot, dst], sem.at[slot, 3, j]))
+        return copies
+
+    def live(bb):
+        return blk_lo_ref[bb] < blk_hi_ref[bb]
+
+    def issue(bb, slot):
+        @pl.when(live(bb))
+        def _():
+            for c in seg_copies(bb, slot):
+                c.start()
+
+    @pl.when(b == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        issue(0, 0)
+
+    @pl.when(b + 1 < num_blocks)
+    def _prefetch():
+        issue(b + 1, (b + 1) % 2)
+
+    @pl.when(live(b))
+    def _compute():
+        slot = b % 2
+        for c in seg_copies(b, slot):
+            c.wait()
+        q = q_ref[0]
+        rq = q.shape[0]
+        k = kbuf[slot].astype(jnp.float32) * ksbuf[slot][:, None]
+        s = jax.lax.dot_general(
+            q.astype(jnp.float32), k,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * scale
+        leaf = jax.lax.broadcasted_iota(jnp.int32, (rq, block_len), 0) // qpk
+        mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
+        m_prev = m_ref[:, :1]
+        m_cur = jnp.max(jnp.where(mask, s, _NEG), axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v = vbuf[slot].astype(jnp.float32) * vsbuf[slot][:, None]
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(b == num_blocks - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        o_ref[0] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "qpk", "block_len", "seg_len")
+)
+def paged_flatten_attention_q(
+    qf, k_pool, v_pool, k_scale, v_scale, li, seg_src,
+    tok_lo, tok_hi, blk_lo, blk_hi,
+    *, scale, qpk, block_len, seg_len,
+):
+    Hkv, Rq, D = qf.shape
+    T = tok_lo.shape[0]
+    nb = T // block_len
+    kernel = functools.partial(
+        _paged_q_kernel, scale=scale, qpk=qpk,
+        block_len=block_len, seg_len=seg_len, num_blocks=nb,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(Hkv, nb),
+        in_specs=[
+            pl.BlockSpec((1, Rq, D), lambda h, b, *_: (h, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, block_len), lambda h, b, *_: (0, b)),
+            pl.BlockSpec((1, block_len), lambda h, b, *_: (0, b)),
+        ],
+        out_specs=pl.BlockSpec((1, Rq, D), lambda h, b, *_: (h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_len, D), k_pool.dtype),
+            pltpu.VMEM((2, block_len, D), v_pool.dtype),
+            pltpu.VMEM((2, block_len), jnp.float32),
+            pltpu.VMEM((2, block_len), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4, block_len // seg_len)),
+            pltpu.VMEM((Rq, D), jnp.float32),
+            pltpu.VMEM((Rq, 128), jnp.float32),
+            pltpu.VMEM((Rq, 128), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Hkv, Rq, D), qf.dtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * Hkv * Rq * T * D,
+            bytes_accessed=Hkv * T * (2 * D + 8),
+            transcendentals=Hkv * Rq * T,
+        ),
+    )(
+        li.reshape(1).astype(jnp.int32), seg_src, blk_lo, blk_hi,
+        qf, k_pool, v_pool, k_scale, v_scale,
+        tok_lo.reshape(1, T), tok_hi.reshape(1, T),
+    )
+
+
+def paged_flatten_attn_q_pallas(q, k_new, v_new, k_pool, v_pool, li, batch,
+                                scale):
+    """AttnFn entry for int8 pools with seg tables."""
+    R, Hq, D = q.shape
+    assert k_pool.quantized
+    Hkv = k_pool.data.shape[1]
+    T = int(batch.tok_lo.shape[0])
+    B = int(batch.blk_lo.shape[0])
+    block_len = T // B
+    nseg = int(batch.seg_src.shape[0]) // B
+    o = paged_flatten_attention_q(
+        fold_q(q, Hkv), k_pool.data, v_pool.data, k_pool.scale, v_pool.scale,
+        li, batch.seg_src, batch.tok_lo, batch.tok_hi,
+        batch.blk_lo, batch.blk_hi,
+        scale=scale, qpk=Hq // Hkv,
+        block_len=block_len, seg_len=block_len // nseg,
+    )
+    return unfold_o(o, R)

@@ -226,9 +226,14 @@ class ModelRunner:
         # Pallas kernels (TPU / interpret).
         from deft_tpu.ops.flatten_attn import flatten_attn_pallas
         from deft_tpu.ops.paged_flatten_attn import paged_flatten_attn_pallas
+        from deft_tpu.ops.paged_quant import paged_flatten_attn_q_pallas
         from deft_tpu.ops.seq_attn import seq_attn_pallas
 
-        tree_attn = paged_flatten_attn_pallas if paged else flatten_attn_pallas
+        if paged:
+            tree_attn = (paged_flatten_attn_q_pallas if self.kv_quantized
+                         else paged_flatten_attn_pallas)
+        else:
+            tree_attn = flatten_attn_pallas
         return {
             "flatten": tree_attn,
             "node": tree_attn,
@@ -349,9 +354,7 @@ class ModelRunner:
                 seq_lens=jnp.asarray(plan.seq_lens),
             )
         assert isinstance(plan, FlattenPlan)
-        # int8 KV takes the gather (XLA dequant) path until the paged kernel
-        # grows a scale-segment DMA
-        paged = plan.paged and self.kernels != "xla" and not self.kv_quantized
+        paged = plan.paged and self.kernels != "xla"
         return DecodeBatch(
             q_tokens=jnp.asarray(plan.q_tokens),
             q_pos=jnp.asarray(plan.q_pos),

@@ -195,3 +195,60 @@ def test_paged_flatten_kernel_vs_oracle(dtype):
     live = np.arange(R) < plan.n_leaves
     tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
     assert rel_err(np.asarray(got)[live], np.asarray(want)[live]) < tol
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32])
+def test_paged_quant_kernel_vs_dequant_oracle(dtype):
+    """int8 paged kernel must match the XLA dequant-gather oracle exactly
+    (same quantized values in, same math)."""
+    from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache
+    from deft_tpu.models.llama import KVPool, kv_gather
+    from deft_tpu.ops.flatten_attn import fold_q, unfold_o
+    from deft_tpu.ops.paged_quant import paged_flatten_attention_q
+    from deft_tpu.plan import build_flatten_plan
+
+    rng = np.random.default_rng(5)
+    Hq, Hkv, D = 8, 2, 64
+    tree = TreeCache(TokenKVPool(8192), ReqToTokenPool(64, 2048))
+    tree.init_prompt(list(range(150)))
+    for i, c in enumerate(tree.branch(tree.root, 4)):
+        c.append_token(50 + i)
+    for _ in range(30):
+        tree.alloc()
+        for leaf in list(tree.leaves.values()):
+            leaf.append_token(int(rng.integers(1, 400)))
+    tree.alloc()
+    plan = build_flatten_plan(tree, q_per_kv=Hq // Hkv, min_token_bucket=256)
+    assert plan.paged
+
+    S = tree.token_to_kv_pool.size
+    kd = rng.integers(-127, 128, (1, Hkv, S, D)).astype(np.int8)
+    vd = rng.integers(-127, 128, (1, Hkv, S, D)).astype(np.int8)
+    ks = rng.uniform(0.01, 0.1, (1, Hkv, S)).astype(np.float32)
+    vs = rng.uniform(0.01, 0.1, (1, Hkv, S)).astype(np.float32)
+    k_pool = KVPool(jnp.asarray(kd), jnp.asarray(ks))
+    v_pool = KVPool(jnp.asarray(vd), jnp.asarray(vs))
+    R = plan.l_pad
+    q = jnp.asarray(rng.standard_normal((R, Hq, D)), dtype)
+    scale = D**-0.5
+
+    kt = jnp.swapaxes(kv_gather(k_pool, 0, plan.kv_idx, jnp.float32), 0, 1)
+    vt = jnp.swapaxes(kv_gather(v_pool, 0, plan.kv_idx, jnp.float32), 0, 1)
+    want = dense_tree_attention(
+        q, kt, vt, jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi), scale
+    )
+
+    got = unfold_o(
+        paged_flatten_attention_q(
+            fold_q(q, Hkv), k_pool.data, v_pool.data,
+            k_pool.scale, v_pool.scale,
+            jnp.asarray(0, jnp.int32), jnp.asarray(plan.seg_src),
+            jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi),
+            jnp.asarray(plan.blk_lo), jnp.asarray(plan.blk_hi),
+            scale=scale, qpk=Hq // Hkv,
+            block_len=plan.block_len, seg_len=plan.seg_len,
+        ),
+        R,
+    )
+    live = np.arange(R) < plan.n_leaves
+    assert rel_err(np.asarray(got)[live], np.asarray(want)[live]) < 2e-5
