@@ -105,6 +105,9 @@ class PerfMetrics:
         self.e2e_latency = e2e_latency
 
     def update_decode_latency(self) -> float:
+        """Sum of per-iteration forward time.  Under async device chaining
+        each periodic pipeline sync is charged to the forward of the step it
+        waits on, so the sum stays the honest device decode time."""
         self.decode_latency = sum(self.forward_per_iter)
         return self.decode_latency
 

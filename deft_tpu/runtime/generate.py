@@ -143,12 +143,15 @@ def tree_generate(
                 stop = False
                 # bound the async queue: an unbounded enqueue storm (hundreds
                 # of steps x MB-scale plan uploads) can wedge slow transports;
-                # syncing every few steps amortizes the RTT without limiting
-                # device pipelining
-                if len(pending) % 8 == 0:
+                # syncing every few steps amortizes the fetch RTT without
+                # limiting device pipelining.  The wait is device decode time
+                # for the whole window, so charge it to this step's forward.
+                if it % 8 == 0:
                     import jax
 
+                    t_sync = time.perf_counter()
                     jax.block_until_ready(logits._vals)
+                    fwd_t += time.perf_counter() - t_sync
             GlobalTimer.stop("branch")
 
             iter_cost = (time.perf_counter() - step_start) * 1000
