@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block_len", type=int, default=128)
     p.add_argument("--dtype", choices=["bfloat16", "float32"],
                    default="bfloat16")
+    p.add_argument("--kv-dtype", choices=["inherit", "int8"],
+                   default="inherit",
+                   help="int8: quantized KV cache (per-token-head scales)")
     p.add_argument("--kv_pool_slots", type=int, default=None)
     p.add_argument("--print-branches", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -89,6 +92,7 @@ def _load_model_and_tokenizer(args):
         ),
         kv_pool_slots=args.kv_pool_slots,
         dtype=args.dtype,
+        kv_dtype=args.kv_dtype,
     )
     if args.random_model:
         cfg = PRESETS[args.random_model]
