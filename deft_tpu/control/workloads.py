@@ -10,7 +10,6 @@ probabilities; rows ordered by the tree's current leaf_to_q).
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import numpy as np

@@ -5,14 +5,13 @@ Parity surface: the reference's load_weights + hf_model_weights_iterator
 TPU-first: per-layer tensors are stacked into (num_layers, ...) arrays so the
 forward is a lax.scan over layers (one compiled layer body instead of an
 unrolled 32-layer graph), and projections are kept as (in, out) matrices for
-row-major MXU matmuls.  QKV and gate/up are merged like the reference's
-QKVLinear/MergedLinear (linear.py:8-117).
+row-major MXU matmuls.  q/k/v and gate/up stay separate tensors (see
+_param_shapes) so tensor-parallel sharding is clean.
 """
 
 from __future__ import annotations
 
 import glob
-import json
 import os
 from typing import Any, Dict
 

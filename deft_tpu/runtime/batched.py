@@ -12,11 +12,9 @@ jit cache.
 
 from __future__ import annotations
 
-import time
-from typing import Callable, List, Optional, Sequence
+from typing import List, Optional
 
 from deft_tpu.core.tree import TreeCache
-from deft_tpu.obs import PerfMetrics
 from deft_tpu.plan.multi import build_multi_flatten_plan
 from deft_tpu.runtime.modes import ForwardMode
 from deft_tpu.runtime.runner import LogitsView, ModelRunner

@@ -11,9 +11,9 @@ root-to-leaf path to repopulate KV.  This makes recovery from preemption
 from __future__ import annotations
 
 import json
-from typing import Dict, List
+from typing import Dict
 
-from deft_tpu.core.tree import TreeCache, TreeNode
+from deft_tpu.core.tree import TreeCache
 
 
 def tree_snapshot(tree: TreeCache) -> Dict:
