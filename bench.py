@@ -94,7 +94,9 @@ def main() -> int:
     flat = run_mode("flatten")
     print(f"# flatten: {flat}", file=sys.stderr)
 
-    speedup = seq["steady_fwd_ms"] / flat["steady_fwd_ms"]
+    # TPOT = decode_latency / generated; decode latency sums per-step
+    # forward (with async pipeline syncs charged to the step they wait on)
+    speedup = seq["tpot_ms"] / flat["tpot_ms"]
     print(f"# wall {time.time()-t0:.0f}s  steady-fwd speedup {speedup:.3f}x"
           f"  (tpot {seq['tpot_ms']:.3f} -> {flat['tpot_ms']:.3f} ms/tok;"
           f"  KV IO {seq['kv_io_bytes']:.3g} -> {flat['kv_io_bytes']:.3g} B)",
