@@ -42,14 +42,18 @@ class TokenKVPool:
     """
 
     def __init__(self, size: int, chunk: int = 128):
-        assert size > 1
+        assert size > chunk
         self.size = size
         self.chunk = chunk
         self.refs = np.zeros(size, dtype=np.int32)
-        # Slot 0 reserved (see module docstring); never allocated.
-        self._bump = 1
+        # Slots [0, chunk) reserved: slot 0 is the DUMP scratch target and
+        # the region serves as an always-valid DMA source for dead segments.
+        # Starting the bump at a chunk boundary keeps every chunk (and hence
+        # every DMA segment start) tile-aligned — Mosaic requires DMA row
+        # offsets divisible by the sublane tiling.
+        self._bump = chunk
         self._recycled: list[int] = []
-        self._free_count = size - 1
+        self._free_count = size - chunk
         self._live = 0  # slots with refs > 0 (excludes reserved-unused)
         # owner id -> [next_slot, end_slot) of its open chunk
         self._open: dict[int, list] = {}
@@ -113,13 +117,19 @@ class TokenKVPool:
     def _reserved_unused(self) -> int:
         return sum(e - n for n, e in self._open.values())
 
-    def _open_chunk(self, owner: int) -> bool:
-        """Reserve a fresh chunk from the bump region (free_count is charged
-        at reservation; handed-out slots are not charged again)."""
-        if self.size - self._bump < self.chunk:
+    def _open_chunk(self, owner) -> bool:
+        """Reserve a fresh chunk-aligned chunk from the bump region
+        (free_count is charged at reservation; handed-out slots are not
+        charged again).  Alignment skips (after an unaligned batch alloc)
+        are recycled as single slots."""
+        aligned = ((self._bump + self.chunk - 1) // self.chunk) * self.chunk
+        if self.size - aligned < self.chunk:
             return False
-        if self._free_count < self.chunk:
+        if self._free_count < self.chunk + (aligned - self._bump):
             return False
+        if aligned != self._bump:
+            self._recycled.extend(range(self._bump, aligned))
+            self._bump = aligned
         self._open[owner] = [self._bump, self._bump + self.chunk]
         self._bump += self.chunk
         self._free_count -= self.chunk
@@ -155,8 +165,8 @@ class TokenKVPool:
 
     def clear(self) -> None:
         self.refs[:] = 0
-        self._bump = 1
+        self._bump = self.chunk
         self._recycled.clear()
-        self._free_count = self.size - 1
+        self._free_count = self.size - self.chunk
         self._live = 0
         self._open.clear()

@@ -60,10 +60,10 @@ class PrefillBatch(NamedTuple):
 
 
 class KVPool(NamedTuple):
-    """Paged KV arena for one of K/V.  ``data`` is (L, Hkv, S, D) in bf16,
-    or int8 with per-(token, head) fp32 ``scale`` (L, Hkv, S) — the int8 KV
-    cache halves HBM footprint and attention KV IO (no reference
-    counterpart; SURVEY.md §7 build item 8)."""
+    """Paged KV arena for one of K/V.  ``data`` is token-major
+    (L, S, Hkv, D) in bf16, or int8 with per-(token, head) fp32 ``scale``
+    (L, S, Hkv) — the int8 KV cache halves HBM footprint and attention KV IO
+    (no reference counterpart; SURVEY.md §7 build item 8)."""
 
     data: jnp.ndarray
     scale: Optional[jnp.ndarray] = None
@@ -75,29 +75,27 @@ class KVPool(NamedTuple):
 
 def kv_store(pool: KVPool, li, out_loc, x) -> KVPool:
     """Scatter new per-token K or V rows (n, Hkv, D) into the pool,
-    quantizing if the pool is int8.  Mixed scalar+slice+array indexing
-    fronts the advanced dims, so update values keep x's (n, Hkv, ...)
-    shape."""
+    quantizing if the pool is int8."""
     if not pool.quantized:
         return pool._replace(
-            data=pool.data.at[li, :, out_loc].set(x.astype(pool.data.dtype))
+            data=pool.data.at[li, out_loc].set(x.astype(pool.data.dtype))
         )
     xf = x.astype(jnp.float32)
     s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-8)  # (n, Hkv)
     q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
     return KVPool(
-        pool.data.at[li, :, out_loc].set(q),
-        pool.scale.at[li, :, out_loc].set(s),
+        pool.data.at[li, out_loc].set(q),
+        pool.scale.at[li, out_loc].set(s),
     )
 
 
 def kv_gather(pool: KVPool, li, idx, out_dtype) -> jnp.ndarray:
-    """Gather + dequantize pool rows: idx (T,) -> (Hkv, T, D);
-    idx (R, C) -> (Hkv, R, C, D)."""
-    d = pool.data[li][:, idx]
+    """Gather + dequantize pool rows, token-major: idx (T,) ->
+    (T, Hkv, D); idx (R, C) -> (R, C, Hkv, D)."""
+    d = pool.data[li][idx]
     if not pool.quantized:
         return d
-    s = pool.scale[li][:, idx]
+    s = pool.scale[li][idx]
     return (d.astype(jnp.float32) * s[..., None]).astype(out_dtype)
 
 

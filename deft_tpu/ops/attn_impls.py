@@ -24,8 +24,8 @@ def flatten_attn_xla(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """Tree attention over the DFS-flattened plan, dense-masked XLA version
     (oracle for the Pallas flatten kernel; also the UNPAGED_MEDUSA dense
     baseline since the math materializes the full score matrix)."""
-    kt = jnp.swapaxes(kv_gather(k_pool, li, batch.kv_idx, q.dtype), 0, 1)
-    vt = jnp.swapaxes(kv_gather(v_pool, li, batch.kv_idx, q.dtype), 0, 1)
+    kt = kv_gather(k_pool, li, batch.kv_idx, q.dtype)  # (T, Hkv, D)
+    vt = kv_gather(v_pool, li, batch.kv_idx, q.dtype)
     return dense_tree_attention(q, kt, vt, batch.tok_lo, batch.tok_hi, scale)
 
 
@@ -33,8 +33,8 @@ def seq_attn_xla(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """Sequential per-leaf decode (Flash-Decoding baseline), XLA version:
     each leaf gathers and attends its own full path — the per-leaf KV
     re-reads are the point of this baseline."""
-    kt = jnp.moveaxis(kv_gather(k_pool, li, batch.paths, q.dtype), 0, 2)
-    vt = jnp.moveaxis(kv_gather(v_pool, li, batch.paths, q.dtype), 0, 2)
+    kt = kv_gather(k_pool, li, batch.paths, q.dtype)  # (R, C, Hkv, D)
+    vt = kv_gather(v_pool, li, batch.paths, q.dtype)
     R, C, Hkv, D = kt.shape
     Hq = q.shape[1]
     qpk = Hq // Hkv

@@ -196,10 +196,10 @@ def flatten_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     from deft_tpu.models.llama import kv_gather
 
     R, Hq, D = q.shape
-    Hkv = k_pool.data.shape[1]
+    Hkv = k_pool.data.shape[2]
     qpk = Hq // Hkv
-    kt = kv_gather(k_pool, li, batch.kv_idx, q.dtype)  # (Hkv, T, D)
-    vt = kv_gather(v_pool, li, batch.kv_idx, q.dtype)
+    kt = jnp.moveaxis(kv_gather(k_pool, li, batch.kv_idx, q.dtype), 1, 0)
+    vt = jnp.moveaxis(kv_gather(v_pool, li, batch.kv_idx, q.dtype), 1, 0)
     qf = fold_q(q, Hkv)
     o = flatten_attention(
         qf,

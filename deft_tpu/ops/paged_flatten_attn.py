@@ -3,11 +3,23 @@ IO-optimal flagship kernel.
 
 The gather-path kernel (ops/flatten_attn.py) lets XLA materialize the
 DFS-flattened KV (gather: read pool + write T + re-read T => ~3x the
-minimum KV IO).  Here the paged pools stay in HBM and the kernel itself
-DMA-gathers each 128-token KV block as ``block_len/seg_len`` contiguous
-(seg_len, head_dim) segments (plan/flatten.py seg tables; pool contiguity
-from TokenKVPool.alloc_for chunking), double-buffered across blocks — KV is
-read from HBM exactly once, the DeFT IO bound.
+minimum KV IO, through a 256B-granular random gather).  Here the paged pools
+stay in HBM and the kernel DMA-gathers KV itself:
+
+- The pool is **token-major** (L, S, Hkv, D): one pool row holds every
+  head's K (or V) for a token, so one DMA segment of ``seg_len`` tokens is a
+  single contiguous (seg_len * Hkv * D)-byte span serving ALL heads.  With
+  seg_len=128 a whole 128-token KV block is ONE descriptor per K/V — the
+  gather cost collapses from per-token/per-head reads to a handful of big
+  sequential DMAs per block (TPU DMA issue is scalar-core-bound, so
+  descriptor count, not just bytes, is the budget).
+- Grid is (num_blocks,); every head is computed inside the program from the
+  shared block buffer (per-head MXU matmuls), with the flash-attention
+  (m, l, acc) state per head in VMEM scratch.
+- Double buffering overlaps the next block's DMAs with compute
+  (plan/flatten.py seg tables; pool-contiguity from TokenKVPool.alloc_for
+  chunking; segment starts are chunk-aligned so Mosaic can prove DMA tile
+  alignment).
 
 This replaces the reference's per-token ``KV_indices`` gather inside the
 Triton kernel (/root/reference/DeFT/deft/layers/attention/
@@ -24,13 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from deft_tpu.ops.flatten_attn import fold_q, unfold_o
-
-_NEG = -1e30
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from deft_tpu.ops.flatten_attn import _NEG, _interpret, fold_q, unfold_o
 
 
 def _paged_kernel(
@@ -40,44 +46,47 @@ def _paged_kernel(
     blk_lo_ref,   # (B,)
     blk_hi_ref,   # (B,)
     # inputs
-    q_ref,        # VMEM (1, Rq, D)
-    k_pool_ref,   # ANY  (L, Hkv, S, D)
-    v_pool_ref,   # ANY  (L, Hkv, S, D)
+    q_ref,        # VMEM (Hkv, Rq, D)
+    k_pool_ref,   # ANY  (L, S, Hkv, D)
+    v_pool_ref,   # ANY  (L, S, Hkv, D)
     lo_ref,       # VMEM (1, BLOCK)
     hi_ref,       # VMEM (1, BLOCK)
     # outputs
-    o_ref,        # VMEM (1, Rq, D)
+    o_ref,        # VMEM (Hkv, Rq, D)
     # scratch
-    kbuf,         # VMEM (2, BLOCK, D) pool dtype
-    vbuf,         # VMEM (2, BLOCK, D)
+    kbuf,         # VMEM (2, BLOCK, Hkv, D) pool dtype
+    vbuf,         # VMEM (2, BLOCK, Hkv, D)
     sem,          # DMA sems (2, 2, nseg)
-    acc_ref,      # VMEM (Rq, D) f32
-    m_ref,        # VMEM (Rq, 128) f32
-    l_ref,        # VMEM (Rq, 128) f32
+    acc_ref,      # VMEM (Hkv, Rq, D) f32
+    m_ref,        # VMEM (Hkv, Rq, 128) f32
+    l_ref,        # VMEM (Hkv, Rq, 128) f32
     *,
     scale: float,
     qpk: int,
     block_len: int,
     seg_len: int,
     num_blocks: int,
+    num_kv_heads: int,
 ):
-    h = pl.program_id(0)
-    b = pl.program_id(1)
+    b = pl.program_id(0)
     li = li_ref[0]
     nseg = block_len // seg_len
 
     def seg_copies(bb, slot):
         copies = []
         for j in range(nseg):
-            src = seg_src_ref[bb * nseg + j]
+            # chunk-aligned allocation guarantees seg starts are seg_len
+            # multiples; the hint lets Mosaic prove DMA tile alignment
+            src = pl.multiple_of(seg_src_ref[bb * nseg + j], seg_len)
+            dst = pl.ds(j * seg_len, seg_len)
             copies.append(pltpu.make_async_copy(
-                k_pool_ref.at[li, h, pl.ds(src, seg_len), :],
-                kbuf.at[slot, pl.ds(j * seg_len, seg_len), :],
+                k_pool_ref.at[li, pl.ds(src, seg_len), :, :],
+                kbuf.at[slot, dst, :, :],
                 sem.at[slot, 0, j],
             ))
             copies.append(pltpu.make_async_copy(
-                v_pool_ref.at[li, h, pl.ds(src, seg_len), :],
-                vbuf.at[slot, pl.ds(j * seg_len, seg_len), :],
+                v_pool_ref.at[li, pl.ds(src, seg_len), :, :],
+                vbuf.at[slot, dst, :, :],
                 sem.at[slot, 1, j],
             ))
         return copies
@@ -91,7 +100,6 @@ def _paged_kernel(
             for c in seg_copies(bb, slot):
                 c.start()
 
-    # warmup: first block of this head row
     @pl.when(b == 0)
     def _init():
         m_ref[...] = jnp.full_like(m_ref, _NEG)
@@ -99,7 +107,6 @@ def _paged_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
         issue(0, 0)
 
-    # prefetch next block into the other buffer
     @pl.when(b + 1 < num_blocks)
     def _prefetch():
         issue(b + 1, (b + 1) % 2)
@@ -109,44 +116,49 @@ def _paged_kernel(
         slot = b % 2
         for c in seg_copies(b, slot):
             c.wait()
-        q = q_ref[0]
-        rq = q.shape[0]
-        k = kbuf[slot]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        rq = q_ref.shape[1]
         leaf = jax.lax.broadcasted_iota(jnp.int32, (rq, block_len), 0) // qpk
         mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
-        m_prev = m_ref[:, :1]
-        m_cur = jnp.max(jnp.where(mask, s, _NEG), axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p,
-            vbuf[slot].astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+        for h in range(num_kv_heads):
+            q = q_ref[h]                 # (Rq, D)
+            k = kbuf[slot, :, h, :]      # (BLOCK, D)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m_prev = m_ref[h, :, :1]
+            m_cur = jnp.max(jnp.where(mask, s, _NEG), axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_ref[h, :, :1] * alpha + jnp.sum(
+                p, axis=-1, keepdims=True
+            )
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                p,
+                vbuf[slot, :, h, :].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[h] = jnp.broadcast_to(m_new, (rq, 128))
+            l_ref[h] = jnp.broadcast_to(l_new, (rq, 128))
 
     @pl.when(b == num_blocks - 1)
     def _finish():
-        l = l_ref[:, :1]
-        o_ref[0] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)).astype(
-            o_ref.dtype
-        )
+        for h in range(num_kv_heads):
+            l = l_ref[h, :, :1]
+            o_ref[h] = (acc_ref[h] / jnp.where(l == 0.0, 1.0, l)).astype(
+                o_ref.dtype
+            )
 
 
 @functools.partial(
     jax.jit, static_argnames=("scale", "qpk", "block_len", "seg_len")
 )
 def paged_flatten_attention(
-    qf: jnp.ndarray,       # (Hkv, Rq, D)
-    k_pool: jnp.ndarray,   # (L, Hkv, S, D)
-    v_pool: jnp.ndarray,   # (L, Hkv, S, D)
+    qf: jnp.ndarray,       # (Hkv, Rq, D) folded queries
+    k_pool: jnp.ndarray,   # (L, S, Hkv, D)
+    v_pool: jnp.ndarray,   # (L, S, Hkv, D)
     li: jnp.ndarray,       # () int32 layer index
     seg_src: jnp.ndarray,  # (B * nseg,) int32
     tok_lo: jnp.ndarray,   # (T,)
@@ -171,25 +183,26 @@ def paged_flatten_attention(
         block_len=block_len,
         seg_len=seg_len,
         num_blocks=nb,
+        num_kv_heads=Hkv,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(Hkv, nb),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, Rq, D), lambda h, b, *_: (h, 0, 0)),
+            pl.BlockSpec((Hkv, Rq, D), lambda b, *_: (0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, block_len), lambda h, b, *_: (0, b)),
-            pl.BlockSpec((1, block_len), lambda h, b, *_: (0, b)),
+            pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
+            pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
         ],
-        out_specs=pl.BlockSpec((1, Rq, D), lambda h, b, *_: (h, 0, 0)),
+        out_specs=pl.BlockSpec((Hkv, Rq, D), lambda b, *_: (0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, block_len, D), k_pool.dtype),
-            pltpu.VMEM((2, block_len, D), v_pool.dtype),
+            pltpu.VMEM((2, block_len, Hkv, D), k_pool.dtype),
+            pltpu.VMEM((2, block_len, Hkv, D), v_pool.dtype),
             pltpu.SemaphoreType.DMA((2, 2, block_len // seg_len)),
-            pltpu.VMEM((Rq, D), jnp.float32),
-            pltpu.VMEM((Rq, 128), jnp.float32),
-            pltpu.VMEM((Rq, 128), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, D), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
         ],
     )
     out = pl.pallas_call(
@@ -219,9 +232,9 @@ def paged_flatten_attention(
 def paged_flatten_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """AttnFn entry for the paged path; requires batch.seg_src."""
     R, Hq, D = q.shape
-    assert not k_pool.quantized, "paged kernel int8 path: use gather fallback"
+    assert not k_pool.quantized, "paged kernel int8 path: use paged_quant"
     k_pool, v_pool = k_pool.data, v_pool.data
-    Hkv = k_pool.shape[1]
+    Hkv = k_pool.shape[2]
     T = int(batch.tok_lo.shape[0])
     B = int(batch.blk_lo.shape[0])
     block_len = T // B

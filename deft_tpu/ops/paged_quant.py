@@ -3,8 +3,8 @@ segments *and* their per-(token, head) fp32 scale segments from HBM,
 dequantizing in VMEM.  int8 halves the attention's HBM KV traffic on top of
 the flatten algorithm's tree-sharing savings.
 
-Same structure as ops/paged_flatten_attn.py (see that module for the
-double-buffering / segment-table design); only the operands differ.
+Same token-major / all-heads-per-DMA structure as
+ops/paged_flatten_attn.py (see that module); only the operands differ.
 """
 
 from __future__ import annotations
@@ -21,39 +21,38 @@ from deft_tpu.ops.flatten_attn import _NEG, _interpret, fold_q, unfold_o
 
 def _paged_q_kernel(
     li_ref, seg_src_ref, blk_lo_ref, blk_hi_ref,
-    q_ref,
-    k_pool_ref, v_pool_ref,      # ANY (L, Hkv, S, D) int8
-    ks_pool_ref, vs_pool_ref,    # ANY (L, Hkv, S) f32
+    q_ref,                       # VMEM (Hkv, Rq, D)
+    k_pool_ref, v_pool_ref,      # ANY (L, S, Hkv, D) int8
+    ks_pool_ref, vs_pool_ref,    # ANY (L, S, Hkv) f32
     lo_ref, hi_ref,
     o_ref,
-    kbuf, vbuf,                  # VMEM (2, BLOCK, D) int8
-    ksbuf, vsbuf,                # VMEM (2, BLOCK) f32
+    kbuf, vbuf,                  # VMEM (2, BLOCK, Hkv, D) int8
+    ksbuf, vsbuf,                # VMEM (2, BLOCK, Hkv) f32
     sem,                         # DMA sems (2, 4, nseg)
     acc_ref, m_ref, l_ref,
-    *, scale, qpk, block_len, seg_len, num_blocks,
+    *, scale, qpk, block_len, seg_len, num_blocks, num_kv_heads,
 ):
-    h = pl.program_id(0)
-    b = pl.program_id(1)
+    b = pl.program_id(0)
     li = li_ref[0]
     nseg = block_len // seg_len
 
     def seg_copies(bb, slot):
         copies = []
         for j in range(nseg):
-            src = seg_src_ref[bb * nseg + j]
+            src = pl.multiple_of(seg_src_ref[bb * nseg + j], seg_len)
             dst = pl.ds(j * seg_len, seg_len)
             copies.append(pltpu.make_async_copy(
-                k_pool_ref.at[li, h, pl.ds(src, seg_len), :],
-                kbuf.at[slot, dst, :], sem.at[slot, 0, j]))
+                k_pool_ref.at[li, pl.ds(src, seg_len), :, :],
+                kbuf.at[slot, dst, :, :], sem.at[slot, 0, j]))
             copies.append(pltpu.make_async_copy(
-                v_pool_ref.at[li, h, pl.ds(src, seg_len), :],
-                vbuf.at[slot, dst, :], sem.at[slot, 1, j]))
+                v_pool_ref.at[li, pl.ds(src, seg_len), :, :],
+                vbuf.at[slot, dst, :, :], sem.at[slot, 1, j]))
             copies.append(pltpu.make_async_copy(
-                ks_pool_ref.at[li, h, pl.ds(src, seg_len)],
-                ksbuf.at[slot, dst], sem.at[slot, 2, j]))
+                ks_pool_ref.at[li, pl.ds(src, seg_len), :],
+                ksbuf.at[slot, dst, :], sem.at[slot, 2, j]))
             copies.append(pltpu.make_async_copy(
-                vs_pool_ref.at[li, h, pl.ds(src, seg_len)],
-                vsbuf.at[slot, dst], sem.at[slot, 3, j]))
+                vs_pool_ref.at[li, pl.ds(src, seg_len), :],
+                vsbuf.at[slot, dst, :], sem.at[slot, 3, j]))
         return copies
 
     def live(bb):
@@ -81,35 +80,43 @@ def _paged_q_kernel(
         slot = b % 2
         for c in seg_copies(b, slot):
             c.wait()
-        q = q_ref[0]
-        rq = q.shape[0]
-        k = kbuf[slot].astype(jnp.float32) * ksbuf[slot][:, None]
-        s = jax.lax.dot_general(
-            q.astype(jnp.float32), k,
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        ) * scale
+        rq = q_ref.shape[1]
         leaf = jax.lax.broadcasted_iota(jnp.int32, (rq, block_len), 0) // qpk
         mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
-        m_prev = m_ref[:, :1]
-        m_cur = jnp.max(jnp.where(mask, s, _NEG), axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = vbuf[slot].astype(jnp.float32) * vsbuf[slot][:, None]
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+        for h in range(num_kv_heads):
+            q = q_ref[h].astype(jnp.float32)
+            k = kbuf[slot, :, h, :].astype(jnp.float32) * (
+                ksbuf[slot, :, h][:, None]
+            )
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m_prev = m_ref[h, :, :1]
+            m_cur = jnp.max(jnp.where(mask, s, _NEG), axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_ref[h, :, :1] * alpha + jnp.sum(
+                p, axis=-1, keepdims=True
+            )
+            v = vbuf[slot, :, h, :].astype(jnp.float32) * (
+                vsbuf[slot, :, h][:, None]
+            )
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[h] = jnp.broadcast_to(m_new, (rq, 128))
+            l_ref[h] = jnp.broadcast_to(l_new, (rq, 128))
 
     @pl.when(b == num_blocks - 1)
     def _finish():
-        l = l_ref[:, :1]
-        o_ref[0] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)).astype(
-            o_ref.dtype
-        )
+        for h in range(num_kv_heads):
+            l = l_ref[h, :, :1]
+            o_ref[h] = (acc_ref[h] / jnp.where(l == 0.0, 1.0, l)).astype(
+                o_ref.dtype
+            )
 
 
 @functools.partial(
@@ -126,29 +133,30 @@ def paged_flatten_attention_q(
     kernel = functools.partial(
         _paged_q_kernel, scale=scale, qpk=qpk,
         block_len=block_len, seg_len=seg_len, num_blocks=nb,
+        num_kv_heads=Hkv,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(Hkv, nb),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, Rq, D), lambda h, b, *_: (h, 0, 0)),
+            pl.BlockSpec((Hkv, Rq, D), lambda b, *_: (0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, block_len), lambda h, b, *_: (0, b)),
-            pl.BlockSpec((1, block_len), lambda h, b, *_: (0, b)),
+            pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
+            pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
         ],
-        out_specs=pl.BlockSpec((1, Rq, D), lambda h, b, *_: (h, 0, 0)),
+        out_specs=pl.BlockSpec((Hkv, Rq, D), lambda b, *_: (0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, block_len, D), k_pool.dtype),
-            pltpu.VMEM((2, block_len, D), v_pool.dtype),
-            pltpu.VMEM((2, block_len), jnp.float32),
-            pltpu.VMEM((2, block_len), jnp.float32),
+            pltpu.VMEM((2, block_len, Hkv, D), k_pool.dtype),
+            pltpu.VMEM((2, block_len, Hkv, D), v_pool.dtype),
+            pltpu.VMEM((2, block_len, Hkv), jnp.float32),
+            pltpu.VMEM((2, block_len, Hkv), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4, block_len // seg_len)),
-            pltpu.VMEM((Rq, D), jnp.float32),
-            pltpu.VMEM((Rq, 128), jnp.float32),
-            pltpu.VMEM((Rq, 128), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, D), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -173,7 +181,7 @@ def paged_flatten_attn_q_pallas(q, k_new, v_new, k_pool, v_pool, li, batch,
     """AttnFn entry for int8 pools with seg tables."""
     R, Hq, D = q.shape
     assert k_pool.quantized
-    Hkv = k_pool.data.shape[1]
+    Hkv = k_pool.data.shape[2]
     T = int(batch.tok_lo.shape[0])
     B = int(batch.blk_lo.shape[0])
     block_len = T // B

@@ -135,10 +135,10 @@ def seq_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     from deft_tpu.models.llama import kv_gather
 
     R, Hq, D = q.shape
-    Hkv = k_pool.data.shape[1]
+    Hkv = k_pool.data.shape[2]
     qpk = Hq // Hkv
-    kt = jnp.swapaxes(kv_gather(k_pool, li, batch.paths, q.dtype), 0, 1)
-    vt = jnp.swapaxes(kv_gather(v_pool, li, batch.paths, q.dtype), 0, 1)
+    kt = jnp.swapaxes(kv_gather(k_pool, li, batch.paths, q.dtype), 1, 2)
+    vt = jnp.swapaxes(kv_gather(v_pool, li, batch.paths, q.dtype), 1, 2)
     qf = q.reshape(R, Hkv, qpk, D)
     o = seq_attention(qf, kt, vt, batch.seq_lens, scale=scale)
     return o.reshape(R, Hq, D)

@@ -42,8 +42,8 @@ def param_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
 
 
 def pool_sharding(mesh: Mesh) -> NamedSharding:
-    """(layers, kv_heads, slots, head_dim): kv-head sharded."""
-    return NamedSharding(mesh, P(None, "tp", None, None))
+    """(layers, slots, kv_heads, head_dim): kv-head sharded."""
+    return NamedSharding(mesh, P(None, None, "tp", None))
 
 
 def batch_shardings(mesh: Mesh, batch) -> Any:
@@ -85,7 +85,7 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
 def _put_pool(mesh, pool):
     data = jax.device_put(pool.data, pool_sharding(mesh))
     scale = (
-        jax.device_put(pool.scale, NamedSharding(mesh, P(None, "tp", None)))
+        jax.device_put(pool.scale, NamedSharding(mesh, P(None, None, "tp")))
         if pool.scale is not None
         else None
     )

@@ -149,7 +149,7 @@ def _assemble(
             if start < 0:
                 if seg_len:
                     # seg-tiled scratch reads keep segments contiguous
-                    kv[pos : pos + pad] = 1 + (
+                    kv[pos : pos + pad] = (
                         np.arange(pad, dtype=np.int32) % seg_len
                     )
                 else:
@@ -173,7 +173,7 @@ def build_flatten_plan(
     min_token_bucket: int = 1024,
     node_aligned: bool = False,
     chunk_len: Optional[int] = None,
-    seg_len: Optional[int] = 32,
+    seg_len=(128, 32),
 ) -> FlattenPlan:
     """Build the flatten plan for the current tree state.
 
@@ -198,19 +198,35 @@ def build_flatten_plan(
     l_pad = pad_leaf_count(n_leaves, q_per_kv)
     live_tokens = sum(n.kv_len for n in order)
 
-    seg = int(seg_len) if seg_len else 0
-    if seg:
-        assert block_len % seg == 0
+    # Candidate segment lengths, best (fewest DMA descriptors) first; fall
+    # back to tight packing + gather kernel when none fits the waste limit
+    # or alignment (e.g. recycled-single fallbacks, tiny spec-decode leaves).
+    if seg_len is None:
+        candidates = ()
+    elif isinstance(seg_len, int):
+        candidates = (seg_len,)
+    else:
+        candidates = tuple(seg_len)
+    pool_size = tree.token_to_kv_pool.size
+    seg = 0
+    for cand in candidates:
+        assert block_len % cand == 0
         kv_idx, tok_lo, tok_hi = _assemble(
-            order, lo_arr, hi_arr, block_len, node_aligned, seg
+            order, lo_arr, hi_arr, block_len, node_aligned, cand
         )
-        pool_size = tree.token_to_kv_pool.size
         ok = len(kv_idx) <= _SEG_WASTE_LIMIT * max(live_tokens, 1)
         if ok and len(kv_idx):
-            starts = kv_idx[::seg][: len(kv_idx) // seg]
-            ok = bool(np.all(starts + seg <= pool_size))
-        if not ok:
-            seg = 0
+            starts = kv_idx[::cand][: len(kv_idx) // cand]
+            # in-bounds AND tile-aligned (Mosaic: DMA row offsets must be
+            # divisible by the sublane tiling; chunk alignment guarantees
+            # it except for recycled-single fallbacks)
+            ok = bool(
+                np.all(starts + cand <= pool_size)
+                and np.all(starts % cand == 0)
+            )
+        if ok:
+            seg = cand
+            break
     if not seg:
         kv_idx, tok_lo, tok_hi = _assemble(
             order, lo_arr, hi_arr, block_len, node_aligned, 0
@@ -224,7 +240,7 @@ def build_flatten_plan(
         # segment stays contiguous and in-bounds (fully-dead blocks are
         # skipped by the kernel anyway)
         if seg:
-            tail = 1 + (np.arange(pad, dtype=np.int32) % seg)
+            tail = np.arange(pad, dtype=np.int32) % seg
         else:
             tail = np.full(pad, DUMP_SLOT, dtype=np.int32)
         kv_idx = np.concatenate([kv_idx, tail])

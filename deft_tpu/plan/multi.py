@@ -26,21 +26,25 @@ def build_multi_flatten_plan(
     q_per_kv: int,
     block_len: int = 128,
     min_token_bucket: int = 1024,
-    seg_len: int = 32,
+    seg_len=(128, 32),
 ) -> FlattenPlan:
     """Concatenate per-tree flatten plans into one batched plan.
 
     Call after each tree's alloc().  Exact: a query of tree i can never
     attend tokens of tree j (disjoint leaf intervals)."""
     assert trees
+    candidates = (seg_len,) if isinstance(seg_len, int) else tuple(seg_len)
     plans: List[FlattenPlan] = []
-    for t in trees:
-        plans.append(build_flatten_plan(
+    # all trees must agree on one seg length; try candidates in order
+    for cand in candidates + (None,):
+        plans = [build_flatten_plan(
             t, q_per_kv,
             block_len=block_len,
             min_token_bucket=block_len,  # tight per-tree; pad globally below
-            seg_len=seg_len,
-        ))
+            seg_len=cand,
+        ) for t in trees]
+        if cand is None or all(p.paged for p in plans):
+            break
     paged = all(p.paged for p in plans)
     seg = plans[0].seg_len if paged else 0
 
@@ -72,7 +76,7 @@ def build_multi_flatten_plan(
     pad = t_pad - len(kv_idx)
     if pad:
         tail = (
-            1 + (np.arange(pad, dtype=np.int32) % seg)
+            np.arange(pad, dtype=np.int32) % seg
             if paged
             else np.zeros(pad, dtype=np.int32)
         )

@@ -152,10 +152,11 @@ class ModelRunner:
         logger.info("KV pool: %d slots (%.1f MB per side)", slots,
                     slots * self.cfg.num_layers * self.cfg.num_kv_heads
                     * self.cfg.head_dim * 2 / 1e6)
-        # Head-major layout: per-(layer, head) token rows are contiguous, so
-        # tree-KV gathers (XLA or in-kernel DMA) read contiguous (run, D)
-        # spans instead of Hkv-strided 256B pieces.
-        shape = (self.cfg.num_layers, self.cfg.num_kv_heads, slots, self.cfg.head_dim)
+        # Token-major layout: one pool row (Hkv, D) holds every head's K (or
+        # V) for a token, so a DMA segment of `seg_len` tokens is one
+        # contiguous (seg_len * Hkv * D) span covering ALL heads — the paged
+        # kernel gathers a whole 128-token block with 1-4 descriptors.
+        shape = (self.cfg.num_layers, slots, self.cfg.num_kv_heads, self.cfg.head_dim)
         self.kv_quantized = engine_config.kv_dtype == "int8"
         if self.kv_quantized:
             sshape = shape[:-1]

@@ -168,14 +168,14 @@ def test_paged_flatten_kernel_vs_oracle(dtype):
     assert plan.paged, "plan should be seg-aligned on a chunked pool"
 
     S = tree.token_to_kv_pool.size
-    k_pool = jnp.asarray(rng.standard_normal((1, Hkv, S, D)), dtype)
-    v_pool = jnp.asarray(rng.standard_normal((1, Hkv, S, D)), dtype)
+    k_pool = jnp.asarray(rng.standard_normal((1, S, Hkv, D)), dtype)
+    v_pool = jnp.asarray(rng.standard_normal((1, S, Hkv, D)), dtype)
     R = plan.l_pad
     q = jnp.asarray(rng.standard_normal((R, Hq, D)), dtype)
     scale = D**-0.5
 
-    kt = jnp.swapaxes(k_pool[0][:, plan.kv_idx], 0, 1)  # (T, Hkv, D)
-    vt = jnp.swapaxes(v_pool[0][:, plan.kv_idx], 0, 1)
+    kt = k_pool[0][plan.kv_idx]  # (T, Hkv, D)
+    vt = v_pool[0][plan.kv_idx]
     want = dense_tree_attention(
         q, kt, vt, jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi), scale
     )
@@ -222,18 +222,18 @@ def test_paged_quant_kernel_vs_dequant_oracle(dtype):
     assert plan.paged
 
     S = tree.token_to_kv_pool.size
-    kd = rng.integers(-127, 128, (1, Hkv, S, D)).astype(np.int8)
-    vd = rng.integers(-127, 128, (1, Hkv, S, D)).astype(np.int8)
-    ks = rng.uniform(0.01, 0.1, (1, Hkv, S)).astype(np.float32)
-    vs = rng.uniform(0.01, 0.1, (1, Hkv, S)).astype(np.float32)
+    kd = rng.integers(-127, 128, (1, S, Hkv, D)).astype(np.int8)
+    vd = rng.integers(-127, 128, (1, S, Hkv, D)).astype(np.int8)
+    ks = rng.uniform(0.01, 0.1, (1, S, Hkv)).astype(np.float32)
+    vs = rng.uniform(0.01, 0.1, (1, S, Hkv)).astype(np.float32)
     k_pool = KVPool(jnp.asarray(kd), jnp.asarray(ks))
     v_pool = KVPool(jnp.asarray(vd), jnp.asarray(vs))
     R = plan.l_pad
     q = jnp.asarray(rng.standard_normal((R, Hq, D)), dtype)
     scale = D**-0.5
 
-    kt = jnp.swapaxes(kv_gather(k_pool, 0, plan.kv_idx, jnp.float32), 0, 1)
-    vt = jnp.swapaxes(kv_gather(v_pool, 0, plan.kv_idx, jnp.float32), 0, 1)
+    kt = kv_gather(k_pool, 0, plan.kv_idx, jnp.float32)  # (T, Hkv, D)
+    vt = kv_gather(v_pool, 0, plan.kv_idx, jnp.float32)
     want = dense_tree_attention(
         q, kt, vt, jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi), scale
     )

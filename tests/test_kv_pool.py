@@ -9,7 +9,7 @@ from deft_tpu.core.kv_pool import DUMP_SLOT, TokenKVPool
 def test_batch_alloc_contiguous():
     p = TokenKVPool(1024)
     a = p.alloc(100)
-    assert a[0] == 1 and np.all(np.diff(a) == 1)
+    assert a[0] == p.chunk and np.all(np.diff(a) == 1)  # bump starts chunk-aligned
     assert p.used_size() == 100
 
 
@@ -41,7 +41,7 @@ def test_close_owner_recycles_tail():
 
 
 def test_fallback_to_recycled_singles():
-    p = TokenKVPool(1 + 128, chunk=128)  # exactly one chunk
+    p = TokenKVPool(256, chunk=128)  # reserved [0,128) + exactly one chunk
     a = p.alloc_for(1, 128)
     assert a is not None
     p.free(a[:50])
@@ -63,9 +63,9 @@ def test_refcount_sharing():
 
 
 def test_exhaustion_returns_none():
-    p = TokenKVPool(64, chunk=16)
+    p = TokenKVPool(64, chunk=16)  # [0,16) reserved -> 48 allocatable
     assert p.alloc(100) is None
-    got = p.alloc(63)
+    got = p.alloc(48)
     assert got is not None
     assert p.alloc(1) is None
     assert p.alloc_for(1, 1) is None

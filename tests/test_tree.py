@@ -180,13 +180,13 @@ def test_output_branch_ppl():
 
 
 def test_pool_exhaustion_and_recycle():
-    pool = TokenKVPool(16)
+    pool = TokenKVPool(24, chunk=8)  # [0,8) reserved -> 16 allocatable
     a = pool.alloc(10)
     assert a is not None
-    assert pool.alloc(10) is None  # only 5 left (slot 0 reserved)
+    assert pool.alloc(10) is None  # only 6 left
     pool.free(a[:5])
     b = pool.alloc(8)
     assert b is not None
-    assert pool.available_size() == 2
+    assert pool.available_size() == 3
     # no slot handed out twice while live
     assert len(np.intersect1d(a[5:], b)) == 0
