@@ -233,7 +233,7 @@ def build_flatten_plan(
         )
 
     n_tokens = int(kv_idx.shape[0])
-    t_pad = pad_token_count(n_tokens, block_len, min_token_bucket)
+    t_pad = pad_token_count(n_tokens, block_len, min_token_bucket, pow2=True)
     pad = t_pad - n_tokens
     if pad:
         # tail pads read the reserved scratch area [1, 1+seg) so every

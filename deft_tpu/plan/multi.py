@@ -72,7 +72,7 @@ def build_multi_flatten_plan(
     tok_hi = np.concatenate(hi_parts)
     n_tokens = sum(p.n_tokens for p in plans)
 
-    t_pad = pad_token_count(len(kv_idx), block_len, min_token_bucket)
+    t_pad = pad_token_count(len(kv_idx), block_len, min_token_bucket, pow2=True)
     pad = t_pad - len(kv_idx)
     if pad:
         tail = (

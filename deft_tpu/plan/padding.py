@@ -15,15 +15,19 @@ def next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
-def pad_token_count(n: int, block_len: int = 128, min_bucket: int = 1024) -> int:
+def pad_token_count(n: int, block_len: int = 128, min_bucket: int = 1024,
+                    pow2: bool = False) -> int:
     """Bucket a KV token count: multiple of ``block_len``, then next power of
-    two up to 8192, then multiples of 4096 (bounds recompiles for long
-    contexts while keeping padding waste < ~1.5x early, < ~10% late)."""
+    two up to 8192, then multiples of 4096 — or pure powers of two when
+    ``pow2`` (flatten plans: dead blocks are skipped by the kernel and the
+    upload is small, so fewer jit buckets beat tighter padding; the seq
+    baseline keeps tight buckets because its gather cost scales with the
+    padded width)."""
     n = max(n, 1)
     n = ((n + block_len - 1) // block_len) * block_len
     if n <= min_bucket:
         return min_bucket
-    if n <= 8192:
+    if pow2 or n <= 8192:
         return next_pow2(n)
     return ((n + 4095) // 4096) * 4096
 
