@@ -19,11 +19,11 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/deft_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# NOTE: do NOT enable the persistent jax compile cache here — combined with
+# the axon remote-compile path it has deadlocked full runs (all threads
+# futex-waiting); cold compiles are slower but reliable.
 
 import numpy as np  # noqa: E402
-
 
 WIDTH = int(os.environ.get("BENCH_WIDTH", 50))
 PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", 4000))
