@@ -111,6 +111,17 @@ PRESETS: Dict[str, LlamaConfig] = {
         },
         max_position_embeddings=131072,
     ),
+    # Llama-2-7B shapes (the reference's default --model; MHA, q_per_kv=1).
+    "7b": LlamaConfig(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=11008,
+        num_layers=32,
+        num_q_heads=32,
+        num_kv_heads=32,
+        head_dim=128,
+        max_position_embeddings=4096,
+    ),
     # 8B with fewer layers: fits HBM alongside big KV pools for kernels work.
     "8b-8l": LlamaConfig(
         vocab_size=128256,
