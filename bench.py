@@ -8,7 +8,11 @@ Prints ONE JSON line:
 vs_baseline compares against the reference GPU run's flatten-vs-seq TPOT
 speedup on the same workload (1.32x, BASELINE.md few-shot w=50 p4000).
 
-Runs on whatever backend jax selects (the real TPU chip under the driver).
+Robustness: each mode runs in its own subprocess with a watchdog + retries —
+the device transport has occasionally wedged whole runs (all threads
+futex-waiting mid-compile), and a fresh process reliably recovers.  Do NOT
+enable the persistent jax compile cache here (suspected in the wedges).
+
 Model: TinyLlama-1.1B shapes, random-init (no-egress environment).
 """
 
@@ -16,19 +20,18 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-# NOTE: do NOT enable the persistent jax compile cache here — combined with
-# the axon remote-compile path it has deadlocked full runs (all threads
-# futex-waiting); cold compiles are slower but reliable.
-
-import numpy as np  # noqa: E402
+import numpy as np
 
 WIDTH = int(os.environ.get("BENCH_WIDTH", 50))
 PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", 4000))
 GEN_LEN = int(os.environ.get("BENCH_GEN_LEN", 400))
 MODEL = os.environ.get("BENCH_MODEL", "1b")
+MODE_TIMEOUT_S = int(os.environ.get("BENCH_MODE_TIMEOUT_S", 1200))
+RETRIES = int(os.environ.get("BENCH_RETRIES", 2))
 BASELINE_SPEEDUP = 1.32  # reference few-shot w50 p4000 (BASELINE.md)
 
 
@@ -79,25 +82,53 @@ def run_mode(mode_name: str) -> dict:
     }
 
 
+def run_mode_subprocess(mode_name: str) -> dict:
+    """Run one mode in a watchdogged child process, retrying on wedge."""
+    last_err = None
+    for attempt in range(1 + RETRIES):
+        env = dict(os.environ)
+        env["BENCH_CHILD_MODE"] = mode_name
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                timeout=MODE_TIMEOUT_S,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in out.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    return json.loads(line)
+            last_err = f"no result line (rc={out.returncode}): " + \
+                (out.stderr or "")[-800:]
+        except subprocess.TimeoutExpired:
+            last_err = f"mode {mode_name} wedged (> {MODE_TIMEOUT_S}s); retrying"
+        print(f"# attempt {attempt + 1} failed: {last_err}", file=sys.stderr)
+    raise RuntimeError(f"bench mode {mode_name} failed: {last_err}")
+
+
 def main() -> int:
-    import jax
+    child_mode = os.environ.get("BENCH_CHILD_MODE")
+    if child_mode:
+        print(json.dumps(run_mode(child_mode)))
+        return 0
 
     t0 = time.time()
-    info = {"backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
-            "width": WIDTH, "prompt_len": PROMPT_LEN, "gen_len": GEN_LEN,
+    info = {"width": WIDTH, "prompt_len": PROMPT_LEN, "gen_len": GEN_LEN,
             "model": MODEL}
     print(f"# bench config: {info}", file=sys.stderr)
 
-    seq = run_mode("seq")
+    seq = run_mode_subprocess("seq")
     print(f"# seq:     {seq}", file=sys.stderr)
-    flat = run_mode("flatten")
+    flat = run_mode_subprocess("flatten")
     print(f"# flatten: {flat}", file=sys.stderr)
 
     # TPOT = decode_latency / generated; decode latency sums per-step
     # forward (with async pipeline syncs charged to the step they wait on)
     speedup = seq["tpot_ms"] / flat["tpot_ms"]
-    print(f"# wall {time.time()-t0:.0f}s  steady-fwd speedup {speedup:.3f}x"
+    print(f"# wall {time.time()-t0:.0f}s  TPOT speedup {speedup:.3f}x"
           f"  (tpot {seq['tpot_ms']:.3f} -> {flat['tpot_ms']:.3f} ms/tok;"
           f"  KV IO {seq['kv_io_bytes']:.3g} -> {flat['kv_io_bytes']:.3g} B)",
           file=sys.stderr)
