@@ -94,9 +94,11 @@ def _load_model_and_tokenizer(args):
         dtype=args.dtype,
         kv_dtype=args.kv_dtype,
     )
+    topk_k = max(64, args.max_width)
     if args.random_model:
         cfg = PRESETS[args.random_model]
-        runner = ModelRunner(cfg, ecfg, kernels=args.kernels, seed=args.seed)
+        runner = ModelRunner(cfg, ecfg, kernels=args.kernels, seed=args.seed,
+                             topk_k=topk_k)
         tokenizer = _IdTokenizer(cfg.vocab_size)
     elif args.model:
         cfg_path = os.path.join(args.model, "config.json")
@@ -105,7 +107,7 @@ def _load_model_and_tokenizer(args):
         with open(cfg_path) as f:
             cfg = LlamaConfig.from_hf_config(json.load(f))
         runner = ModelRunner(cfg, ecfg, model_path=args.model,
-                             kernels=args.kernels)
+                             kernels=args.kernels, topk_k=topk_k)
         try:
             from transformers import AutoTokenizer
 
@@ -143,11 +145,11 @@ def main(argv=None) -> int:
     if args.prompt_len is not None and args.prompt_len <= 0:
         args.prompt_len = None
     if args.platform == "cpu":
-        os.environ.setdefault(
-            "XLA_FLAGS",
-            os.environ.get("XLA_FLAGS", "")
-            + " --xla_force_host_platform_device_count=8",
-        )
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
         import jax
 
         jax.config.update("jax_platforms", "cpu")

@@ -135,6 +135,8 @@ def speculative_decoding(model, iter, max_gen_len, width, depth, logits,
         for leaf in leaves:
             tree.reset_node_KV(leaf, diff)
         assert kv_before + verified_num == kv_after
+        # merge/reset bypass per-leaf page-table maintenance
+        tree.sync_page_table()
     return False
 
 

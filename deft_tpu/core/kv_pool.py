@@ -97,6 +97,10 @@ class TokenKVPool:
                     # pool fragmented/full: fall back to recycled singles
                     rem = need_size - filled
                     if len(self._recycled) < rem:
+                        # roll back slots consumed from this owner's chunks
+                        if filled:
+                            self._recycled.extend(int(x) for x in out[:filled])
+                            self._free_count += filled
                         return None
                     out[filled:] = self._recycled[-rem:][::-1]
                     del self._recycled[-rem:]

@@ -243,6 +243,10 @@ class TreeCache:
         the bump allocator) — the caller scatters prefill K/V to these rows.
         """
         assert self.root is None, "init_prompt called twice"
+        # a new generation: clear run-scoped outputs/counters (kept through
+        # free() so callers can read results after tree_generate returns)
+        self.deleted_token_num = 0
+        self.all_finished_seqs = []
         root = TreeNode(0)
         self.node_cnt = 1
         self.root = root
@@ -388,6 +392,27 @@ class TreeCache:
         node.clear_indices()
         node.position_offset += diff
         node.positions = [p + diff for p in node.positions]
+
+    def sync_page_table(self) -> None:
+        """Rewrite every leaf's ReqToTokenPool row from its node chain.
+        merge_nodes / reset_node_KV restructure KV ownership without
+        maintaining the per-leaf rows (unlike alloc/branch/cut); callers
+        that mutate via merge/reset must call this before a seq-mode step
+        reads the page table."""
+        if self.req_to_token_pool is None:
+            return
+        for leaf in self.leaves.values():
+            chain = []
+            cur = leaf
+            while cur is not None:
+                chain.append(cur)
+                cur = cur.parent
+            chain.reverse()
+            parts = [c.kv_indices for c in chain if c.kv_len]
+            req = self.leaf_to_req[leaf.id]
+            if parts:
+                kv = np.concatenate(parts)
+                self.req_to_token_pool.req_to_token[req, : len(kv)] = kv
 
     def free(self) -> None:
         """Drop the whole tree, releasing every node's KV and request slots."""

@@ -174,6 +174,7 @@ def build_flatten_plan(
     node_aligned: bool = False,
     chunk_len: Optional[int] = None,
     seg_len=(128, 32),
+    pow2_bucket: bool = True,
 ) -> FlattenPlan:
     """Build the flatten plan for the current tree state.
 
@@ -233,7 +234,8 @@ def build_flatten_plan(
         )
 
     n_tokens = int(kv_idx.shape[0])
-    t_pad = pad_token_count(n_tokens, block_len, min_token_bucket, pow2=True)
+    t_pad = pad_token_count(n_tokens, block_len, min_token_bucket,
+                            pow2=pow2_bucket)
     pad = t_pad - n_tokens
     if pad:
         # tail pads read the reserved scratch area [1, 1+seg) so every

@@ -42,6 +42,7 @@ def build_multi_flatten_plan(
             block_len=block_len,
             min_token_bucket=block_len,  # tight per-tree; pad globally below
             seg_len=cand,
+            pow2_bucket=False,
         ) for t in trees]
         if cand is None or all(p.paged for p in plans):
             break

@@ -92,7 +92,9 @@ class BatchedEngine:
             execution_graph=req.controller.tree_templates,
         )
         req.iter = 1
-        if not req.done:
+        if req.done:
+            req.tree.free()
+        else:
             self.active.append(req)
 
     def step(self) -> None:

@@ -39,8 +39,11 @@ def tree_generate(
 
     branch_controller.set_execution_graph(tree_template)
 
-    kv_bytes_per_tok = (
-        model.cfg.num_kv_heads * model.cfg.head_dim * 4  # K+V bf16
+    kv_elem = 2.0  # bf16
+    if getattr(model, "kv_quantized", False):
+        kv_elem = 1.0 + 4.0 / model.cfg.head_dim  # int8 + fp32 row scale
+    kv_bytes_per_tok = int(
+        model.cfg.num_kv_heads * model.cfg.head_dim * 2 * kv_elem
     ) * model.cfg.num_layers
 
     start_time = time.perf_counter()
@@ -111,6 +114,15 @@ def tree_generate(
             # analytic KV/mask IO accounting (per layer x layers)
             if mode.is_sequential:
                 perf_metrics.KV_IO += plan.total_kv * kv_bytes_per_tok
+            elif mode is ForwardMode.UNPAGED_MEDUSA:
+                # dense masked baseline: the per-layer IO model covers KV,
+                # materialized scores, mask and softmax intermediates
+                for _ in range(model.cfg.num_layers):
+                    perf_metrics.update_dense_tree_attn_IO(
+                        plan.n_leaves, plan.n_tokens,
+                        model.cfg.num_kv_heads * model.cfg.head_dim,
+                        model.cfg.num_q_heads,
+                    )
             else:
                 perf_metrics.KV_IO += plan.n_tokens * kv_bytes_per_tok
                 perf_metrics.Mask_IO += plan.n_tokens * 8 * model.cfg.num_layers

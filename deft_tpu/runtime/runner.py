@@ -355,7 +355,9 @@ class ModelRunner:
                 seq_lens=jnp.asarray(plan.seq_lens),
             )
         assert isinstance(plan, FlattenPlan)
-        paged = plan.paged and self.kernels != "xla"
+        # UNPAGED_MEDUSA always runs the XLA dense impl (needs kv_idx)
+        paged = (plan.paged and self.kernels != "xla"
+                 and mode is not ForwardMode.UNPAGED_MEDUSA)
         return DecodeBatch(
             q_tokens=jnp.asarray(plan.q_tokens),
             q_pos=jnp.asarray(plan.q_pos),
