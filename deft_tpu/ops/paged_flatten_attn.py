@@ -47,15 +47,15 @@ def _paged_kernel(
     blk_hi_ref,   # (B,)
     # inputs
     q_ref,        # VMEM (Hkv, Rq, D)
-    k_pool_ref,   # ANY  (L, S, Hkv, D)
-    v_pool_ref,   # ANY  (L, S, Hkv, D)
+    k_pool_ref,   # ANY  (L, S, Hkv*D) — flattened minor dims so the HBM
+    v_pool_ref,   # ANY    slice stays lane-aligned for any head_dim
     lo_ref,       # VMEM (1, BLOCK)
     hi_ref,       # VMEM (1, BLOCK)
     # outputs
     o_ref,        # VMEM (Hkv, Rq, D)
     # scratch
-    kbuf,         # VMEM (2, BLOCK, Hkv, D) pool dtype
-    vbuf,         # VMEM (2, BLOCK, Hkv, D)
+    kbuf,         # VMEM (2, BLOCK, Hkv*D) pool dtype
+    vbuf,         # VMEM (2, BLOCK, Hkv*D)
     sem,          # DMA sems (2, 2, nseg)
     acc_ref,      # VMEM (Hkv, Rq, D) f32
     m_ref,        # VMEM (Hkv, Rq, 128) f32
@@ -80,13 +80,13 @@ def _paged_kernel(
             src = pl.multiple_of(seg_src_ref[bb * nseg + j], seg_len)
             dst = pl.ds(j * seg_len, seg_len)
             copies.append(pltpu.make_async_copy(
-                k_pool_ref.at[li, pl.ds(src, seg_len), :, :],
-                kbuf.at[slot, dst, :, :],
+                k_pool_ref.at[li, pl.ds(src, seg_len), :],
+                kbuf.at[slot, dst, :],
                 sem.at[slot, 0, j],
             ))
             copies.append(pltpu.make_async_copy(
-                v_pool_ref.at[li, pl.ds(src, seg_len), :, :],
-                vbuf.at[slot, dst, :, :],
+                v_pool_ref.at[li, pl.ds(src, seg_len), :],
+                vbuf.at[slot, dst, :],
                 sem.at[slot, 1, j],
             ))
         return copies
@@ -117,11 +117,12 @@ def _paged_kernel(
         for c in seg_copies(b, slot):
             c.wait()
         rq = q_ref.shape[1]
+        D = q_ref.shape[2]
         leaf = jax.lax.broadcasted_iota(jnp.int32, (rq, block_len), 0) // qpk
         mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
         for h in range(num_kv_heads):
-            q = q_ref[h]                 # (Rq, D)
-            k = kbuf[slot, :, h, :]      # (BLOCK, D)
+            q = q_ref[h]                          # (Rq, D)
+            k = kbuf[slot, :, h * D:(h + 1) * D]  # (BLOCK, D)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -136,7 +137,7 @@ def _paged_kernel(
             )
             acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
                 p,
-                vbuf[slot, :, h, :].astype(jnp.float32),
+                vbuf[slot, :, h * D:(h + 1) * D].astype(jnp.float32),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -175,6 +176,11 @@ def paged_flatten_attention(
     T = tok_lo.shape[0]
     nb = T // block_len
     assert nb * block_len == T
+    # flatten the (Hkv, D) minor dims: free bitcast-reshape; keeps the HBM
+    # DMA slice lane-aligned regardless of head_dim
+    L, S = k_pool.shape[:2]
+    k_pool = k_pool.reshape(L, S, Hkv * D)
+    v_pool = v_pool.reshape(L, S, Hkv * D)
 
     kernel = functools.partial(
         _paged_kernel,
@@ -197,8 +203,8 @@ def paged_flatten_attention(
         ],
         out_specs=pl.BlockSpec((Hkv, Rq, D), lambda b, *_: (0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, block_len, Hkv, D), k_pool.dtype),
-            pltpu.VMEM((2, block_len, Hkv, D), v_pool.dtype),
+            pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
+            pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
             pltpu.SemaphoreType.DMA((2, 2, block_len // seg_len)),
             pltpu.VMEM((Hkv, Rq, D), jnp.float32),
             pltpu.VMEM((Hkv, Rq, 128), jnp.float32),

@@ -22,12 +22,12 @@ from deft_tpu.ops.flatten_attn import _NEG, _interpret, fold_q, unfold_o
 def _paged_q_kernel(
     li_ref, seg_src_ref, blk_lo_ref, blk_hi_ref,
     q_ref,                       # VMEM (Hkv, Rq, D)
-    k_pool_ref, v_pool_ref,      # ANY (L, S, Hkv, D) int8
-    ks_pool_ref, vs_pool_ref,    # ANY (L, S, Hkv) f32
+    k_pool_ref, v_pool_ref,      # ANY (L, S, Hkv*D) int8 (flattened minor)
+    ks_pool_ref, vs_pool_ref,    # ANY (L, S*Hkv) f32 (flattened)
     lo_ref, hi_ref,
     o_ref,
-    kbuf, vbuf,                  # VMEM (2, BLOCK, Hkv, D) int8
-    ksbuf, vsbuf,                # VMEM (2, BLOCK, Hkv) f32
+    kbuf, vbuf,                  # VMEM (2, BLOCK, Hkv*D) int8
+    ksbuf, vsbuf,                # VMEM (2, BLOCK*Hkv) f32
     sem,                         # DMA sems (2, 4, nseg)
     acc_ref, m_ref, l_ref,
     *, scale, qpk, block_len, seg_len, num_blocks, num_kv_heads,
@@ -35,24 +35,31 @@ def _paged_q_kernel(
     b = pl.program_id(0)
     li = li_ref[0]
     nseg = block_len // seg_len
+    Hkv = num_kv_heads
 
     def seg_copies(bb, slot):
         copies = []
         for j in range(nseg):
             src = pl.multiple_of(seg_src_ref[bb * nseg + j], seg_len)
             dst = pl.ds(j * seg_len, seg_len)
+            # scale rows flattened to (S*Hkv,): offset stays lane-aligned
+            # because src is a seg_len multiple
+            ssrc = pl.multiple_of(
+                seg_src_ref[bb * nseg + j] * Hkv, seg_len * Hkv
+            )
+            sdst = pl.ds(j * seg_len * Hkv, seg_len * Hkv)
             copies.append(pltpu.make_async_copy(
-                k_pool_ref.at[li, pl.ds(src, seg_len), :, :],
-                kbuf.at[slot, dst, :, :], sem.at[slot, 0, j]))
+                k_pool_ref.at[li, pl.ds(src, seg_len), :],
+                kbuf.at[slot, dst, :], sem.at[slot, 0, j]))
             copies.append(pltpu.make_async_copy(
-                v_pool_ref.at[li, pl.ds(src, seg_len), :, :],
-                vbuf.at[slot, dst, :, :], sem.at[slot, 1, j]))
+                v_pool_ref.at[li, pl.ds(src, seg_len), :],
+                vbuf.at[slot, dst, :], sem.at[slot, 1, j]))
             copies.append(pltpu.make_async_copy(
-                ks_pool_ref.at[li, pl.ds(src, seg_len), :],
-                ksbuf.at[slot, dst, :], sem.at[slot, 2, j]))
+                ks_pool_ref.at[li, pl.ds(ssrc, seg_len * Hkv)],
+                ksbuf.at[slot, sdst], sem.at[slot, 2, j]))
             copies.append(pltpu.make_async_copy(
-                vs_pool_ref.at[li, pl.ds(src, seg_len), :],
-                vsbuf.at[slot, dst, :], sem.at[slot, 3, j]))
+                vs_pool_ref.at[li, pl.ds(ssrc, seg_len * Hkv)],
+                vsbuf.at[slot, sdst], sem.at[slot, 3, j]))
         return copies
 
     def live(bb):
@@ -81,12 +88,15 @@ def _paged_q_kernel(
         for c in seg_copies(b, slot):
             c.wait()
         rq = q_ref.shape[1]
+        D = q_ref.shape[2]
         leaf = jax.lax.broadcasted_iota(jnp.int32, (rq, block_len), 0) // qpk
         mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
+        kscale = ksbuf[slot].reshape(block_len, Hkv)
+        vscale = vsbuf[slot].reshape(block_len, Hkv)
         for h in range(num_kv_heads):
             q = q_ref[h].astype(jnp.float32)
-            k = kbuf[slot, :, h, :].astype(jnp.float32) * (
-                ksbuf[slot, :, h][:, None]
+            k = kbuf[slot, :, h * D:(h + 1) * D].astype(jnp.float32) * (
+                kscale[:, h][:, None]
             )
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
@@ -100,8 +110,8 @@ def _paged_q_kernel(
             l_new = l_ref[h, :, :1] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
             )
-            v = vbuf[slot, :, h, :].astype(jnp.float32) * (
-                vsbuf[slot, :, h][:, None]
+            v = vbuf[slot, :, h * D:(h + 1) * D].astype(jnp.float32) * (
+                vscale[:, h][:, None]
             )
             acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
                 p, v, (((1,), (0,)), ((), ())),
@@ -130,6 +140,11 @@ def paged_flatten_attention_q(
     Hkv, Rq, D = qf.shape
     T = tok_lo.shape[0]
     nb = T // block_len
+    L, S = k_pool.shape[:2]
+    k_pool = k_pool.reshape(L, S, Hkv * D)
+    v_pool = v_pool.reshape(L, S, Hkv * D)
+    k_scale = k_scale.reshape(L, S * Hkv)
+    v_scale = v_scale.reshape(L, S * Hkv)
     kernel = functools.partial(
         _paged_q_kernel, scale=scale, qpk=qpk,
         block_len=block_len, seg_len=seg_len, num_blocks=nb,
@@ -149,10 +164,10 @@ def paged_flatten_attention_q(
         ],
         out_specs=pl.BlockSpec((Hkv, Rq, D), lambda b, *_: (0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, block_len, Hkv, D), k_pool.dtype),
-            pltpu.VMEM((2, block_len, Hkv, D), v_pool.dtype),
-            pltpu.VMEM((2, block_len, Hkv), jnp.float32),
-            pltpu.VMEM((2, block_len, Hkv), jnp.float32),
+            pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
+            pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
+            pltpu.VMEM((2, block_len * Hkv), jnp.float32),
+            pltpu.VMEM((2, block_len * Hkv), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4, block_len // seg_len)),
             pltpu.VMEM((Hkv, Rq, D), jnp.float32),
             pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
