@@ -250,14 +250,61 @@ class ModelRunner:
         return prefill_attn_pallas
 
     # -- jitted steps ----------------------------------------------------------
-    def _decode_step(self, mode: ForwardMode, paged: bool = False):
+    def _decode_step(self, mode: ForwardMode, paged: bool, sizes: tuple,
+                     use_override: bool):
+        """Jitted decode step consuming ONE packed int32 plan buffer.
+
+        Per-array host->device transfers each pay the transport's setup
+        latency (measured ~3 ms/array over the TPU link — ~30 ms/step for a
+        10-array plan); packing the whole plan into a single upload makes it
+        one transfer.  The static unpack offsets are part of the cache key.
+        """
         attn = self._attn_fn(mode, paged)
-        key = f"decode/{mode.plan_kind}/{attn.__name__}"
+        key = f"decode/{mode.plan_kind}/{attn.__name__}/{sizes}/{use_override}"
         if key not in self._jit_cache:
             cfg, rope, K = self.cfg, self._rope_apply, self.topk_k
             retain = self.retain_full_logits
+            kind = mode.plan_kind
 
-            def step(params, k_pool, v_pool, batch):
+            def unpack(buf, q_override):
+                if kind == "seq":
+                    L, C = sizes
+                    o = 0
+                    f = {}
+                    for name, n in (("q_tokens", L), ("q_pos", L),
+                                    ("out_loc", L), ("seq_lens", L),
+                                    ("paths", L * C)):
+                        f[name] = jax.lax.dynamic_slice_in_dim(buf, o, n)
+                        o += n
+                    return SeqBatch(
+                        q_tokens=q_override if use_override else f["q_tokens"],
+                        q_pos=f["q_pos"],
+                        out_loc=f["out_loc"],
+                        paths=f["paths"].reshape(L, C),
+                        seq_lens=f["seq_lens"],
+                    )
+                L, T, B, tail = sizes
+                o = 0
+                f = {}
+                for name, n in (("q_tokens", L), ("q_pos", L), ("out_loc", L),
+                                ("tok_lo", T), ("tok_hi", T),
+                                ("blk_lo", B), ("blk_hi", B), ("tail", tail)):
+                    f[name] = jax.lax.dynamic_slice_in_dim(buf, o, n)
+                    o += n
+                return DecodeBatch(
+                    q_tokens=q_override if use_override else f["q_tokens"],
+                    q_pos=f["q_pos"],
+                    out_loc=f["out_loc"],
+                    kv_idx=jnp.zeros((1,), jnp.int32) if paged else f["tail"],
+                    tok_lo=f["tok_lo"],
+                    tok_hi=f["tok_hi"],
+                    blk_lo=f["blk_lo"],
+                    blk_hi=f["blk_hi"],
+                    seg_src=f["tail"] if paged else None,
+                )
+
+            def step(params, k_pool, v_pool, buf, q_override):
+                batch = unpack(buf, q_override)
                 logits, k_pool, v_pool = decode_forward(
                     cfg, params, rope, k_pool, v_pool, batch, attn
                 )
@@ -345,7 +392,39 @@ class ModelRunner:
             return build_seq_plan(self.tree, **kw)
         raise ValueError(kind)
 
-    def _to_batch(self, mode: ForwardMode, plan):
+    def _use_paged(self, mode: ForwardMode, plan) -> bool:
+        """Paged kernel eligibility: seg-aligned plan, Pallas backend, and a
+        lane-aligned per-head row (head_dim % 128 == 0; smaller head dims
+        would force per-head VMEM relayouts that dominate the kernel)."""
+        return (
+            isinstance(plan, FlattenPlan)
+            and plan.paged
+            and self.kernels != "xla"
+            and mode is not ForwardMode.UNPAGED_MEDUSA
+            and self.cfg.head_dim % 128 == 0
+        )
+
+    def _pack_plan(self, mode: ForwardMode, plan):
+        """(packed int32 buffer, sizes tuple, paged) for the jitted step."""
+        if isinstance(plan, SeqPlan):
+            buf = np.concatenate([
+                plan.q_tokens, plan.q_pos, plan.out_loc, plan.seq_lens,
+                plan.paths.reshape(-1),
+            ])
+            return buf, (plan.l_pad, plan.c_pad), False
+        assert isinstance(plan, FlattenPlan)
+        paged = self._use_paged(mode, plan)
+        tail = plan.seg_src if paged else plan.kv_idx
+        buf = np.concatenate([
+            plan.q_tokens, plan.q_pos, plan.out_loc,
+            plan.tok_lo, plan.tok_hi, plan.blk_lo, plan.blk_hi, tail,
+        ])
+        sizes = (plan.l_pad, plan.t_pad, plan.num_blocks, len(tail))
+        return buf, sizes, paged
+
+    def build_decode_batch(self, mode: ForwardMode, plan):
+        """Materialize a DecodeBatch/SeqBatch of device arrays (debug /
+        external-harness surface; the hot path uses the packed buffer)."""
         if isinstance(plan, SeqPlan):
             return SeqBatch(
                 q_tokens=jnp.asarray(plan.q_tokens),
@@ -354,15 +433,11 @@ class ModelRunner:
                 paths=jnp.asarray(plan.paths),
                 seq_lens=jnp.asarray(plan.seq_lens),
             )
-        assert isinstance(plan, FlattenPlan)
-        # UNPAGED_MEDUSA always runs the XLA dense impl (needs kv_idx)
-        paged = (plan.paged and self.kernels != "xla"
-                 and mode is not ForwardMode.UNPAGED_MEDUSA)
+        paged = self._use_paged(mode, plan)
         return DecodeBatch(
             q_tokens=jnp.asarray(plan.q_tokens),
             q_pos=jnp.asarray(plan.q_pos),
             out_loc=jnp.asarray(plan.out_loc),
-            # the paged kernel gathers via seg_src; skip the (T,) upload
             kv_idx=jnp.zeros((1,), jnp.int32) if paged
             else jnp.asarray(plan.kv_idx),
             tok_lo=jnp.asarray(plan.tok_lo),
@@ -381,15 +456,18 @@ class ModelRunner:
         greedy ids) — chains steps on device with no host round-trip.
         block=False enqueues without waiting (async pipelining; the timer
         then measures enqueue cost only)."""
-        batch = self._to_batch(mode, plan)
-        if q_tokens_override is not None:
-            batch = batch._replace(q_tokens=q_tokens_override)
-        step = self._decode_step(
-            mode, paged=getattr(batch, "seg_src", None) is not None
+        buf, sizes, paged = self._pack_plan(mode, plan)
+        use_override = q_tokens_override is not None
+        step = self._decode_step(mode, paged, sizes, use_override)
+        override = (
+            q_tokens_override
+            if use_override
+            else jnp.zeros((0,), jnp.int32)
         )
         t0 = time.perf_counter()
         vals, ids, logits, self.k_pool, self.v_pool = step(
-            self.params, self.k_pool, self.v_pool, batch
+            self.params, self.k_pool, self.v_pool,
+            jnp.asarray(buf, dtype=jnp.int32), override,
         )
         if block:
             jax.block_until_ready(vals)
