@@ -29,7 +29,7 @@ import numpy as np
 WIDTH = int(os.environ.get("BENCH_WIDTH", 50))
 PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", 4000))
 GEN_LEN = int(os.environ.get("BENCH_GEN_LEN", 400))
-MODEL = os.environ.get("BENCH_MODEL", "1b")
+MODEL = os.environ.get("BENCH_MODEL", "3b")
 MODE_TIMEOUT_S = int(os.environ.get("BENCH_MODE_TIMEOUT_S", 1200))
 RETRIES = int(os.environ.get("BENCH_RETRIES", 2))
 BASELINE_SPEEDUP = 1.32  # reference few-shot w50 p4000 (BASELINE.md)

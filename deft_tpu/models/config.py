@@ -111,6 +111,26 @@ PRESETS: Dict[str, LlamaConfig] = {
         },
         max_position_embeddings=131072,
     ),
+    # Llama-3.2-3B shapes (D=128 GQA; the largest Llama-3-family config
+    # whose bf16 weights + KV pools fit a single v5e chip).
+    "3b": LlamaConfig(
+        vocab_size=128256,
+        hidden_size=3072,
+        intermediate_size=8192,
+        num_layers=28,
+        num_q_heads=24,
+        num_kv_heads=8,
+        head_dim=128,
+        rope_theta=500000.0,
+        rope_scaling={
+            "rope_type": "llama3",
+            "factor": 32.0,
+            "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 8192,
+        },
+        max_position_embeddings=131072,
+    ),
     # Llama-2-7B shapes (the reference's default --model; MHA, q_per_kv=1).
     "7b": LlamaConfig(
         vocab_size=32000,

@@ -57,25 +57,29 @@ def main() -> int:
     print(f"host plan build        : {t_plan:7.3f} ms  "
           f"(t_pad={plan.t_pad}, paged={plan.paged})")
 
-    # upload cost (fresh jnp.asarray of all plan arrays)
-    batch = runner._to_batch(mode, plan)
-    jax.block_until_ready(batch.tok_lo)
+    # upload cost (single packed plan buffer)
+    import jax.numpy as jnp
+
+    buf_np, sizes, paged = runner._pack_plan(mode, plan)
+    buf = jnp.asarray(buf_np)
+    jax.block_until_ready(buf)
     t0 = time.perf_counter()
     for _ in range(20):
-        b = runner._to_batch(mode, plan)
-        jax.block_until_ready(b.tok_lo)
+        b = jnp.asarray(buf_np)
+        jax.block_until_ready(b)
     t_upload = (time.perf_counter() - t0) / 20 * 1000
-    print(f"plan upload (H2D)      : {t_upload:7.3f} ms")
+    print(f"plan upload (H2D)      : {t_upload:7.3f} ms  (paged={paged})")
 
-    # device step with fixed, resident batch (pure compute + dispatch)
-    step = runner._decode_step(mode, paged=batch.seg_src is not None)
-    out = step(runner.params, runner.k_pool, runner.v_pool, batch)
+    # device step with fixed, resident buffer (pure compute + dispatch)
+    step = runner._decode_step(mode, paged, sizes, False)
+    dummy = jnp.zeros((0,), jnp.int32)
+    out = step(runner.params, runner.k_pool, runner.v_pool, buf, dummy)
     jax.block_until_ready(out[0])
     runner.k_pool, runner.v_pool = out[3], out[4]
     t0 = time.perf_counter()
     N = 30
     for _ in range(N):
-        out = step(runner.params, runner.k_pool, runner.v_pool, batch)
+        out = step(runner.params, runner.k_pool, runner.v_pool, buf, dummy)
         runner.k_pool, runner.v_pool = out[3], out[4]
     jax.block_until_ready(out[0])
     t_dev = (time.perf_counter() - t0) / N * 1000
