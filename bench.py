@@ -13,7 +13,7 @@ the device transport has occasionally wedged whole runs (all threads
 futex-waiting mid-compile), and a fresh process reliably recovers.  Do NOT
 enable the persistent jax compile cache here (suspected in the wedges).
 
-Model: TinyLlama-1.1B shapes, random-init (no-egress environment).
+Model: Llama-3.2-3B shapes (BENCH_MODEL to override), random-init (no-egress environment).
 """
 
 from __future__ import annotations
