@@ -30,7 +30,7 @@ WIDTH = int(os.environ.get("BENCH_WIDTH", 50))
 PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", 4000))
 GEN_LEN = int(os.environ.get("BENCH_GEN_LEN", 400))
 MODEL = os.environ.get("BENCH_MODEL", "3b")
-MODE_TIMEOUT_S = int(os.environ.get("BENCH_MODE_TIMEOUT_S", 1200))
+MODE_TIMEOUT_S = int(os.environ.get("BENCH_MODE_TIMEOUT_S", 2400))
 RETRIES = int(os.environ.get("BENCH_RETRIES", 2))
 BASELINE_SPEEDUP = 1.32  # reference few-shot w50 p4000 (BASELINE.md)
 
@@ -53,7 +53,20 @@ def run_mode(mode_name: str) -> dict:
     runner = ModelRunner(cfg, ecfg, kernels="auto", seed=0)
     rng = np.random.default_rng(0)
     prompt = [int(t) for t in rng.integers(4, cfg.vocab_size - 4, PROMPT_LEN)]
-    controller = Branch_Controller(workloads.simple_tree)
+    # warmup generation: walks every jit shape bucket so the measured run is
+    # steady-state (in-run recompiles otherwise dominate TPOT)
+    tree_generate(
+        model=runner,
+        mode=mode_from_cli(mode_name),
+        tokenizer=None,
+        prompt_ids=prompt,
+        max_seq_len=PROMPT_LEN + GEN_LEN,
+        width=WIDTH,
+        depth=1,
+        branch_controller=Branch_Controller(workloads.simple_tree),
+        perf_metrics=PerfMetrics(),
+    )
+    runner.reset_state()
     pm = tree_generate(
         model=runner,
         mode=mode_from_cli(mode_name),
@@ -62,7 +75,7 @@ def run_mode(mode_name: str) -> dict:
         max_seq_len=PROMPT_LEN + GEN_LEN,
         width=WIDTH,
         depth=1,
-        branch_controller=controller,
+        branch_controller=Branch_Controller(workloads.simple_tree),
         perf_metrics=PerfMetrics(),
     )
     fwd = np.asarray(pm.forward_per_iter, dtype=np.float64)
