@@ -60,10 +60,14 @@ class PrefillBatch(NamedTuple):
 
 
 class KVPool(NamedTuple):
-    """Paged KV arena for one of K/V.  ``data`` is token-major
-    (L, S, Hkv, D) in bf16, or int8 with per-(token, head) fp32 ``scale``
-    (L, S, Hkv) — the int8 KV cache halves HBM footprint and attention KV IO
-    (no reference counterpart; SURVEY.md §7 build item 8)."""
+    """Paged KV arena for one of K/V.  ``data`` is token-major and
+    head-flattened: (L, S, Hkv*D) — one pool row is every head's K (or V)
+    for a token, stored exactly in the layout the paged kernel DMAs
+    (reshaping a pool per kernel call would relayout gigabytes per layer).
+    int8 adds per-(token, head) fp32 ``scale`` stored flat (L, S*Hkv) —
+    also exactly the layout the int8 kernel DMAs; int8 KV halves HBM
+    footprint and attention KV IO (no reference counterpart; SURVEY.md §7
+    build item 8)."""
 
     data: jnp.ndarray
     scale: Optional[jnp.ndarray] = None
@@ -76,26 +80,35 @@ class KVPool(NamedTuple):
 def kv_store(pool: KVPool, li, out_loc, x) -> KVPool:
     """Scatter new per-token K or V rows (n, Hkv, D) into the pool,
     quantizing if the pool is int8."""
+    n, Hkv, D = x.shape
     if not pool.quantized:
         return pool._replace(
-            data=pool.data.at[li, out_loc].set(x.astype(pool.data.dtype))
+            data=pool.data.at[li, out_loc].set(
+                x.reshape(n, Hkv * D).astype(pool.data.dtype)
+            )
         )
     xf = x.astype(jnp.float32)
     s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-8)  # (n, Hkv)
     q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    spos = (out_loc[:, None] * Hkv
+            + jnp.arange(Hkv, dtype=out_loc.dtype)[None, :]).reshape(-1)
     return KVPool(
-        pool.data.at[li, out_loc].set(q),
-        pool.scale.at[li, out_loc].set(s),
+        pool.data.at[li, out_loc].set(q.reshape(n, Hkv * D)),
+        pool.scale.at[li, spos].set(s.reshape(-1)),
     )
 
 
-def kv_gather(pool: KVPool, li, idx, out_dtype) -> jnp.ndarray:
-    """Gather + dequantize pool rows, token-major: idx (T,) ->
-    (T, Hkv, D); idx (R, C) -> (R, C, Hkv, D)."""
-    d = pool.data[li][idx]
+def kv_gather_heads(pool: KVPool, li, idx, head_dim: int,
+                    out_dtype) -> jnp.ndarray:
+    """Gather + dequantize pool rows, un-flattening the head axis:
+    idx (T,) -> (T, Hkv, head_dim); idx (R, C) -> (R, C, Hkv, head_dim)."""
+    d = pool.data[li][idx]  # (..., Hkv*D)
+    Hkv = d.shape[-1] // head_dim
+    d = d.reshape(d.shape[:-1] + (Hkv, head_dim))
     if not pool.quantized:
         return d
-    s = pool.scale[li][idx]
+    spos = idx[..., None] * Hkv + jnp.arange(Hkv, dtype=idx.dtype)
+    s = pool.scale[li][spos]  # (..., Hkv)
     return (d.astype(jnp.float32) * s[..., None]).astype(out_dtype)
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from deft_tpu.models.llama import kv_gather
+from deft_tpu.models.llama import kv_gather_heads
 from deft_tpu.ops.dense_oracle import (
     dense_causal_attention,
     dense_tree_attention,
@@ -24,8 +24,9 @@ def flatten_attn_xla(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """Tree attention over the DFS-flattened plan, dense-masked XLA version
     (oracle for the Pallas flatten kernel; also the UNPAGED_MEDUSA dense
     baseline since the math materializes the full score matrix)."""
-    kt = kv_gather(k_pool, li, batch.kv_idx, q.dtype)  # (T, Hkv, D)
-    vt = kv_gather(v_pool, li, batch.kv_idx, q.dtype)
+    D = q.shape[-1]
+    kt = kv_gather_heads(k_pool, li, batch.kv_idx, D, q.dtype)  # (T, Hkv, D)
+    vt = kv_gather_heads(v_pool, li, batch.kv_idx, D, q.dtype)
     return dense_tree_attention(q, kt, vt, batch.tok_lo, batch.tok_hi, scale)
 
 
@@ -33,8 +34,9 @@ def seq_attn_xla(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """Sequential per-leaf decode (Flash-Decoding baseline), XLA version:
     each leaf gathers and attends its own full path — the per-leaf KV
     re-reads are the point of this baseline."""
-    kt = kv_gather(k_pool, li, batch.paths, q.dtype)  # (R, C, Hkv, D)
-    vt = kv_gather(v_pool, li, batch.paths, q.dtype)
+    D = q.shape[-1]
+    kt = kv_gather_heads(k_pool, li, batch.paths, D, q.dtype)  # (R, C, Hkv, D)
+    vt = kv_gather_heads(v_pool, li, batch.paths, D, q.dtype)
     R, C, Hkv, D = kt.shape
     Hq = q.shape[1]
     qpk = Hq // Hkv

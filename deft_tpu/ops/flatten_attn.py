@@ -193,13 +193,13 @@ def flatten_attention(
 def flatten_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """AttnFn entry: gather tree KV (XLA fused gather+transpose) and run the
     flatten kernel.  Matches attn_impls.flatten_attn_xla semantics."""
-    from deft_tpu.models.llama import kv_gather
+    from deft_tpu.models.llama import kv_gather_heads
 
     R, Hq, D = q.shape
-    Hkv = k_pool.data.shape[2]
+    Hkv = k_pool.data.shape[-1] // D
     qpk = Hq // Hkv
-    kt = jnp.moveaxis(kv_gather(k_pool, li, batch.kv_idx, q.dtype), 1, 0)
-    vt = jnp.moveaxis(kv_gather(v_pool, li, batch.kv_idx, q.dtype), 1, 0)
+    kt = jnp.moveaxis(kv_gather_heads(k_pool, li, batch.kv_idx, D, q.dtype), 1, 0)
+    vt = jnp.moveaxis(kv_gather_heads(v_pool, li, batch.kv_idx, D, q.dtype), 1, 0)
     qf = fold_q(q, Hkv)
     o = flatten_attention(
         qf,

@@ -6,20 +6,25 @@ DFS-flattened KV (gather: read pool + write T + re-read T => ~3x the
 minimum KV IO, through a 256B-granular random gather).  Here the paged pools
 stay in HBM and the kernel DMA-gathers KV itself:
 
-- The pool is **token-major** (L, S, Hkv, D): one pool row holds every
-  head's K (or V) for a token, so one DMA segment of ``seg_len`` tokens is a
-  single contiguous (seg_len * Hkv * D)-byte span serving ALL heads.  With
-  seg_len=128 a whole 128-token KV block is ONE descriptor per K/V — the
-  gather cost collapses from per-token/per-head reads to a handful of big
-  sequential DMAs per block (TPU DMA issue is scalar-core-bound, so
+- Pools are **token-major and head-flattened** (L, S, Hkv*D) — exactly the
+  layout the kernel DMAs, so no per-call reshape/relayout of the pool ever
+  happens (a reshape of a multi-GB pool per layer call costs more than the
+  attention itself).  One DMA segment of ``seg_len`` tokens is a single
+  contiguous span serving ALL heads; with seg_len=128 a whole 128-token KV
+  block is ONE descriptor per K/V (TPU DMA issue is scalar-core-bound, so
   descriptor count, not just bytes, is the budget).
 - Grid is (num_blocks,); every head is computed inside the program from the
-  shared block buffer (per-head MXU matmuls), with the flash-attention
-  (m, l, acc) state per head in VMEM scratch.
+  shared block buffer, with flash-attention (m, l, acc) state per head in
+  VMEM scratch.
+- **Head packing** for head_dim < 128: ``pack = 128 // head_dim`` heads
+  share one 128-lane group.  Q is zero-padded into its head's lane slot
+  once at kernel start (cross-head terms of QK^T vanish against the
+  padding), and PV accumulates pair-major with one unaligned lane extract
+  per head at finish — every hot-loop operand stays 128-lane aligned, which
+  Mosaic requires for cheap slices.
 - Double buffering overlaps the next block's DMAs with compute
-  (plan/flatten.py seg tables; pool-contiguity from TokenKVPool.alloc_for
-  chunking; segment starts are chunk-aligned so Mosaic can prove DMA tile
-  alignment).
+  (plan/flatten.py seg tables; pool contiguity from TokenKVPool.alloc_for
+  chunking; chunk-aligned segment starts let Mosaic prove DMA alignment).
 
 This replaces the reference's per-token ``KV_indices`` gather inside the
 Triton kernel (/root/reference/DeFT/deft/layers/attention/
@@ -47,8 +52,8 @@ def _paged_kernel(
     blk_hi_ref,   # (B,)
     # inputs
     q_ref,        # VMEM (Hkv, Rq, D)
-    k_pool_ref,   # ANY  (L, S, Hkv*D) — flattened minor dims so the HBM
-    v_pool_ref,   # ANY    slice stays lane-aligned for any head_dim
+    k_pool_ref,   # ANY  (L, S, Hkv*D)
+    v_pool_ref,   # ANY  (L, S, Hkv*D)
     lo_ref,       # VMEM (1, BLOCK)
     hi_ref,       # VMEM (1, BLOCK)
     # outputs
@@ -57,7 +62,8 @@ def _paged_kernel(
     kbuf,         # VMEM (2, BLOCK, Hkv*D) pool dtype
     vbuf,         # VMEM (2, BLOCK, Hkv*D)
     sem,          # DMA sems (2, 2, nseg)
-    acc_ref,      # VMEM (Hkv, Rq, D) f32
+    qpad_ref,     # VMEM (Hkv, Rq, 128) — lane-slotted queries
+    acc_ref,      # VMEM (Hkv, Rq, 128) f32 (pair-major accumulators)
     m_ref,        # VMEM (Hkv, Rq, 128) f32
     l_ref,        # VMEM (Hkv, Rq, 128) f32
     *,
@@ -67,10 +73,13 @@ def _paged_kernel(
     seg_len: int,
     num_blocks: int,
     num_kv_heads: int,
+    head_dim: int,
 ):
     b = pl.program_id(0)
     li = li_ref[0]
     nseg = block_len // seg_len
+    D = head_dim
+    pack = 128 // D
 
     def seg_copies(bb, slot):
         copies = []
@@ -105,6 +114,18 @@ def _paged_kernel(
         m_ref[...] = jnp.full_like(m_ref, _NEG)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        rq = q_ref.shape[1]
+        for h in range(num_kv_heads):
+            i = h % pack
+            parts = []
+            if i:
+                parts.append(jnp.zeros((rq, i * D), q_ref.dtype))
+            parts.append(q_ref[h])
+            if pack - 1 - i:
+                parts.append(jnp.zeros((rq, (pack - 1 - i) * D), q_ref.dtype))
+            qpad_ref[h] = (
+                jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            )
         issue(0, 0)
 
     @pl.when(b + 1 < num_blocks)
@@ -117,14 +138,13 @@ def _paged_kernel(
         for c in seg_copies(b, slot):
             c.wait()
         rq = q_ref.shape[1]
-        D = q_ref.shape[2]
         leaf = jax.lax.broadcasted_iota(jnp.int32, (rq, block_len), 0) // qpk
         mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
         for h in range(num_kv_heads):
-            q = q_ref[h]                          # (Rq, D)
-            k = kbuf[slot, :, h * D:(h + 1) * D]  # (BLOCK, D)
+            g = h // pack
+            k2 = kbuf[slot, :, g * 128:(g + 1) * 128]  # (BLOCK, 128) aligned
             s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
+                qpad_ref[h], k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
             m_prev = m_ref[h, :, :1]
@@ -135,10 +155,9 @@ def _paged_kernel(
             l_new = l_ref[h, :, :1] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
             )
+            v2 = vbuf[slot, :, g * 128:(g + 1) * 128]
             acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
-                p,
-                vbuf[slot, :, h * D:(h + 1) * D].astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
+                p, v2.astype(jnp.float32), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             m_ref[h] = jnp.broadcast_to(m_new, (rq, 128))
@@ -147,10 +166,12 @@ def _paged_kernel(
     @pl.when(b == num_blocks - 1)
     def _finish():
         for h in range(num_kv_heads):
+            i = h % pack
             l = l_ref[h, :, :1]
-            o_ref[h] = (acc_ref[h] / jnp.where(l == 0.0, 1.0, l)).astype(
-                o_ref.dtype
-            )
+            o_ref[h] = (
+                acc_ref[h, :, i * D:(i + 1) * D]
+                / jnp.where(l == 0.0, 1.0, l)
+            ).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -158,8 +179,8 @@ def _paged_kernel(
 )
 def paged_flatten_attention(
     qf: jnp.ndarray,       # (Hkv, Rq, D) folded queries
-    k_pool: jnp.ndarray,   # (L, S, Hkv, D)
-    v_pool: jnp.ndarray,   # (L, S, Hkv, D)
+    k_pool: jnp.ndarray,   # (L, S, Hkv*D)
+    v_pool: jnp.ndarray,   # (L, S, Hkv*D)
     li: jnp.ndarray,       # () int32 layer index
     seg_src: jnp.ndarray,  # (B * nseg,) int32
     tok_lo: jnp.ndarray,   # (T,)
@@ -173,14 +194,10 @@ def paged_flatten_attention(
     seg_len: int,
 ) -> jnp.ndarray:
     Hkv, Rq, D = qf.shape
+    assert 128 % D == 0, "head packing requires head_dim dividing 128"
     T = tok_lo.shape[0]
     nb = T // block_len
     assert nb * block_len == T
-    # flatten the (Hkv, D) minor dims: free bitcast-reshape; keeps the HBM
-    # DMA slice lane-aligned regardless of head_dim
-    L, S = k_pool.shape[:2]
-    k_pool = k_pool.reshape(L, S, Hkv * D)
-    v_pool = v_pool.reshape(L, S, Hkv * D)
 
     kernel = functools.partial(
         _paged_kernel,
@@ -190,6 +207,7 @@ def paged_flatten_attention(
         seg_len=seg_len,
         num_blocks=nb,
         num_kv_heads=Hkv,
+        head_dim=D,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -206,7 +224,8 @@ def paged_flatten_attention(
             pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
             pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
             pltpu.SemaphoreType.DMA((2, 2, block_len // seg_len)),
-            pltpu.VMEM((Hkv, Rq, D), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, 128), qf.dtype),
+            pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
             pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
             pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
         ],
@@ -217,7 +236,7 @@ def paged_flatten_attention(
         out_shape=jax.ShapeDtypeStruct((Hkv, Rq, D), qf.dtype),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * Hkv * Rq * T * D,
+            flops=2 * 2 * Hkv * Rq * T * 128,
             bytes_accessed=2 * Hkv * T * D * k_pool.dtype.itemsize,
             transcendentals=Hkv * Rq * T,
         ),
@@ -240,7 +259,7 @@ def paged_flatten_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale)
     R, Hq, D = q.shape
     assert not k_pool.quantized, "paged kernel int8 path: use paged_quant"
     k_pool, v_pool = k_pool.data, v_pool.data
-    Hkv = k_pool.shape[2]
+    Hkv = k_pool.shape[-1] // D
     T = int(batch.tok_lo.shape[0])
     B = int(batch.blk_lo.shape[0])
     block_len = T // B

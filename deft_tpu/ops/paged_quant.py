@@ -3,8 +3,11 @@ segments *and* their per-(token, head) fp32 scale segments from HBM,
 dequantizing in VMEM.  int8 halves the attention's HBM KV traffic on top of
 the flatten algorithm's tree-sharing savings.
 
-Same token-major / all-heads-per-DMA structure as
-ops/paged_flatten_attn.py (see that module); only the operands differ.
+Same token-major / all-heads-per-DMA / head-packed structure as
+ops/paged_flatten_attn.py (see that module); pools arrive in their native
+kernel layout — data (L, S, Hkv*D) int8, scales flat (L, S*Hkv) f32 — so no
+pool-wide relayout happens per call.  Dequantization expands each head's
+scale across its lane slot before the matmuls.
 """
 
 from __future__ import annotations
@@ -22,28 +25,29 @@ from deft_tpu.ops.flatten_attn import _NEG, _interpret, fold_q, unfold_o
 def _paged_q_kernel(
     li_ref, seg_src_ref, blk_lo_ref, blk_hi_ref,
     q_ref,                       # VMEM (Hkv, Rq, D)
-    k_pool_ref, v_pool_ref,      # ANY (L, S, Hkv*D) int8 (flattened minor)
-    ks_pool_ref, vs_pool_ref,    # ANY (L, S*Hkv) f32 (flattened)
+    k_pool_ref, v_pool_ref,      # ANY (L, S, Hkv*D) int8
+    ks_pool_ref, vs_pool_ref,    # ANY (L, S*Hkv) f32
     lo_ref, hi_ref,
     o_ref,
     kbuf, vbuf,                  # VMEM (2, BLOCK, Hkv*D) int8
     ksbuf, vsbuf,                # VMEM (2, BLOCK*Hkv) f32
     sem,                         # DMA sems (2, 4, nseg)
-    acc_ref, m_ref, l_ref,
-    *, scale, qpk, block_len, seg_len, num_blocks, num_kv_heads,
+    qpad_ref, acc_ref, m_ref, l_ref,
+    *, scale, qpk, block_len, seg_len, num_blocks, num_kv_heads, head_dim,
 ):
     b = pl.program_id(0)
     li = li_ref[0]
     nseg = block_len // seg_len
     Hkv = num_kv_heads
+    D = head_dim
+    pack = 128 // D
 
     def seg_copies(bb, slot):
         copies = []
         for j in range(nseg):
             src = pl.multiple_of(seg_src_ref[bb * nseg + j], seg_len)
             dst = pl.ds(j * seg_len, seg_len)
-            # scale rows flattened to (S*Hkv,): offset stays lane-aligned
-            # because src is a seg_len multiple
+            # flat scale offset stays lane-aligned: src is a seg_len multiple
             ssrc = pl.multiple_of(
                 seg_src_ref[bb * nseg + j] * Hkv, seg_len * Hkv
             )
@@ -76,6 +80,18 @@ def _paged_q_kernel(
         m_ref[...] = jnp.full_like(m_ref, _NEG)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        rq = q_ref.shape[1]
+        for h in range(num_kv_heads):
+            i = h % pack
+            parts = []
+            if i:
+                parts.append(jnp.zeros((rq, i * D), jnp.float32))
+            parts.append(q_ref[h].astype(jnp.float32))
+            if pack - 1 - i:
+                parts.append(jnp.zeros((rq, (pack - 1 - i) * D), jnp.float32))
+            qpad_ref[h] = (
+                jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            )
         issue(0, 0)
 
     @pl.when(b + 1 < num_blocks)
@@ -88,18 +104,25 @@ def _paged_q_kernel(
         for c in seg_copies(b, slot):
             c.wait()
         rq = q_ref.shape[1]
-        D = q_ref.shape[2]
         leaf = jax.lax.broadcasted_iota(jnp.int32, (rq, block_len), 0) // qpk
         mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
         kscale = ksbuf[slot].reshape(block_len, Hkv)
         vscale = vsbuf[slot].reshape(block_len, Hkv)
+        def expand(sc, g):
+            # per-head scales broadcast across each head's lane slot
+            return jnp.concatenate(
+                [jnp.broadcast_to(sc[:, g * pack + i:g * pack + i + 1],
+                                  (block_len, D)) for i in range(pack)],
+                axis=1,
+            )  # (BLOCK, 128)
+
         for h in range(num_kv_heads):
-            q = q_ref[h].astype(jnp.float32)
-            k = kbuf[slot, :, h * D:(h + 1) * D].astype(jnp.float32) * (
-                kscale[:, h][:, None]
+            g = h // pack
+            k2 = kbuf[slot, :, g * 128:(g + 1) * 128].astype(jnp.float32) * (
+                expand(kscale, g)
             )
             s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
+                qpad_ref[h], k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
             m_prev = m_ref[h, :, :1]
@@ -110,11 +133,11 @@ def _paged_q_kernel(
             l_new = l_ref[h, :, :1] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
             )
-            v = vbuf[slot, :, h * D:(h + 1) * D].astype(jnp.float32) * (
-                vscale[:, h][:, None]
+            v2 = vbuf[slot, :, g * 128:(g + 1) * 128].astype(jnp.float32) * (
+                expand(vscale, g)
             )
             acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
+                p, v2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             m_ref[h] = jnp.broadcast_to(m_new, (rq, 128))
@@ -123,10 +146,12 @@ def _paged_q_kernel(
     @pl.when(b == num_blocks - 1)
     def _finish():
         for h in range(num_kv_heads):
+            i = h % pack
             l = l_ref[h, :, :1]
-            o_ref[h] = (acc_ref[h] / jnp.where(l == 0.0, 1.0, l)).astype(
-                o_ref.dtype
-            )
+            o_ref[h] = (
+                acc_ref[h, :, i * D:(i + 1) * D]
+                / jnp.where(l == 0.0, 1.0, l)
+            ).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -138,17 +163,13 @@ def paged_flatten_attention_q(
     *, scale, qpk, block_len, seg_len,
 ):
     Hkv, Rq, D = qf.shape
+    assert 128 % D == 0
     T = tok_lo.shape[0]
     nb = T // block_len
-    L, S = k_pool.shape[:2]
-    k_pool = k_pool.reshape(L, S, Hkv * D)
-    v_pool = v_pool.reshape(L, S, Hkv * D)
-    k_scale = k_scale.reshape(L, S * Hkv)
-    v_scale = v_scale.reshape(L, S * Hkv)
     kernel = functools.partial(
         _paged_q_kernel, scale=scale, qpk=qpk,
         block_len=block_len, seg_len=seg_len, num_blocks=nb,
-        num_kv_heads=Hkv,
+        num_kv_heads=Hkv, head_dim=D,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -169,7 +190,8 @@ def paged_flatten_attention_q(
             pltpu.VMEM((2, block_len * Hkv), jnp.float32),
             pltpu.VMEM((2, block_len * Hkv), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4, block_len // seg_len)),
-            pltpu.VMEM((Hkv, Rq, D), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
             pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
             pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
         ],
@@ -180,7 +202,7 @@ def paged_flatten_attention_q(
         out_shape=jax.ShapeDtypeStruct((Hkv, Rq, D), qf.dtype),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * Hkv * Rq * T * D,
+            flops=2 * 2 * Hkv * Rq * T * 128,
             bytes_accessed=Hkv * T * (2 * D + 8),
             transcendentals=Hkv * Rq * T,
         ),
@@ -196,7 +218,7 @@ def paged_flatten_attn_q_pallas(q, k_new, v_new, k_pool, v_pool, li, batch,
     """AttnFn entry for int8 pools with seg tables."""
     R, Hq, D = q.shape
     assert k_pool.quantized
-    Hkv = k_pool.data.shape[2]
+    Hkv = k_pool.data.shape[-1] // D
     T = int(batch.tok_lo.shape[0])
     B = int(batch.blk_lo.shape[0])
     block_len = T // B

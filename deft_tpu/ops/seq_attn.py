@@ -132,13 +132,13 @@ def seq_attention(
 def seq_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """AttnFn entry for the sequential baseline: per-leaf path gather (the
     baseline's defining per-leaf KV re-read) then flash decode."""
-    from deft_tpu.models.llama import kv_gather
+    from deft_tpu.models.llama import kv_gather_heads
 
     R, Hq, D = q.shape
-    Hkv = k_pool.data.shape[2]
+    Hkv = k_pool.data.shape[-1] // D
     qpk = Hq // Hkv
-    kt = jnp.swapaxes(kv_gather(k_pool, li, batch.paths, q.dtype), 1, 2)
-    vt = jnp.swapaxes(kv_gather(v_pool, li, batch.paths, q.dtype), 1, 2)
+    kt = jnp.swapaxes(kv_gather_heads(k_pool, li, batch.paths, D, q.dtype), 1, 2)
+    vt = jnp.swapaxes(kv_gather_heads(v_pool, li, batch.paths, D, q.dtype), 1, 2)
     qf = q.reshape(R, Hkv, qpk, D)
     o = seq_attention(qf, kt, vt, batch.seq_lens, scale=scale)
     return o.reshape(R, Hq, D)

@@ -42,8 +42,9 @@ def param_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
 
 
 def pool_sharding(mesh: Mesh) -> NamedSharding:
-    """(layers, slots, kv_heads, head_dim): kv-head sharded."""
-    return NamedSharding(mesh, P(None, None, "tp", None))
+    """(layers, slots, kv_heads*head_dim): the flattened head axis is
+    head-contiguous, so sharding it across tp splits whole heads."""
+    return NamedSharding(mesh, P(None, None, "tp"))
 
 
 def batch_shardings(mesh: Mesh, batch) -> Any:
@@ -84,8 +85,9 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
 
 def _put_pool(mesh, pool):
     data = jax.device_put(pool.data, pool_sharding(mesh))
+    # flat (L, S*Hkv) scales interleave heads per token; replicate (small)
     scale = (
-        jax.device_put(pool.scale, NamedSharding(mesh, P(None, None, "tp")))
+        jax.device_put(pool.scale, NamedSharding(mesh, P()))
         if pool.scale is not None
         else None
     )

@@ -152,14 +152,16 @@ class ModelRunner:
         logger.info("KV pool: %d slots (%.1f MB per side)", slots,
                     slots * self.cfg.num_layers * self.cfg.num_kv_heads
                     * self.cfg.head_dim * 2 / 1e6)
-        # Token-major layout: one pool row (Hkv, D) holds every head's K (or
-        # V) for a token, so a DMA segment of `seg_len` tokens is one
-        # contiguous (seg_len * Hkv * D) span covering ALL heads — the paged
-        # kernel gathers a whole 128-token block with 1-4 descriptors.
-        shape = (self.cfg.num_layers, slots, self.cfg.num_kv_heads, self.cfg.head_dim)
+        # Token-major, head-flattened layout (L, S, Hkv*D): one pool row
+        # holds every head's K (or V) for a token, already in the exact
+        # layout the paged kernel DMAs — a DMA segment of `seg_len` tokens
+        # is one contiguous span covering ALL heads, and no per-call
+        # reshape/relayout of the pool ever happens.
+        shape = (self.cfg.num_layers, slots,
+                 self.cfg.num_kv_heads * self.cfg.head_dim)
+        sshape = (self.cfg.num_layers, slots * self.cfg.num_kv_heads)
         self.kv_quantized = engine_config.kv_dtype == "int8"
         if self.kv_quantized:
-            sshape = shape[:-1]
             self.k_pool = KVPool(jnp.zeros(shape, jnp.int8),
                                  jnp.ones(sshape, jnp.float32))
             self.v_pool = KVPool(jnp.zeros(shape, jnp.int8),
@@ -401,7 +403,7 @@ class ModelRunner:
             and plan.paged
             and self.kernels != "xla"
             and mode is not ForwardMode.UNPAGED_MEDUSA
-            and self.cfg.head_dim % 128 == 0
+            and 128 % self.cfg.head_dim == 0  # head-packed kernel needs this
         )
 
     def _pack_plan(self, mode: ForwardMode, plan):

@@ -168,14 +168,14 @@ def test_paged_flatten_kernel_vs_oracle(dtype):
     assert plan.paged, "plan should be seg-aligned on a chunked pool"
 
     S = tree.token_to_kv_pool.size
-    k_pool = jnp.asarray(rng.standard_normal((1, S, Hkv, D)), dtype)
-    v_pool = jnp.asarray(rng.standard_normal((1, S, Hkv, D)), dtype)
+    k_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), dtype)
+    v_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), dtype)
     R = plan.l_pad
     q = jnp.asarray(rng.standard_normal((R, Hq, D)), dtype)
     scale = D**-0.5
 
-    kt = k_pool[0][plan.kv_idx]  # (T, Hkv, D)
-    vt = v_pool[0][plan.kv_idx]
+    kt = k_pool[0][plan.kv_idx].reshape(-1, Hkv, D)  # (T, Hkv, D)
+    vt = v_pool[0][plan.kv_idx].reshape(-1, Hkv, D)
     want = dense_tree_attention(
         q, kt, vt, jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi), scale
     )
@@ -202,7 +202,7 @@ def test_paged_quant_kernel_vs_dequant_oracle(dtype):
     """int8 paged kernel must match the XLA dequant-gather oracle exactly
     (same quantized values in, same math)."""
     from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache
-    from deft_tpu.models.llama import KVPool, kv_gather
+    from deft_tpu.models.llama import KVPool, kv_gather_heads
     from deft_tpu.ops.flatten_attn import fold_q, unfold_o
     from deft_tpu.ops.paged_quant import paged_flatten_attention_q
     from deft_tpu.plan import build_flatten_plan
@@ -222,18 +222,18 @@ def test_paged_quant_kernel_vs_dequant_oracle(dtype):
     assert plan.paged
 
     S = tree.token_to_kv_pool.size
-    kd = rng.integers(-127, 128, (1, S, Hkv, D)).astype(np.int8)
-    vd = rng.integers(-127, 128, (1, S, Hkv, D)).astype(np.int8)
-    ks = rng.uniform(0.01, 0.1, (1, S, Hkv)).astype(np.float32)
-    vs = rng.uniform(0.01, 0.1, (1, S, Hkv)).astype(np.float32)
+    kd = rng.integers(-127, 128, (1, S, Hkv * D)).astype(np.int8)
+    vd = rng.integers(-127, 128, (1, S, Hkv * D)).astype(np.int8)
+    ks = rng.uniform(0.01, 0.1, (1, S * Hkv)).astype(np.float32)
+    vs = rng.uniform(0.01, 0.1, (1, S * Hkv)).astype(np.float32)
     k_pool = KVPool(jnp.asarray(kd), jnp.asarray(ks))
     v_pool = KVPool(jnp.asarray(vd), jnp.asarray(vs))
     R = plan.l_pad
     q = jnp.asarray(rng.standard_normal((R, Hq, D)), dtype)
     scale = D**-0.5
 
-    kt = kv_gather(k_pool, 0, plan.kv_idx, jnp.float32)  # (T, Hkv, D)
-    vt = kv_gather(v_pool, 0, plan.kv_idx, jnp.float32)
+    kt = kv_gather_heads(k_pool, 0, plan.kv_idx, D, jnp.float32)
+    vt = kv_gather_heads(v_pool, 0, plan.kv_idx, D, jnp.float32)
     want = dense_tree_attention(
         q, kt, vt, jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi), scale
     )
