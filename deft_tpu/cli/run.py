@@ -95,10 +95,11 @@ def _load_model_and_tokenizer(args):
         kv_dtype=args.kv_dtype,
     )
     topk_k = max(64, args.max_width)
+    use_tree_index = args.mode == "tree_index"
     if args.random_model:
         cfg = PRESETS[args.random_model]
         runner = ModelRunner(cfg, ecfg, kernels=args.kernels, seed=args.seed,
-                             topk_k=topk_k)
+                             topk_k=topk_k, use_tree_index=use_tree_index)
         tokenizer = _IdTokenizer(cfg.vocab_size)
     elif args.model:
         cfg_path = os.path.join(args.model, "config.json")
@@ -107,7 +108,8 @@ def _load_model_and_tokenizer(args):
         with open(cfg_path) as f:
             cfg = LlamaConfig.from_hf_config(json.load(f))
         runner = ModelRunner(cfg, ecfg, model_path=args.model,
-                             kernels=args.kernels, topk_k=topk_k)
+                             kernels=args.kernels, topk_k=topk_k,
+                             use_tree_index=use_tree_index)
         try:
             from transformers import AutoTokenizer
 
