@@ -116,3 +116,9 @@ def test_sharded_flatten_kernel_matches_oracle():
         )
     err = np.abs(np.asarray(got) - np.asarray(want)).max()
     assert err < 2e-5, err
+
+
+def test_entry_compiles_single_chip():
+    """__graft_entry__.entry() must lower+compile on the current backend."""
+    fn, args = graft.entry()
+    jax.jit(fn).lower(*args).compile()
