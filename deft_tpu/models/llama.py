@@ -64,10 +64,10 @@ class KVPool(NamedTuple):
     head-flattened: (L, S, Hkv*D) — one pool row is every head's K (or V)
     for a token, stored exactly in the layout the paged kernel DMAs
     (reshaping a pool per kernel call would relayout gigabytes per layer).
-    int8 adds per-(token, head) fp32 ``scale`` stored flat (L, S*Hkv) —
-    also exactly the layout the int8 kernel DMAs; int8 KV halves HBM
-    footprint and attention KV IO (no reference counterpart; SURVEY.md §7
-    build item 8)."""
+    int8 adds per-(token, head) fp32 ``scale`` stored head-major
+    (L, Hkv, S) — the layout whose per-head rows the int8 kernel DMAs as
+    lane vectors for post-matmul dequant; int8 KV halves HBM footprint and
+    attention KV IO (no reference counterpart; SURVEY.md §7 item 8)."""
 
     data: jnp.ndarray
     scale: Optional[jnp.ndarray] = None
@@ -90,11 +90,11 @@ def kv_store(pool: KVPool, li, out_loc, x) -> KVPool:
     xf = x.astype(jnp.float32)
     s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-8)  # (n, Hkv)
     q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
-    spos = (out_loc[:, None] * Hkv
-            + jnp.arange(Hkv, dtype=out_loc.dtype)[None, :]).reshape(-1)
+    # mixed scalar+slice+array indexing fronts advanced dims: the (L, Hkv, S)
+    # scale pool takes the (n, Hkv) update directly
     return KVPool(
         pool.data.at[li, out_loc].set(q.reshape(n, Hkv * D)),
-        pool.scale.at[li, spos].set(s.reshape(-1)),
+        pool.scale.at[li, :, out_loc].set(s),
     )
 
 
@@ -107,8 +107,7 @@ def kv_gather_heads(pool: KVPool, li, idx, head_dim: int,
     d = d.reshape(d.shape[:-1] + (Hkv, head_dim))
     if not pool.quantized:
         return d
-    spos = idx[..., None] * Hkv + jnp.arange(Hkv, dtype=idx.dtype)
-    s = pool.scale[li][spos]  # (..., Hkv)
+    s = jnp.moveaxis(pool.scale[li][:, idx], 0, -1)  # (..., Hkv)
     return (d.astype(jnp.float32) * s[..., None]).astype(out_dtype)
 
 

@@ -4,10 +4,15 @@ dequantizing in VMEM.  int8 halves the attention's HBM KV traffic on top of
 the flatten algorithm's tree-sharing savings.
 
 Same token-major / all-heads-per-DMA / head-packed structure as
-ops/paged_flatten_attn.py (see that module); pools arrive in their native
-kernel layout — data (L, S, Hkv*D) int8, scales flat (L, S*Hkv) f32 — so no
-pool-wide relayout happens per call.  Dequantization expands each head's
-scale across its lane slot before the matmuls.
+ops/paged_flatten_attn.py.  Dequantization is **lane-wise post-scaling**:
+scales live head-major (L, Hkv, S) so each head's per-token scales arrive as
+a lane vector, and since the zero-padded q isolates head h in QK^T,
+
+    s_h = (q_h . k_raw) * ks_h[token]     (scale s columns after the matmul)
+    o_h = (p_h * vs_h[token]) @ v_raw     (scale p columns before PV)
+
+— exact, with no transposes, reshapes, or per-element scale expansion in the
+hot loop (Mosaic rejects lane<->sublane shape casts).
 """
 
 from __future__ import annotations
@@ -26,11 +31,11 @@ def _paged_q_kernel(
     li_ref, seg_src_ref, blk_lo_ref, blk_hi_ref,
     q_ref,                       # VMEM (Hkv, Rq, D)
     k_pool_ref, v_pool_ref,      # ANY (L, S, Hkv*D) int8
-    ks_pool_ref, vs_pool_ref,    # ANY (L, S*Hkv) f32
+    ks_pool_ref, vs_pool_ref,    # ANY (L, Hkv, S) f32 head-major
     lo_ref, hi_ref,
     o_ref,
     kbuf, vbuf,                  # VMEM (2, BLOCK, Hkv*D) int8
-    ksbuf, vsbuf,                # VMEM (2, BLOCK*Hkv) f32
+    ksbuf, vsbuf,                # VMEM (2, Hkv, BLOCK) f32
     sem,                         # DMA sems (2, 4, nseg)
     qpad_ref, acc_ref, m_ref, l_ref,
     *, scale, qpk, block_len, seg_len, num_blocks, num_kv_heads, head_dim,
@@ -47,23 +52,19 @@ def _paged_q_kernel(
         for j in range(nseg):
             src = pl.multiple_of(seg_src_ref[bb * nseg + j], seg_len)
             dst = pl.ds(j * seg_len, seg_len)
-            # flat scale offset stays lane-aligned: src is a seg_len multiple
-            ssrc = pl.multiple_of(
-                seg_src_ref[bb * nseg + j] * Hkv, seg_len * Hkv
-            )
-            sdst = pl.ds(j * seg_len * Hkv, seg_len * Hkv)
             copies.append(pltpu.make_async_copy(
                 k_pool_ref.at[li, pl.ds(src, seg_len), :],
                 kbuf.at[slot, dst, :], sem.at[slot, 0, j]))
             copies.append(pltpu.make_async_copy(
                 v_pool_ref.at[li, pl.ds(src, seg_len), :],
                 vbuf.at[slot, dst, :], sem.at[slot, 1, j]))
+            # all heads' scale rows for this segment in one 2-D copy
             copies.append(pltpu.make_async_copy(
-                ks_pool_ref.at[li, pl.ds(ssrc, seg_len * Hkv)],
-                ksbuf.at[slot, sdst], sem.at[slot, 2, j]))
+                ks_pool_ref.at[li, :, pl.ds(src, seg_len)],
+                ksbuf.at[slot, :, dst], sem.at[slot, 2, j]))
             copies.append(pltpu.make_async_copy(
-                vs_pool_ref.at[li, pl.ds(ssrc, seg_len * Hkv)],
-                vsbuf.at[slot, sdst], sem.at[slot, 3, j]))
+                vs_pool_ref.at[li, :, pl.ds(src, seg_len)],
+                vsbuf.at[slot, :, dst], sem.at[slot, 3, j]))
         return copies
 
     def live(bb):
@@ -106,25 +107,14 @@ def _paged_q_kernel(
         rq = q_ref.shape[1]
         leaf = jax.lax.broadcasted_iota(jnp.int32, (rq, block_len), 0) // qpk
         mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
-        kscale = ksbuf[slot].reshape(block_len, Hkv)
-        vscale = vsbuf[slot].reshape(block_len, Hkv)
-        def expand(sc, g):
-            # per-head scales broadcast across each head's lane slot
-            return jnp.concatenate(
-                [jnp.broadcast_to(sc[:, g * pack + i:g * pack + i + 1],
-                                  (block_len, D)) for i in range(pack)],
-                axis=1,
-            )  # (BLOCK, 128)
-
         for h in range(num_kv_heads):
             g = h // pack
-            k2 = kbuf[slot, :, g * 128:(g + 1) * 128].astype(jnp.float32) * (
-                expand(kscale, g)
-            )
+            k2 = kbuf[slot, :, g * 128:(g + 1) * 128].astype(jnp.float32)
+            ks_row = ksbuf[slot, h:h + 1, :]  # (1, BLOCK) lane vector
             s = jax.lax.dot_general(
                 qpad_ref[h], k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
+            ) * ks_row * scale
             m_prev = m_ref[h, :, :1]
             m_cur = jnp.max(jnp.where(mask, s, _NEG), axis=-1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
@@ -133,11 +123,10 @@ def _paged_q_kernel(
             l_new = l_ref[h, :, :1] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
             )
-            v2 = vbuf[slot, :, g * 128:(g + 1) * 128].astype(jnp.float32) * (
-                expand(vscale, g)
-            )
+            v2 = vbuf[slot, :, g * 128:(g + 1) * 128].astype(jnp.float32)
+            vs_row = vsbuf[slot, h:h + 1, :]
             acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
-                p, v2, (((1,), (0,)), ((), ())),
+                p * vs_row, v2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             m_ref[h] = jnp.broadcast_to(m_new, (rq, 128))
@@ -187,8 +176,8 @@ def paged_flatten_attention_q(
         scratch_shapes=[
             pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
             pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
-            pltpu.VMEM((2, block_len * Hkv), jnp.float32),
-            pltpu.VMEM((2, block_len * Hkv), jnp.float32),
+            pltpu.VMEM((2, Hkv, block_len), jnp.float32),
+            pltpu.VMEM((2, Hkv, block_len), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4, block_len // seg_len)),
             pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
             pltpu.VMEM((Hkv, Rq, 128), jnp.float32),

@@ -85,9 +85,8 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
 
 def _put_pool(mesh, pool):
     data = jax.device_put(pool.data, pool_sharding(mesh))
-    # flat (L, S*Hkv) scales interleave heads per token; replicate (small)
     scale = (
-        jax.device_put(pool.scale, NamedSharding(mesh, P()))
+        jax.device_put(pool.scale, NamedSharding(mesh, P(None, "tp", None)))
         if pool.scale is not None
         else None
     )

@@ -159,7 +159,7 @@ class ModelRunner:
         # reshape/relayout of the pool ever happens.
         shape = (self.cfg.num_layers, slots,
                  self.cfg.num_kv_heads * self.cfg.head_dim)
-        sshape = (self.cfg.num_layers, slots * self.cfg.num_kv_heads)
+        sshape = (self.cfg.num_layers, self.cfg.num_kv_heads, slots)
         self.kv_quantized = engine_config.kv_dtype == "int8"
         if self.kv_quantized:
             self.k_pool = KVPool(jnp.zeros(shape, jnp.int8),

@@ -224,8 +224,8 @@ def test_paged_quant_kernel_vs_dequant_oracle(dtype):
     S = tree.token_to_kv_pool.size
     kd = rng.integers(-127, 128, (1, S, Hkv * D)).astype(np.int8)
     vd = rng.integers(-127, 128, (1, S, Hkv * D)).astype(np.int8)
-    ks = rng.uniform(0.01, 0.1, (1, S * Hkv)).astype(np.float32)
-    vs = rng.uniform(0.01, 0.1, (1, S * Hkv)).astype(np.float32)
+    ks = rng.uniform(0.01, 0.1, (1, Hkv, S)).astype(np.float32)
+    vs = rng.uniform(0.01, 0.1, (1, Hkv, S)).astype(np.float32)
     k_pool = KVPool(jnp.asarray(kd), jnp.asarray(ks))
     v_pool = KVPool(jnp.asarray(vd), jnp.asarray(vs))
     R = plan.l_pad
