@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto")
     p.add_argument("--platform", choices=["default", "cpu"], default="default")
     p.add_argument("--block_len", type=int, default=128)
+    p.add_argument("--node_chunk_len", type=int, default=None,
+                   help="node_chunk mode: max tokens of one node per kernel"
+                        " block (default --block_len; reference MAX_BLOCK_LEN,"
+                        " run_DeFT_llama_paged.py:146-150)")
     p.add_argument("--dtype", choices=["bfloat16", "float32"],
                    default="bfloat16")
     p.add_argument("--kv-dtype", choices=["inherit", "int8"],
@@ -64,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv_pool_slots", type=int, default=None)
     p.add_argument("--print-branches", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trace-dir", type=str, default=None,
+                   help="write a jax.profiler trace of the run here"
+                        " (TensorBoard-loadable; the reference's NVTX analog)")
     return p
 
 
@@ -88,7 +95,8 @@ def _load_model_and_tokenizer(args):
     ecfg = EngineConfig(
         attention=AttentionConfig(
             block_len=args.block_len,
-            node_chunk_len=args.block_len if args.mode == "node_chunk" else None,
+            node_chunk_len=(args.node_chunk_len or args.block_len)
+            if args.mode == "node_chunk" else None,
         ),
         kv_pool_slots=args.kv_pool_slots,
         dtype=args.dtype,
@@ -207,19 +215,24 @@ def main(argv=None) -> int:
     if template is not None and template.accepted_len_list is not None:
         generate_accepted_len_list(args.max_seq_len - len(prompt_ids), template)
 
-    pm = tree_generate(
-        model=runner,
-        mode=mode,
-        tokenizer=tokenizer,
-        prompt_ids=prompt_ids,
-        max_seq_len=args.max_seq_len,
-        width=args.max_width,
-        depth=args.max_depth,
-        branch_controller=controller,
-        tree_template=template,
-        output_file=args.output_file,
-        print_branches=args.print_branches,
-    )
+    from deft_tpu.obs.tracing import Tracer
+
+    tracer = Tracer(args.trace_dir)
+    with tracer.session():
+        pm = tree_generate(
+            model=runner,
+            mode=mode,
+            tokenizer=tokenizer,
+            prompt_ids=prompt_ids,
+            max_seq_len=args.max_seq_len,
+            width=args.max_width,
+            depth=args.max_depth,
+            branch_controller=controller,
+            tree_template=template,
+            output_file=args.output_file,
+            print_branches=args.print_branches,
+            tracer=tracer,
+        )
     pm.print_latency()
     return 0
 

@@ -18,9 +18,11 @@ from deft_tpu.data.loader import ExecuteTree
 
 
 def simple_tree(model, iter, max_gen_len, width, depth, logits,
-                execution_graph=None, **kw) -> bool:
+                execution_graph=None, sampling_params=None, rng=None,
+                **kw) -> bool:
     """Few-shot prompting: branch the root into `width` top-k continuations at
-    prefill, then greedy-append per leaf."""
+    prefill, then append per leaf — greedy by default, or sampled through
+    ``sampling_params`` (runtime/sampling.py) when provided."""
     tree = model.tree
     if iter + 1 == max_gen_len:
         for leaf in list(tree.leaves.values()):
@@ -31,6 +33,15 @@ def simple_tree(model, iter, max_gen_len, width, depth, logits,
         children = tree.branch(tree.root, width)
         for cnt, child in enumerate(children):
             child.append_token(int(ids[cnt]), logprob=float(np.log(probs[cnt])))
+    elif sampling_params is not None:
+        from deft_tpu.runtime.sampling import sample_token
+
+        if rng is None:
+            rng = np.random.RandomState(iter)
+        for leaf in list(tree.leaves.values()):
+            q = tree.leaf_to_q[leaf.id]
+            tok, p = sample_token(logits, q, sampling_params, rng)
+            leaf.append_token(tok, logprob=float(np.log(p)))
     else:
         ids, probs = logits.argmax()
         for leaf in list(tree.leaves.values()):
@@ -191,9 +202,16 @@ def beam_search(model, iter, max_gen_len, width, depth, logits,
 
 
 def random_tree(model, iter, max_gen_len, width, depth, logits,
-                execution_graph=None, rng=np.random, **kw) -> bool:
+                execution_graph=None, rng=None, seed=0, **kw) -> bool:
     """Random branch/prune stress workload (the reference CLI lists a
-    Random_Tree controller choice without shipping one)."""
+    Random_Tree controller choice without shipping one).
+
+    Reproducible by construction: with no explicit ``rng`` the stream is
+    derived from (seed, iter), so a rerun with the same seed replays the
+    same branch/prune schedule.  Pass a shared np.random.RandomState to
+    correlate decisions across iterations instead."""
+    if rng is None:
+        rng = np.random.RandomState((seed * 1_000_003 + iter) & 0x7FFFFFFF)
     tree = model.tree
     if iter + 1 == max_gen_len:
         for leaf in list(tree.leaves.values()):

@@ -37,3 +37,7 @@ class TreeIndexPool:
 
     def available_size(self) -> int:
         return len(self._free)
+
+    def clear(self) -> None:
+        """Release every row (fresh generation)."""
+        self._free = list(range(self.size - 1, -1, -1))

@@ -111,13 +111,22 @@ def _leaf_arrays(
 
 
 def _assemble(
-    order, lo_arr, hi_arr, block_len, node_aligned, seg_len
+    order, lo_arr, hi_arr, block_len, node_aligned, seg_len,
+    chunk_len: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """O(runs) assembly from each node's incrementally-maintained pool runs
     (TreeNode.kv_runs): pass 1 sizes the layout, pass 2 fills preallocated
     arrays with vectorized slice writes — this is the per-step host hot path
     (the reference's per-step python DFS + block packing costs ~1-2 ms,
-    SURVEY.md §3.3)."""
+    SURVEY.md §3.3).
+
+    chunk_len (node_chunk mode, reference MAX_BLOCK_LEN) splits each node's
+    runs at chunk_len boundaries and block-pads after every chunk, so no
+    kernel block spans more than chunk_len tokens of one node.  With
+    chunk_len == block_len this coincides with plain node alignment (the
+    reference's default node_chunk setting, run_DeFT_llama_paged.py:146-150);
+    smaller chunks buy nothing on TPU (the grid is already block-tiled) and
+    cost padding — that cost is made visible, not hidden."""
     # entries: (src_start, n_live, n_pad, lo, hi); src_start < 0 => DUMP pad
     entries: List[Tuple[int, int, int, int, int]] = []
     total = 0
@@ -126,9 +135,20 @@ def _assemble(
             continue
         lo, hi = int(lo_arr[i]), int(hi_arr[i])
         for start, n in node.kv_runs:
-            pad = (-n) % seg_len if seg_len else 0
-            entries.append((start, n, pad, lo, hi))
-            total += n + pad
+            pieces = (
+                [(start + o, min(chunk_len, n - o))
+                 for o in range(0, n, chunk_len)]
+                if chunk_len else [(start, n)]
+            )
+            for ps, pn in pieces:
+                pad = (-pn) % seg_len if seg_len else 0
+                entries.append((ps, pn, pad, lo, hi))
+                total += pn + pad
+                if chunk_len and node_aligned:
+                    padb = (-total) % block_len
+                    if padb:
+                        entries.append((-1, 0, padb, 0, 0))
+                        total += padb
         if node_aligned:
             padb = (-total) % block_len
             if padb:
@@ -186,9 +206,9 @@ def build_flatten_plan(
     padded up to a block boundary so no 128-token block mixes nodes —
     the node-granularity KV-guided grouping of the reference's
     TREE_DECODE_NODE mode (tree_attention.py:169-293), at the cost of
-    padding waste on small nodes.  chunk_len additionally splits long node
-    runs (reference node_chunk mode); with block-tiled kernels chunking is
-    implicit, so chunk_len only affects accounting.
+    padding waste on small nodes.  chunk_len (node_chunk mode) additionally
+    splits node runs at chunk_len boundaries with block padding per chunk
+    (see _assemble).
 
     seg_len turns on DMA segment alignment (see module docstring); it is
     dropped automatically when too wasteful or when a segment would read
@@ -211,9 +231,12 @@ def build_flatten_plan(
     pool_size = tree.token_to_kv_pool.size
     seg = 0
     for cand in candidates:
-        assert block_len % cand == 0
+        if block_len % cand != 0:
+            # e.g. CLI --block_len 64 with default candidates (128, 32):
+            # skip non-dividing candidates, fall back to gather if none fit
+            continue
         kv_idx, tok_lo, tok_hi = _assemble(
-            order, lo_arr, hi_arr, block_len, node_aligned, cand
+            order, lo_arr, hi_arr, block_len, node_aligned, cand, chunk_len
         )
         ok = len(kv_idx) <= _SEG_WASTE_LIMIT * max(live_tokens, 1)
         if ok and len(kv_idx):
@@ -230,7 +253,7 @@ def build_flatten_plan(
             break
     if not seg:
         kv_idx, tok_lo, tok_hi = _assemble(
-            order, lo_arr, hi_arr, block_len, node_aligned, 0
+            order, lo_arr, hi_arr, block_len, node_aligned, 0, chunk_len
         )
 
     n_tokens = int(kv_idx.shape[0])

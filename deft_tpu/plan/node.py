@@ -78,7 +78,9 @@ def build_tree_index_plan(
     tok_hi = np.concatenate(hi_parts) if hi_parts else np.empty(0, dtype=np.int32)
 
     n_tokens = int(kv_idx.shape[0])
-    t_pad = pad_token_count(n_tokens, block_len, min_token_bucket)
+    # same pow2 bucket family as build_flatten_plan: dead blocks are skipped
+    # by the kernel, so fewer jit buckets beat tighter padding
+    t_pad = pad_token_count(n_tokens, block_len, min_token_bucket, pow2=True)
     pad = t_pad - n_tokens
     if pad:
         kv_idx = np.concatenate([kv_idx, np.full(pad, DUMP_SLOT, dtype=np.int32)])

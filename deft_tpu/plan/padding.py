@@ -4,6 +4,15 @@ O(log(max size)) per run and the XLA compile cache absorbs them across runs.
 
 This replaces the reference's luxury of fully dynamic Triton grids; it is the
 central static-shape design noted in SURVEY.md §7 ("hard parts" #1).
+
+Two bucket families:
+- pow2=True  — powers of two: fewest jit buckets.  Used by flatten plans,
+  where dead blocks are *skipped* by the kernel (blk_lo/hi bounds) and the
+  upload is small, so padding waste costs ~nothing.
+- pow2=False — multiples of ``granularity`` (default 512): tight buckets.
+  Used by seq plans and prefill, where padded width is real gather/compute
+  work (a pow2 bucket would inflate the seq baseline's KV IO by up to 2x,
+  distorting the flatten-vs-seq comparison).
 """
 
 from __future__ import annotations
@@ -16,20 +25,18 @@ def next_pow2(n: int) -> int:
 
 
 def pad_token_count(n: int, block_len: int = 128, min_bucket: int = 1024,
-                    pow2: bool = False) -> int:
-    """Bucket a KV token count: multiple of ``block_len``, then next power of
-    two up to 8192, then multiples of 4096 — or pure powers of two when
-    ``pow2`` (flatten plans: dead blocks are skipped by the kernel and the
-    upload is small, so fewer jit buckets beat tighter padding; the seq
-    baseline keeps tight buckets because its gather cost scales with the
-    padded width)."""
+                    pow2: bool = False, granularity: int = 512) -> int:
+    """Bucket a token count: multiple of ``block_len``, floored at
+    ``min_bucket``; then powers of two (pow2=True) or multiples of
+    ``granularity`` (pow2=False)."""
     n = max(n, 1)
     n = ((n + block_len - 1) // block_len) * block_len
     if n <= min_bucket:
         return min_bucket
-    if pow2 or n <= 8192:
+    if pow2:
         return next_pow2(n)
-    return ((n + 4095) // 4096) * 4096
+    g = max(granularity, block_len)
+    return ((n + g - 1) // g) * g
 
 
 def pad_leaf_count(n_leaves: int, q_per_kv: int, min_rows: int = 16) -> int:

@@ -66,18 +66,31 @@ def restore(runner, path: str) -> None:
     from deft_tpu.core.kv_pool import DUMP_SLOT
     from deft_tpu.plan.padding import pad_token_count
 
+    from deft_tpu.core.tree import TreeNode
+
     with open(path) as f:
         snap = json.load(f)
     runner.reset_state()
     tree = runner.tree
-    by_id = {n["id"]: n for n in snap["nodes"]}
 
-    # 1. restore skeleton in id order (TreeCache assigns ids in creation
-    #    order, so sorted-by-id replay reproduces them)
+    # 1. restore the skeleton with the SNAPSHOT'S node ids and position
+    #    offsets (creation-order renumbering would desynchronize ExecuteTree
+    #    template replays and finished-seq cross-references whenever the
+    #    saved tree had pruned nodes, and recomputed offsets are wrong after
+    #    reset_node_KV shifts in speculative decoding)
     order = sorted(snap["nodes"], key=lambda n: n["id"])
     root_rec = order[0]
     assert root_rec["parent"] is None
-    tree.init_prompt(root_rec["token_ids"])
+    # root KV only for the kv_len executed tokens: a pending newest token
+    # (no KV until the next alloc) must stay pending across restore, or the
+    # next alloc() would give it a second slot and the flatten plan would
+    # double-count it
+    root_kv = int(root_rec["kv_len"])
+    tree.init_prompt(root_rec["token_ids"][:root_kv])
+    for t in root_rec["token_ids"][root_kv:]:
+        tree.root.append_token(int(t))
+    tree.root.position_offset = root_rec["position_offset"]
+    tree.root.cumulative_logprob = root_rec["cumulative_logprob"]
     id_map = {root_rec["id"]: tree.root}
     for rec in order[1:]:
         parent = id_map[rec["parent"]]
@@ -89,7 +102,15 @@ def restore(runner, path: str) -> None:
                 tree.req_to_token_pool.free(req)
             tree.remove_ref(parent)
             tree.token_to_kv_pool.close_owner((tree._owner_tag, parent.id))
-        node = tree.new_node(parent)
+        node = TreeNode(int(rec["id"]))
+        node.parent = parent
+        node.position_offset = int(rec["position_offset"])
+        parent.children[node.id] = node
+        tree.nodes[node.id] = node
+        if tree.tree_index_pool is not None:
+            row = tree.tree_index_pool.alloc(1)
+            assert row is not None
+            node.node_index_row = int(row[0])
         id_map[rec["id"]] = node
         tree.leaves[node.id] = node
         tree.add_ref(node)
@@ -136,6 +157,7 @@ def restore(runner, path: str) -> None:
             cur = cur.parent
         chain.reverse()
         tokens = [t for c in chain for t in c.token_ids[: c.kv_len]]
+        positions = [p for c in chain for p in c.positions[: c.kv_len]]
         locs = np.concatenate([c.kv_indices for c in chain if c.kv_len])
         P = len(tokens)
         assert len(locs) == P, (len(locs), P)
@@ -144,7 +166,7 @@ def restore(runner, path: str) -> None:
         tok = np.zeros(P_pad, dtype=np.int32)
         tok[:P] = tokens
         pos = np.zeros(P_pad, dtype=np.int32)
-        pos[:P] = np.arange(P)
+        pos[:P] = positions
         out = np.full(P_pad, DUMP_SLOT, dtype=np.int32)
         out[:P] = locs
         import jax.numpy as jnp

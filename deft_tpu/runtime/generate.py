@@ -12,6 +12,7 @@ import time
 from typing import Optional
 
 from deft_tpu.obs import GlobalTimer, PerfMetrics
+from deft_tpu.obs.tracing import Tracer
 from deft_tpu.runtime.modes import ForwardMode
 from deft_tpu.runtime.runner import ModelRunner
 
@@ -29,7 +30,14 @@ def tree_generate(
     output_file: Optional[str] = None,
     perf_metrics: Optional[PerfMetrics] = None,
     print_branches: bool = False,
+    tracer: Optional[Tracer] = None,
 ) -> PerfMetrics:
+    """``tracer``: optional obs.tracing.Tracer whose span() brackets the
+    prefill / per-step plan-build / forward / branch phases with
+    jax.profiler TraceAnnotations (the reference's NVTX analog); run inside
+    tracer.session() to capture a TensorBoard trace (CLI --trace-dir)."""
+    if tracer is None:
+        tracer = Tracer(None)
     if perf_metrics is None:
         perf_metrics = PerfMetrics(output_file)
     prompt_ids = [int(t) for t in prompt_ids]
@@ -47,7 +55,8 @@ def tree_generate(
     ) * model.cfg.num_layers
 
     start_time = time.perf_counter()
-    logits = model.forward_prefill(prompt_ids)
+    with tracer.span("prefill"):
+        logits = model.forward_prefill(prompt_ids)
     stop = branch_controller.apply_branching(
         model=model,
         iter=0,
@@ -95,21 +104,23 @@ def tree_generate(
             step_start = time.perf_counter()
 
             GlobalTimer.start("prepare")
-            GlobalTimer.start("alloc")
-            model.tree.alloc()
-            GlobalTimer.stop("alloc")
-            GlobalTimer.start("tree_metadata")
-            plan = model.build_plan(mode)
-            GlobalTimer.stop("tree_metadata")
+            with tracer.span("plan_build"):
+                GlobalTimer.start("alloc")
+                model.tree.alloc()
+                GlobalTimer.stop("alloc")
+                GlobalTimer.start("tree_metadata")
+                plan = model.build_plan(mode)
+                GlobalTimer.stop("tree_metadata")
             GlobalTimer.stop("prepare")
 
             is_struct = structural is None or it in structural
             override = (
                 chain_view.greedy_ids_device if chain_view is not None else None
             )
-            logits, fwd_t = model.forward_tree_decode(
-                mode, plan, q_tokens_override=override, block=is_struct
-            )
+            with tracer.span("decode_step"):
+                logits, fwd_t = model.forward_tree_decode(
+                    mode, plan, q_tokens_override=override, block=is_struct
+                )
 
             # analytic KV/mask IO accounting (per layer x layers)
             if mode.is_sequential:
@@ -128,6 +139,8 @@ def tree_generate(
                 perf_metrics.Mask_IO += plan.n_tokens * 8 * model.cfg.num_layers
 
             GlobalTimer.start("branch")
+            tracer_branch = tracer.span("branch")
+            tracer_branch.__enter__()
             if is_struct:
                 resolve_pending()
                 chain_view = None
@@ -164,6 +177,7 @@ def tree_generate(
                     t_sync = time.perf_counter()
                     jax.block_until_ready(logits._vals)
                     fwd_t += time.perf_counter() - t_sync
+            tracer_branch.__exit__(None, None, None)
             GlobalTimer.stop("branch")
 
             iter_cost = (time.perf_counter() - step_start) * 1000

@@ -213,6 +213,12 @@ class ModelRunner:
             pass
         if free is None:
             free = 2 << 30
+            logger.warning(
+                "device memory_stats unavailable (backend=%s): sizing KV pool"
+                " from an assumed %d MiB free — pass"
+                " EngineConfig(kv_pool_slots=...) to size explicitly",
+                jax.default_backend(), free >> 20,
+            )
         slots = int(free * self.ecfg.mem_fraction) // cell
         return max(4096, min(slots, 1 << 21))
 
@@ -344,9 +350,7 @@ class ModelRunner:
         self.token_to_kv_pool.clear()
         self.req_to_token_pool.clear()
         if self.tree_index_pool is not None:
-            self.tree_index_pool._free = list(
-                range(self.tree_index_pool.size - 1, -1, -1)
-            )
+            self.tree_index_pool.clear()
         self.decode_time = 0.0
 
     def forward_prefill(self, prompt_ids, tree=None) -> LogitsView:

@@ -60,3 +60,37 @@ def test_save_restore_roundtrip(tmp_path):
     # distribution values.
     np.testing.assert_array_equal(got_ids[:, 0], want_ids[:, 0])
     np.testing.assert_allclose(got_vals, want_vals, rtol=1e-3, atol=1e-5)
+
+
+def test_restore_preserves_ids_after_prune(tmp_path):
+    """A tree with pruned nodes (non-contiguous ids) must restore with the
+    SNAPSHOT's node ids (creation-order renumbering would desync template
+    replay) and the pending-token invariant (leaf newest token has no KV)."""
+    runner = _grow_tree(ModelRunner(PRESETS["tiny"], ECFG, kernels="xla"))
+    tree = runner.tree
+    # prune one leaf -> node-id gap; remaining leaves have a pending token
+    victim = sorted(tree.leaves.values(), key=lambda n: n.id)[1]
+    tree.cut(victim, record_deleted=True)
+    path = str(tmp_path / "ckpt.json")
+    save_checkpoint(tree, path)
+
+    want = {
+        n.id: (list(n.token_ids), n.kv_len, n.position_offset)
+        for n in tree.nodes.values()
+    }
+    want_cnt = tree.node_cnt
+
+    fresh = ModelRunner(PRESETS["tiny"], ECFG, kernels="xla",
+                        params=runner.params)
+    restore(fresh, path)
+    got = {
+        n.id: (list(n.token_ids), n.kv_len, n.position_offset)
+        for n in fresh.tree.nodes.values()
+    }
+    assert got == want
+    assert fresh.tree.node_cnt == want_cnt
+    # pending-token invariant survives: next alloc gives exactly one slot
+    # per leaf and the flatten plan contains each token once
+    fresh.tree.alloc()
+    plan = fresh.build_plan(ForwardMode.TREE_DECODE_FLATTEN)
+    assert plan.n_tokens == fresh.tree.get_tree_kv_len()

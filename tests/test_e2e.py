@@ -181,13 +181,10 @@ def test_pallas_interpret_e2e_matches_xla():
             depth=1,
             branch_controller=Branch_Controller(workloads.simple_tree),
         )
-        results[kernels] = [
-            tuple(b.token_ids) for b in runner.tree.all_finished_seqs
-        ] or [
-            tuple(s.token_ids) for s in runner.tree.all_finished_seqs
-        ]
         # tree was freed by tree_generate; collect from finished seqs
-        results[kernels] = sorted(results[kernels])
+        results[kernels] = sorted(
+            tuple(b.token_ids) for b in runner.tree.all_finished_seqs
+        )
     assert results["xla"] == results["pallas"]
 
 

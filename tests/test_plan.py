@@ -140,3 +140,31 @@ def test_flatten_plan_static_shapes_bucket():
     p2 = build_flatten_plan(tree, q_per_kv=4)
     assert p1.kv_idx.shape == p2.kv_idx.shape
     assert p1.q_tokens.shape == p2.q_tokens.shape
+
+
+def test_node_chunk_splits_runs():
+    """node_chunk (chunk_len < block_len) must cap each kernel block at
+    chunk_len live tokens of one node — the reference's MAX_BLOCK_LEN
+    node-chunking made real, with its padding cost visible."""
+    import numpy as np
+
+    from deft_tpu.core.kv_pool import TokenKVPool
+    from deft_tpu.core.tree import TreeCache
+    from deft_tpu.plan import build_node_plan
+
+    pool = TokenKVPool(4096)
+    tree = TreeCache(pool)
+    tree.init_prompt(list(range(300)))  # root run of 300 tokens
+    for c in tree.branch(tree.root, 2):
+        c.append_token(1)
+    tree.alloc()
+    plan = build_node_plan(tree, q_per_kv=2, block_len=128, chunk_len=64)
+    live = plan.tok_hi > plan.tok_lo
+    per_block = live.reshape(plan.num_blocks, plan.block_len).sum(axis=1)
+    assert per_block.max() <= 64
+    # every live token appears exactly once
+    assert int(live.sum()) == tree.get_tree_kv_len()
+    # and with chunk_len == block_len the plan matches plain node mode
+    plan_a = build_node_plan(tree, q_per_kv=2, block_len=128, chunk_len=128)
+    plan_b = build_node_plan(tree, q_per_kv=2, block_len=128)
+    np.testing.assert_array_equal(plan_a.kv_idx, plan_b.kv_idx)
