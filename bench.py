@@ -1,19 +1,30 @@
-"""Headline benchmark: DeFT-Flatten vs sequential flash-decoding TPOT on the
-reference's few-shot workload shape (width 50, prompt 4000, ~400 generated;
-/root/reference/README.md:214-219).
+"""Headline benchmark: DeFT-Flatten vs the FAIR sequential flash-decoding
+baseline (in-kernel paged KV reads, ops/paged_seq_attn.py) on the reference's
+few-shot workload shape (width 50, prompt 4000; /root/reference/README.md:214).
 
-Prints ONE JSON line:
+Budget-aware protocol (the driver's window is finite):
+1. kernel check   — compiled Pallas kernels vs an fp32 oracle on the real
+                    backend; result lands in every JSON line (`kernel_check`).
+2. flatten mode   — measured first; its partial JSON line prints immediately,
+                    so even a timeout mid-seq leaves a parseable result.
+3. seq mode       — skipped (gracefully, with a flatten-only headline) if the
+                    remaining deadline budget is too small.
+Final line (the headline):
     {"metric": "tpot_speedup_flatten_vs_seq", "value": N, "unit": "x",
-     "vs_baseline": N / 1.32}
+     "vs_baseline": N / 1.32, ...}
 vs_baseline compares against the reference GPU run's flatten-vs-seq TPOT
-speedup on the same workload (1.32x, BASELINE.md few-shot w=50 p4000).
+speedup on the same workload shape (1.32x, BASELINE.md few-shot w=50 p4000).
+The seq baseline reads paged KV in-kernel exactly like the reference's
+token_attention.py — not via a padded XLA gather (which would inflate the
+speedup ~3x; see VERDICT.md round 1).
 
-Robustness: each mode runs in its own subprocess with a watchdog + retries —
-the device transport has occasionally wedged whole runs (all threads
-futex-waiting mid-compile), and a fresh process reliably recovers.  Do NOT
-enable the persistent jax compile cache here (suspected in the wedges).
+Robustness: each phase runs in its own subprocess with a watchdog + retry —
+the device transport has occasionally wedged whole runs, and a fresh process
+reliably recovers.  Do NOT enable the persistent jax compile cache here
+(suspected in the wedges).
 
-Model: Llama-3.2-3B shapes (BENCH_MODEL to override), random-init (no-egress environment).
+Model: Llama-3.2-3B shapes (BENCH_MODEL to override; "8b" + BENCH_WQ=int8
+runs Llama-3.1-8B with int8 weights), random-init (no-egress environment).
 """
 
 from __future__ import annotations
@@ -28,11 +39,95 @@ import numpy as np
 
 WIDTH = int(os.environ.get("BENCH_WIDTH", 50))
 PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", 4000))
-GEN_LEN = int(os.environ.get("BENCH_GEN_LEN", 400))
+GEN_LEN = int(os.environ.get("BENCH_GEN_LEN", 64))
 MODEL = os.environ.get("BENCH_MODEL", "3b")
-MODE_TIMEOUT_S = int(os.environ.get("BENCH_MODE_TIMEOUT_S", 2400))
-RETRIES = int(os.environ.get("BENCH_RETRIES", 2))
+WEIGHT_DTYPE = os.environ.get("BENCH_WQ", "inherit")
+MODE_TIMEOUT_S = int(os.environ.get("BENCH_MODE_TIMEOUT_S", 420))
+DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", 1200))
+RETRIES = int(os.environ.get("BENCH_RETRIES", 1))
 BASELINE_SPEEDUP = 1.32  # reference few-shot w50 p4000 (BASELINE.md)
+_T0 = time.time()
+
+
+def _left() -> float:
+    return DEADLINE_S - (time.time() - _T0)
+
+
+def kernel_check() -> str:
+    """Compiled-kernel numerics vs an fp32 dense oracle on the real backend
+    (small tree; covers paged flatten + paged seq).  Returns 'ok'/'fail:...'.
+    The CPU test suite only exercises interpret mode; this is the proof the
+    Mosaic-compiled kernels match (VERDICT.md round 1, 'what's weak' #5)."""
+    import jax.numpy as jnp
+
+    from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache
+    from deft_tpu.ops.flatten_attn import fold_q, unfold_o
+    from deft_tpu.ops.paged_flatten_attn import paged_flatten_attention
+    from deft_tpu.ops.paged_seq_attn import paged_seq_attention
+    from deft_tpu.plan import build_flatten_plan
+    from deft_tpu.plan.seq import build_seq_plan
+
+    rng = np.random.default_rng(0)
+    Hq, Hkv, D = 8, 2, 128
+    qpk = Hq // Hkv
+    tree = TreeCache(TokenKVPool(8192), ReqToTokenPool(64, 4096))
+    tree.init_prompt(list(range(700)))
+    for i, c in enumerate(tree.branch(tree.root, 6)):
+        c.append_token(50 + i)
+    for _ in range(10):
+        tree.alloc()
+        for leaf in list(tree.leaves.values()):
+            leaf.append_token(int(rng.integers(1, 400)))
+    tree.alloc()
+    S = tree.token_to_kv_pool.size
+    k_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), jnp.float32)
+    v_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), jnp.float32)
+    kp = np.asarray(k_pool[0], np.float64).reshape(S, Hkv, D)
+    vp = np.asarray(v_pool[0], np.float64).reshape(S, Hkv, D)
+    scale = D ** -0.5
+
+    fplan = build_flatten_plan(tree, q_per_kv=qpk, min_token_bucket=256)
+    splan = build_seq_plan(tree, q_per_kv=qpk, min_token_bucket=256)
+    if not (fplan.paged and splan.paged):
+        return "fail: plans not seg-aligned"
+    R = fplan.l_pad
+    q = jnp.asarray(rng.standard_normal((R, Hq, D)), jnp.float32)
+    qn = np.asarray(q, np.float64)
+
+    got_f = np.asarray(unfold_o(paged_flatten_attention(
+        fold_q(q, Hkv), k_pool, v_pool, jnp.asarray(0, jnp.int32),
+        jnp.asarray(fplan.seg_src), jnp.asarray(fplan.tok_lo),
+        jnp.asarray(fplan.tok_hi), jnp.asarray(fplan.blk_lo),
+        jnp.asarray(fplan.blk_hi), scale=scale, qpk=qpk,
+        block_len=fplan.block_len, seg_len=fplan.seg_len), R))
+    got_s = np.asarray(paged_seq_attention(
+        q.reshape(R, Hkv, qpk, D), k_pool, v_pool, jnp.asarray(0, jnp.int32),
+        jnp.asarray(splan.seg_src), jnp.asarray(splan.seg_live),
+        jnp.asarray(splan.blk_live), scale=scale,
+        block_len=splan.c_pad // (len(splan.blk_live) // splan.l_pad),
+        seg_len=splan.seg_len).reshape(R, Hq, D))
+
+    worst = 0.0
+    for leaf in tree.leaves.values():
+        qi = tree.leaf_to_q[leaf.id]
+        req = tree.leaf_to_req[leaf.id]
+        n = leaf.positions[-1] + 1
+        path = tree.req_to_token_pool.req_to_token[req, :n]
+        for h in range(Hq):
+            kh, vh = kp[path, h // qpk], vp[path, h // qpk]
+            s = (qn[qi, h] @ kh.T) * scale
+            p = np.exp(s - s.max())
+            want = (p / p.sum()) @ vh
+            ref = max(np.abs(want).max(), 1e-9)
+            worst = max(worst,
+                        np.abs(got_s[qi, h] - want).max() / ref,
+                        np.abs(got_f[qi, h] - want).max() / ref)
+    # TPU MXU multiplies fp32 operands through bf16 passes at default
+    # precision, so ~5e-3 relative error vs a float64 oracle is the
+    # hardware's fp32-matmul characteristic, not a kernel defect (interpret
+    # mode on CPU, with true fp32 dots, lands < 2e-5 — tests/test_kernels).
+    return (f"ok (rel_err={worst:.1e})" if worst < 2e-2
+            else f"fail: rel_err={worst:.2e}")
 
 
 def run_mode(mode_name: str) -> dict:
@@ -49,40 +144,34 @@ def run_mode(mode_name: str) -> dict:
         kv_pool_slots=slots,
         max_requests=max(64, 2 * WIDTH),
         max_context_len=PROMPT_LEN + GEN_LEN + 64,
+        weight_dtype=WEIGHT_DTYPE,
     )
     runner = ModelRunner(cfg, ecfg, kernels="auto", seed=0)
     rng = np.random.default_rng(0)
     prompt = [int(t) for t in rng.integers(4, cfg.vocab_size - 4, PROMPT_LEN)]
-    # warmup generation: walks every jit shape bucket so the measured run is
+
+    def gen():
+        return tree_generate(
+            model=runner,
+            mode=mode_from_cli(mode_name),
+            tokenizer=None,
+            prompt_ids=prompt,
+            max_seq_len=PROMPT_LEN + GEN_LEN,
+            width=WIDTH,
+            depth=1,
+            branch_controller=Branch_Controller(workloads.simple_tree),
+            perf_metrics=PerfMetrics(),
+        )
+
+    # warmup generation walks every jit shape bucket so the measured run is
     # steady-state (in-run recompiles otherwise dominate TPOT)
-    tree_generate(
-        model=runner,
-        mode=mode_from_cli(mode_name),
-        tokenizer=None,
-        prompt_ids=prompt,
-        max_seq_len=PROMPT_LEN + GEN_LEN,
-        width=WIDTH,
-        depth=1,
-        branch_controller=Branch_Controller(workloads.simple_tree),
-        perf_metrics=PerfMetrics(),
-    )
+    gen()
     runner.reset_state()
-    pm = tree_generate(
-        model=runner,
-        mode=mode_from_cli(mode_name),
-        tokenizer=None,
-        prompt_ids=prompt,
-        max_seq_len=PROMPT_LEN + GEN_LEN,
-        width=WIDTH,
-        depth=1,
-        branch_controller=Branch_Controller(workloads.simple_tree),
-        perf_metrics=PerfMetrics(),
-    )
+    pm = gen()
     fwd = np.asarray(pm.forward_per_iter, dtype=np.float64)
     iters = np.asarray(pm.iter_time, dtype=np.float64)
     med = np.median(fwd)
-    # steady-state: drop recompile iterations (forward >> median)
-    steady = fwd[fwd < 5 * med]
+    steady = fwd[fwd < 5 * med]  # drop residual recompile iterations
     return {
         "mode": mode_name,
         "tpot_ms": float(pm.TPOT),
@@ -92,21 +181,24 @@ def run_mode(mode_name: str) -> dict:
         "kv_io_bytes": float(pm.KV_IO),
         "e2e_ms": float(pm.e2e_latency),
         "ttft_ms": float(pm.TTFT),
+        "attn_latency_ms": float(pm.attention_latency),
     }
 
 
-def run_mode_subprocess(mode_name: str) -> dict:
-    """Run one mode in a watchdogged child process, retrying on wedge."""
+def run_child(phase: str, timeout_s: float) -> dict:
+    """Run one phase in a watchdogged child process, retrying on wedge."""
     last_err = None
     for attempt in range(1 + RETRIES):
+        if _left() < 30:
+            raise RuntimeError(f"deadline exhausted before {phase}: {last_err}")
         env = dict(os.environ)
-        env["BENCH_CHILD_MODE"] = mode_name
+        env["BENCH_CHILD_PHASE"] = phase
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
                 capture_output=True,
-                timeout=MODE_TIMEOUT_S,
+                timeout=min(timeout_s, max(_left(), 30)),
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
@@ -117,31 +209,52 @@ def run_mode_subprocess(mode_name: str) -> dict:
             last_err = f"no result line (rc={out.returncode}): " + \
                 (out.stderr or "")[-800:]
         except subprocess.TimeoutExpired:
-            last_err = f"mode {mode_name} wedged (> {MODE_TIMEOUT_S}s); retrying"
+            last_err = f"phase {phase} wedged (> {timeout_s}s)"
         print(f"# attempt {attempt + 1} failed: {last_err}", file=sys.stderr)
-    raise RuntimeError(f"bench mode {mode_name} failed: {last_err}")
+    raise RuntimeError(f"bench phase {phase} failed: {last_err}")
 
 
 def main() -> int:
-    child_mode = os.environ.get("BENCH_CHILD_MODE")
-    if child_mode:
-        print(json.dumps(run_mode(child_mode)))
+    phase = os.environ.get("BENCH_CHILD_PHASE")
+    if phase == "kernel_check":
+        print(json.dumps({"kernel_check": kernel_check()}))
+        return 0
+    if phase:
+        print(json.dumps(run_mode(phase)))
         return 0
 
-    t0 = time.time()
     info = {"width": WIDTH, "prompt_len": PROMPT_LEN, "gen_len": GEN_LEN,
-            "model": MODEL}
+            "model": MODEL, "weights": WEIGHT_DTYPE, "deadline_s": DEADLINE_S}
     print(f"# bench config: {info}", file=sys.stderr)
 
-    seq = run_mode_subprocess("seq")
-    print(f"# seq:     {seq}", file=sys.stderr)
-    flat = run_mode_subprocess("flatten")
-    print(f"# flatten: {flat}", file=sys.stderr)
+    try:
+        kc = run_child("kernel_check", 240)["kernel_check"]
+    except RuntimeError as e:
+        kc = f"fail: {e}"
+    print(f"# kernel_check: {kc} ({time.time() - _T0:.0f}s)", file=sys.stderr)
 
-    # TPOT = decode_latency / generated; decode latency sums per-step
-    # forward (with async pipeline syncs charged to the step they wait on)
+    flat = run_child("flatten", MODE_TIMEOUT_S)
+    print(f"# flatten: {flat}", file=sys.stderr)
+    # partial headline: parseable even if seq times out below
+    print(json.dumps({
+        "metric": "tpot_flatten_ms", "value": round(flat["tpot_ms"], 4),
+        "unit": "ms/token", "vs_baseline": None, "kernel_check": kc,
+    }))
+    sys.stdout.flush()
+
+    try:
+        seq = run_child("seq", MODE_TIMEOUT_S)
+    except RuntimeError as e:
+        print(f"# seq skipped: {e}", file=sys.stderr)
+        return 0
+    print(f"# seq: {seq}", file=sys.stderr)
+
     speedup = seq["tpot_ms"] / flat["tpot_ms"]
-    print(f"# wall {time.time()-t0:.0f}s  TPOT speedup {speedup:.3f}x"
+    attn_speedup = (
+        seq["attn_latency_ms"] / flat["attn_latency_ms"]
+        if flat.get("attn_latency_ms") else None
+    )
+    print(f"# wall {time.time()-_T0:.0f}s  TPOT speedup {speedup:.3f}x"
           f"  (tpot {seq['tpot_ms']:.3f} -> {flat['tpot_ms']:.3f} ms/tok;"
           f"  KV IO {seq['kv_io_bytes']:.3g} -> {flat['kv_io_bytes']:.3g} B)",
           file=sys.stderr)
@@ -150,6 +263,15 @@ def main() -> int:
         "value": round(speedup, 4),
         "unit": "x",
         "vs_baseline": round(speedup / BASELINE_SPEEDUP, 4),
+        "kernel_check": kc,
+        "tpot_flatten_ms": round(flat["tpot_ms"], 4),
+        "tpot_seq_ms": round(seq["tpot_ms"], 4),
+        "attn_speedup": round(attn_speedup, 4) if attn_speedup else None,
+        "kv_io_reduction": round(
+            1 - flat["kv_io_bytes"] / seq["kv_io_bytes"], 4
+        ) if seq["kv_io_bytes"] else None,
+        "model": MODEL, "weights": WEIGHT_DTYPE,
+        "width": WIDTH, "prompt_len": PROMPT_LEN, "gen_len": GEN_LEN,
     }))
     return 0
 

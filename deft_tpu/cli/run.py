@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv-dtype", choices=["inherit", "int8"],
                    default="inherit",
                    help="int8: quantized KV cache (per-token-head scales)")
+    p.add_argument("--weight-dtype", choices=["inherit", "int8"],
+                   default="inherit",
+                   help="int8: weight-only quantized matmuls (per-out-channel"
+                        " scales; fits 8B-class models on one v5e chip)")
     p.add_argument("--kv_pool_slots", type=int, default=None)
     p.add_argument("--print-branches", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -101,6 +105,7 @@ def _load_model_and_tokenizer(args):
         kv_pool_slots=args.kv_pool_slots,
         dtype=args.dtype,
         kv_dtype=args.kv_dtype,
+        weight_dtype=args.weight_dtype,
     )
     topk_k = max(64, args.max_width)
     use_tree_index = args.mode == "tree_index"

@@ -47,5 +47,9 @@ class EngineConfig:
     # KV cache element type: "inherit" (same as dtype) or "int8"
     # (per-(token, head) fp32 scales; halves KV HBM footprint and IO)
     kv_dtype: str = "inherit"
+    # Weight element type: "inherit" (dtype) or "int8" (weight-only
+    # quantization, per-output-channel fp32 scales; halves weight HBM so
+    # 8B-class models fit one v5e chip — no reference counterpart)
+    weight_dtype: str = "inherit"
     # Fraction of free HBM the KV pool may claim when kv_pool_slots is None.
     mem_fraction: float = 0.8

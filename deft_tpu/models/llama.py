@@ -48,8 +48,13 @@ class SeqBatch(NamedTuple):
     q_tokens: jnp.ndarray  # (R,) int32
     q_pos: jnp.ndarray     # (R,) int32
     out_loc: jnp.ndarray   # (R,) int32
-    paths: jnp.ndarray     # (R, C) int32 per-leaf KV slots
+    paths: jnp.ndarray     # (R, C) int32 per-leaf KV slots (gather path)
     seq_lens: jnp.ndarray  # (R,) int32
+    # In-kernel paged-read tables (ops/paged_seq_attn.py); None on the
+    # XLA-gather fallback:
+    seg_src: Optional[jnp.ndarray] = None   # (R * nb * spb,) int32
+    seg_live: Optional[jnp.ndarray] = None  # (R * nb * spb,) int32
+    blk_live: Optional[jnp.ndarray] = None  # (R * nb,) int32
 
 
 class PrefillBatch(NamedTuple):
@@ -111,6 +116,19 @@ def kv_gather_heads(pool: KVPool, li, idx, head_dim: int,
     return (d.astype(jnp.float32) * s[..., None]).astype(out_dtype)
 
 
+def mm(x: jnp.ndarray, p: Dict[str, jnp.ndarray], name: str) -> jnp.ndarray:
+    """x @ p[name], transparently handling weight-only int8 (p[name+'_s']
+    per-output-channel fp32 scales): the int8->bf16 convert is an operand of
+    the dot, which XLA fuses into the matmul's weight-streaming loop — the
+    weights are read from HBM as int8 (half the bytes of bf16; decode is
+    weight-bandwidth-bound) and never materialized wide."""
+    w = p[name]
+    s = p.get(name + "_s")
+    if s is None:
+        return x @ w
+    return ((x @ w.astype(x.dtype)).astype(jnp.float32) * s).astype(x.dtype)
+
+
 def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -141,30 +159,30 @@ def _forward(
     scale = cfg.head_dim ** -0.5
     n = x.shape[0]
     D = cfg.head_dim
-    layer_params = {
-        k: params[k]
-        for k in ("ln1", "wq", "wk", "wv", "wo", "ln2", "wg", "wu", "wdown")
-    }
+    layer_keys = ["ln1", "wq", "wk", "wv", "wo", "ln2", "wg", "wu", "wdown"]
+    layer_keys += [k + "_s" for k in layer_keys if k + "_s" in params]
+    layer_params = {k: params[k] for k in layer_keys}
 
     def body(carry, xs):
         x, kp, vp = carry
         lp, li = xs
         h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q = (h @ lp["wq"]).reshape(n, cfg.num_q_heads, D)
-        k = (h @ lp["wk"]).reshape(n, cfg.num_kv_heads, D)
-        v = (h @ lp["wv"]).reshape(n, cfg.num_kv_heads, D)
+        q = mm(h, lp, "wq").reshape(n, cfg.num_q_heads, D)
+        k = mm(h, lp, "wk").reshape(n, cfg.num_kv_heads, D)
+        v = mm(h, lp, "wv").reshape(n, cfg.num_kv_heads, D)
         q = rope_apply(q, positions)
         k = rope_apply(k, positions)
         kp = kv_store(kp, li, out_loc, k)
         vp = kv_store(vp, li, out_loc, v)
         o = attn(q, k, v, kp, vp, li, batch, scale)
-        x = x + o.reshape(x.shape[0], -1).astype(x.dtype) @ lp["wo"]
+        x = x + mm(o.reshape(x.shape[0], -1).astype(x.dtype), lp, "wo")
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        g = h @ lp["wg"]
-        u = h @ lp["wu"]
-        x = x + (jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u) @ lp[
-            "wdown"
-        ]
+        g = mm(h, lp, "wg")
+        u = mm(h, lp, "wu")
+        x = x + mm(
+            jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u,
+            lp, "wdown",
+        )
         return (x, kp, vp), None
 
     (x, k_pool, v_pool), _ = jax.lax.scan(
@@ -198,7 +216,7 @@ def decode_forward(
         attn,
         batch,
     )
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = mm(x, params, "lm_head").astype(jnp.float32)
     return logits, k_pool, v_pool
 
 
@@ -228,5 +246,5 @@ def prefill_forward(
         batch,
     )
     last = x[batch.length - 1]
-    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    logits = mm(last[None, :], params, "lm_head")[0].astype(jnp.float32)
     return logits, k_pool, v_pool

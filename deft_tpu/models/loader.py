@@ -48,24 +48,52 @@ def _param_shapes(cfg: LlamaConfig) -> Dict[str, Any]:
     }
 
 
+# Stacked matmul weights eligible for weight-only int8 (everything except
+# embeddings and norms; embed is a row gather whose dtype doesn't affect IO).
+QUANT_WEIGHTS = ("wq", "wk", "wv", "wo", "wg", "wu", "wdown", "lm_head")
+
+
+def _quantize_int8(arr: np.ndarray):
+    """Per-output-channel symmetric int8: arr (..., in, out) ->
+    (int8 weights, fp32 scale (..., out))."""
+    s = np.maximum(np.abs(arr).max(axis=-2, keepdims=True) / 127.0, 1e-8)
+    q = np.clip(np.round(arr / s), -127, 127).astype(np.int8)
+    return q, np.squeeze(s, axis=-2).astype(np.float32)
+
+
+def _finalize(bufs: Dict[str, np.ndarray], dtype, weight_dtype: str):
+    """Host numpy -> device pytree, quantizing matmul weights to int8 when
+    asked (quantization happens on HOST so an 8B model never materializes
+    bf16 weights in HBM — that transient alone would OOM a 16 GB chip)."""
+    params: Dict[str, jnp.ndarray] = {}
+    for name, arr in bufs.items():
+        if weight_dtype == "int8" and name in QUANT_WEIGHTS:
+            q, s = _quantize_int8(arr)
+            params[name] = jnp.asarray(q)
+            params[name + "_s"] = jnp.asarray(s)
+        else:
+            params[name] = jnp.asarray(arr, dtype=dtype)
+    return params
+
+
 def random_params(
-    cfg: LlamaConfig, seed: int = 0, dtype: jnp.dtype = jnp.bfloat16
+    cfg: LlamaConfig, seed: int = 0, dtype: jnp.dtype = jnp.bfloat16,
+    weight_dtype: str = "inherit",
 ) -> Dict[str, jnp.ndarray]:
     """Random-init params with sane scales (tests / benchmarks; the
     environment has no network egress for HF downloads)."""
     shapes = _param_shapes(cfg)
-    rng = np.random.RandomState(seed)
-    params: Dict[str, jnp.ndarray] = {}
+    rng = np.random.default_rng(seed)
+    bufs: Dict[str, np.ndarray] = {}
     for name, shape in shapes.items():
         if name.startswith("ln"):
-            arr = np.ones(shape, dtype=np.float32)
+            bufs[name] = np.ones(shape, dtype=np.float32)
         else:
             fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
-            arr = rng.normal(0.0, 1.0 / np.sqrt(fan_in), size=shape).astype(
-                np.float32
-            )
-        params[name] = jnp.asarray(arr, dtype=dtype)
-    return params
+            arr = rng.standard_normal(size=shape, dtype=np.float32)
+            arr *= 1.0 / np.sqrt(fan_in)
+            bufs[name] = arr
+    return _finalize(bufs, dtype, weight_dtype)
 
 
 def _iter_hf_weights(path: str):
@@ -91,7 +119,8 @@ def _iter_hf_weights(path: str):
 
 
 def load_params(
-    path: str, cfg: LlamaConfig, dtype: jnp.dtype = jnp.bfloat16
+    path: str, cfg: LlamaConfig, dtype: jnp.dtype = jnp.bfloat16,
+    weight_dtype: str = "inherit",
 ) -> Dict[str, jnp.ndarray]:
     """Load a local HF Llama checkpoint into the stacked pytree layout."""
     E, D, L = cfg.hidden_size, cfg.head_dim, cfg.num_layers
@@ -141,4 +170,4 @@ def load_params(
     if not seen_lm_head:
         assert cfg.tie_word_embeddings or True
         bufs["lm_head"][:] = bufs["embed"].T
-    return {k: jnp.asarray(v, dtype=dtype) for k, v in bufs.items()}
+    return _finalize(bufs, dtype, weight_dtype)

@@ -79,7 +79,10 @@ def _paged_kernel(
     li = li_ref[0]
     nseg = block_len // seg_len
     D = head_dim
-    pack = 128 // D
+    # heads per lane group: head_dim slots packed into (up to) 128 lanes;
+    # gw < 128 only for toy models whose whole pool row is narrower
+    pack = min(128 // D, num_kv_heads)
+    gw = pack * D
 
     def seg_copies(bb, slot):
         copies = []
@@ -142,7 +145,7 @@ def _paged_kernel(
         mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
         for h in range(num_kv_heads):
             g = h // pack
-            k2 = kbuf[slot, :, g * 128:(g + 1) * 128]  # (BLOCK, 128) aligned
+            k2 = kbuf[slot, :, g * gw:(g + 1) * gw]  # (BLOCK, gw) aligned
             s = jax.lax.dot_general(
                 qpad_ref[h], k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -155,13 +158,13 @@ def _paged_kernel(
             l_new = l_ref[h, :, :1] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
             )
-            v2 = vbuf[slot, :, g * 128:(g + 1) * 128]
+            v2 = vbuf[slot, :, g * gw:(g + 1) * gw]
             acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
                 p, v2.astype(jnp.float32), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m_ref[h] = jnp.broadcast_to(m_new, (rq, 128))
-            l_ref[h] = jnp.broadcast_to(l_new, (rq, 128))
+            m_ref[h] = jnp.broadcast_to(m_new, m_ref[h].shape)
+            l_ref[h] = jnp.broadcast_to(l_new, l_ref[h].shape)
 
     @pl.when(b == num_blocks - 1)
     def _finish():
@@ -195,6 +198,7 @@ def paged_flatten_attention(
 ) -> jnp.ndarray:
     Hkv, Rq, D = qf.shape
     assert 128 % D == 0, "head packing requires head_dim dividing 128"
+    gw = min(128 // D, Hkv) * D
     T = tok_lo.shape[0]
     nb = T // block_len
     assert nb * block_len == T
@@ -224,10 +228,10 @@ def paged_flatten_attention(
             pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
             pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
             pltpu.SemaphoreType.DMA((2, 2, block_len // seg_len)),
-            pltpu.VMEM((Hkv, Rq, 128), qf.dtype),
-            pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
-            pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
-            pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, gw), qf.dtype),
+            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
         ],
     )
     out = pl.pallas_call(

@@ -1,0 +1,275 @@
+"""Sequential per-leaf decode attention with in-kernel paged KV reads — the
+FAIR Flash-Decoding / Radix baseline.
+
+Parity surface: /root/reference/DeFT/deft/layers/attention/
+token_attention.py:80-150 — the reference's seq baseline gathers per-token KV
+*inside* the Triton kernel through the Req_to_tokens page table.  The
+XLA-gather fallback (ops/seq_attn.py) first materializes a padded dense
+(R, C, Hkv, D) copy of every leaf's path, costing ~3x the true baseline KV IO
+— benchmarking DeFT-Flatten against that would inflate the speedup.  This
+kernel reads the paged pools directly:
+
+- Per-leaf DMA segment tables (plan/seq.py): a leaf's root-to-leaf path is a
+  short list of pool-contiguous runs (chunked allocator, TokenKVPool); each
+  run padded to ``seg_len`` makes every seg_len-token span of the padded
+  path ONE contiguous HBM read.  Trailing in-segment pads are masked via a
+  per-segment live count (pads always trail a segment's live tokens).
+- Grid (R leaves, path blocks); flash state per KV head in VMEM scratch
+  carries across a leaf's blocks; double-buffered DMAs overlap the next
+  block's reads with compute.
+- Head packing for head_dim < 128 as in ops/paged_flatten_attn.py.
+
+The per-leaf path re-read (a shared prefix fetched once per leaf) is the
+baseline's defining cost and is deliberately kept — that is what DeFT's
+KV-guided grouping eliminates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deft_tpu.ops.flatten_attn import _NEG, _interpret
+
+
+def _paged_seq_kernel(
+    # scalar prefetch
+    li_ref,        # (1,) layer index
+    seg_src_ref,   # (R * nb * spb,) pool address of each segment
+    seg_live_ref,  # (R * nb * spb,) live tokens in each segment
+    blk_live_ref,  # (R * nb,)
+    # inputs
+    q_ref,         # VMEM (1, Hkv, qpk, D)
+    k_pool_ref,    # ANY  (L, S, Hkv*D)
+    v_pool_ref,    # ANY  (L, S, Hkv*D)
+    # outputs
+    o_ref,         # VMEM (1, Hkv, qpk, D)
+    # scratch
+    kbuf,          # VMEM (2, BLOCK, Hkv*D)
+    vbuf,          # VMEM (2, BLOCK, Hkv*D)
+    sem,           # DMA sems (2, 2, spb)
+    qpad_ref,      # VMEM (Hkv, qpk, 128) lane-slotted queries
+    acc_ref,       # VMEM (Hkv, qpk, 128) f32
+    m_ref,         # VMEM (Hkv, qpk, 128) f32
+    l_ref,         # VMEM (Hkv, qpk, 128) f32
+    *,
+    scale: float,
+    block_len: int,
+    seg_len: int,
+    num_blocks: int,
+    num_leaves: int,
+    num_kv_heads: int,
+    head_dim: int,
+):
+    r = pl.program_id(0)
+    b = pl.program_id(1)
+    li = li_ref[0]
+    spb = block_len // seg_len
+    D = head_dim
+    # heads per lane group: head_dim-sized slots packed into (up to) 128
+    # lanes; gw < 128 only for toy models whose whole pool row is narrower
+    pack = min(128 // D, num_kv_heads)
+    gw = pack * D
+    nb = num_blocks
+
+    def seg_copies(linear, slot):
+        copies = []
+        for j in range(spb):
+            src = pl.multiple_of(seg_src_ref[linear * spb + j], seg_len)
+            dst = pl.ds(j * seg_len, seg_len)
+            copies.append(pltpu.make_async_copy(
+                k_pool_ref.at[li, pl.ds(src, seg_len), :],
+                kbuf.at[slot, dst, :],
+                sem.at[slot, 0, j],
+            ))
+            copies.append(pltpu.make_async_copy(
+                v_pool_ref.at[li, pl.ds(src, seg_len), :],
+                vbuf.at[slot, dst, :],
+                sem.at[slot, 1, j],
+            ))
+        return copies
+
+    def issue(linear, slot):
+        @pl.when(blk_live_ref[linear] > 0)
+        def _():
+            for c in seg_copies(linear, slot):
+                c.start()
+
+    linear = r * nb + b
+
+    @pl.when(b == 0)
+    def _init_leaf():
+        m_ref[...] = jnp.full_like(m_ref, _NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        for h in range(num_kv_heads):
+            i = h % pack
+            parts = []
+            if i:
+                parts.append(jnp.zeros((qpad_ref.shape[1], i * D), q_ref.dtype))
+            parts.append(q_ref[0, h])
+            if pack - 1 - i:
+                parts.append(jnp.zeros(
+                    (qpad_ref.shape[1], (pack - 1 - i) * D), q_ref.dtype
+                ))
+            qpad_ref[h] = (
+                jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            )
+
+    @pl.when(linear == 0)
+    def _first():
+        issue(0, 0)
+
+    @pl.when(linear + 1 < num_leaves * nb)
+    def _prefetch():
+        issue(linear + 1, (linear + 1) % 2)
+
+    @pl.when(blk_live_ref[linear] > 0)
+    def _compute():
+        slot = linear % 2
+        for c in seg_copies(linear, slot):
+            c.wait()
+        qpk = qpad_ref.shape[1]
+        # per-token live mask from per-segment live counts (pads trail)
+        tok = jax.lax.broadcasted_iota(jnp.int32, (qpk, block_len), 1)
+        mask = jnp.zeros((qpk, block_len), jnp.bool_)
+        for j in range(spb):
+            cnt = seg_live_ref[linear * spb + j]
+            mask = mask | ((tok >= j * seg_len) & (tok < j * seg_len + cnt))
+        for h in range(num_kv_heads):
+            g = h // pack
+            k2 = kbuf[slot, :, g * gw:(g + 1) * gw]
+            s = jax.lax.dot_general(
+                qpad_ref[h], k2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m_prev = m_ref[h, :, :1]
+            m_cur = jnp.max(jnp.where(mask, s, _NEG), axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_ref[h, :, :1] * alpha + jnp.sum(
+                p, axis=-1, keepdims=True
+            )
+            v2 = vbuf[slot, :, g * gw:(g + 1) * gw]
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                p, v2.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[h] = jnp.broadcast_to(m_new, m_ref[h].shape)
+            l_ref[h] = jnp.broadcast_to(l_new, l_ref[h].shape)
+
+    @pl.when(b == nb - 1)
+    def _finish():
+        for h in range(num_kv_heads):
+            i = h % pack
+            l = l_ref[h, :, :1]
+            o_ref[0, h] = (
+                acc_ref[h, :, i * D:(i + 1) * D]
+                / jnp.where(l == 0.0, 1.0, l)
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_len", "seg_len")
+)
+def paged_seq_attention(
+    qr: jnp.ndarray,       # (R, Hkv, qpk, D)
+    k_pool: jnp.ndarray,   # (L, S, Hkv*D)
+    v_pool: jnp.ndarray,   # (L, S, Hkv*D)
+    li: jnp.ndarray,       # () int32
+    seg_src: jnp.ndarray,  # (R * nb * spb,) int32
+    seg_live: jnp.ndarray,  # (R * nb * spb,) int32
+    blk_live: jnp.ndarray,  # (R * nb,) int32
+    *,
+    scale: float,
+    block_len: int,
+    seg_len: int,
+) -> jnp.ndarray:
+    R, Hkv, qpk, D = qr.shape
+    assert 128 % D == 0, "head packing requires head_dim dividing 128"
+    nb = int(blk_live.shape[0]) // R
+    assert nb * R == int(blk_live.shape[0])
+    spb = block_len // seg_len
+    assert seg_src.shape == (R * nb * spb,), (seg_src.shape, R, nb, spb)
+
+    gw = min(128 // D, Hkv) * D
+    kernel = functools.partial(
+        _paged_seq_kernel,
+        scale=scale,
+        block_len=block_len,
+        seg_len=seg_len,
+        num_blocks=nb,
+        num_leaves=R,
+        num_kv_heads=Hkv,
+        head_dim=D,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(R, nb),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, qpk, D), lambda r, b, *_: (r, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Hkv, qpk, D), lambda r, b, *_: (r, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
+            pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, spb)),
+            pltpu.VMEM((Hkv, qpk, gw), qr.dtype),
+            pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
+            pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
+            pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, Hkv, qpk, D), qr.dtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * R * Hkv * qpk * nb * block_len * 128,
+            bytes_accessed=2 * R * nb * block_len * Hkv * D
+            * k_pool.dtype.itemsize,
+            transcendentals=R * Hkv * qpk * nb * block_len,
+        ),
+    )(
+        li.reshape(1).astype(jnp.int32),
+        seg_src,
+        seg_live,
+        blk_live,
+        qr,
+        k_pool,
+        v_pool,
+    )
+    return out
+
+
+def paged_seq_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale,
+                          *, block_len: int, seg_len: int):
+    """AttnFn entry for the paged seq baseline (runner binds the static
+    block/seg lengths from the plan's jit-key sizes)."""
+    R, Hq, D = q.shape
+    assert not k_pool.quantized, \
+        "paged seq kernel reads bf16 pools; int8 KV uses the gather path"
+    k_pool, v_pool = k_pool.data, v_pool.data
+    Hkv = k_pool.shape[-1] // D
+    qpk = Hq // Hkv
+    o = paged_seq_attention(
+        q.reshape(R, Hkv, qpk, D),
+        k_pool,
+        v_pool,
+        li,
+        batch.seg_src,
+        batch.seg_live,
+        batch.blk_live,
+        scale=scale,
+        block_len=block_len,
+        seg_len=seg_len,
+    )
+    return o.reshape(R, Hq, D)

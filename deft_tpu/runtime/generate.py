@@ -181,13 +181,20 @@ def tree_generate(
             GlobalTimer.stop("branch")
 
             iter_cost = (time.perf_counter() - step_start) * 1000
+            # attention attribution: per-bucket microbench estimate
+            # (runner._measure_attention_bucket); 0 when measurement is off
+            attn_est = getattr(model, "last_attn_estimate", None)
+            attn_mem_ms, attn_comp_ms = (
+                (attn_est[0] * 1000, attn_est[1] * 1000) if attn_est else
+                (GlobalTimer.get("attn_mem"), GlobalTimer.get("attn_comp"))
+            )
             perf_metrics.update(
                 iter_time=iter_cost,
                 prepare=GlobalTimer.get("prepare"),
                 forward=fwd_t * 1000,
                 branch=GlobalTimer.get("branch"),
-                attn_mem=GlobalTimer.get("attn_mem"),
-                attn_comp=GlobalTimer.get("attn_comp"),
+                attn_mem=attn_mem_ms,
+                attn_comp=attn_comp_ms,
                 traversal=GlobalTimer.get("traversal"),
                 alloc=GlobalTimer.get("alloc"),
                 tree_metadata=GlobalTimer.get("tree_metadata"),

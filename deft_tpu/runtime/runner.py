@@ -36,6 +36,7 @@ from deft_tpu.models.llama import (
     PrefillBatch,
     SeqBatch,
     decode_forward,
+    kv_store,
     prefill_forward,
 )
 from deft_tpu.models.loader import load_params, random_params
@@ -122,6 +123,7 @@ class ModelRunner:
         seed: int = 0,
         topk_k: int = 64,
         retain_full_logits: bool = False,
+        measure_attention: Optional[bool] = None,
     ):
         self.cfg = model_config
         self.ecfg = engine_config
@@ -133,14 +135,18 @@ class ModelRunner:
         self.kernels = kernels
         self.dtype = jnp.bfloat16 if engine_config.dtype == "bfloat16" else jnp.float32
 
+        wdt = engine_config.weight_dtype
         if params is not None:
             self.params = params
         elif model_path is not None:
-            logger.info("loading weights from %s", model_path)
-            self.params = load_params(model_path, model_config, self.dtype)
+            logger.info("loading weights from %s (weights=%s)",
+                        model_path, wdt)
+            self.params = load_params(model_path, model_config, self.dtype,
+                                      weight_dtype=wdt)
         else:
-            logger.info("random-init params (seed=%d)", seed)
-            self.params = random_params(model_config, seed, self.dtype)
+            logger.info("random-init params (seed=%d, weights=%s)", seed, wdt)
+            self.params = random_params(model_config, seed, self.dtype,
+                                        weight_dtype=wdt)
 
         max_pos = min(self.cfg.context_len, engine_config.max_context_len)
         self._rope_tbl = rope_table(
@@ -184,6 +190,18 @@ class ModelRunner:
         )
         self._jit_cache: Dict[str, Callable] = {}
         self.decode_time = 0.0
+        # Attention-latency attribution (reference GlobalTimer brackets the
+        # attention call inside the layer, deft_attention.py:79-149; timing
+        # inside a jitted step is impossible, so each shape bucket is
+        # microbenched ONCE with a compiled attention-only loop over layers
+        # and the cached estimate is charged per iteration).  Auto: on for
+        # real TPU, off for CPU/interpret (compile cost dominates tests).
+        if measure_attention is None:
+            measure_attention = jax.default_backend() == "tpu"
+        self.measure_attention = measure_attention
+        self._attn_bench_cache: Dict[tuple, tuple] = {}
+        # (mem_s, comp_s) estimate for the last decode step's bucket
+        self.last_attn_estimate: Optional[tuple] = None
 
     # -- sizing ------------------------------------------------------------------
     def _profile_slots(self) -> int:
@@ -243,6 +261,10 @@ class ModelRunner:
                          else paged_flatten_attn_pallas)
         else:
             tree_attn = flatten_attn_pallas
+        if kind == "seq" and paged:
+            from deft_tpu.ops.paged_seq_attn import paged_seq_attn_pallas
+
+            return paged_seq_attn_pallas
         return {
             "flatten": tree_attn,
             "node": tree_attn,
@@ -268,13 +290,41 @@ class ModelRunner:
         one transfer.  The static unpack offsets are part of the cache key.
         """
         attn = self._attn_fn(mode, paged)
-        key = f"decode/{mode.plan_kind}/{attn.__name__}/{sizes}/{use_override}"
+        attn_name = attn.__name__
+        if mode.plan_kind == "seq" and len(sizes) == 5:
+            # bind the paged-seq kernel's static tile sizes from the jit key
+            attn = functools.partial(
+                attn, block_len=sizes[3], seg_len=sizes[4]
+            )
+        key = f"decode/{mode.plan_kind}/{attn_name}/{sizes}/{use_override}"
         if key not in self._jit_cache:
             cfg, rope, K = self.cfg, self._rope_apply, self.topk_k
             retain = self.retain_full_logits
             kind = mode.plan_kind
 
             def unpack(buf, q_override):
+                if kind == "seq" and len(sizes) == 5:
+                    # paged seq: (L, nseg_tot, nb, block_len, seg_len)
+                    L, nseg_tot, nb, _, _ = sizes
+                    o = 0
+                    f = {}
+                    for name, n in (("q_tokens", L), ("q_pos", L),
+                                    ("out_loc", L), ("seq_lens", L),
+                                    ("seg_src", L * nseg_tot),
+                                    ("seg_live", L * nseg_tot),
+                                    ("blk_live", L * nb)):
+                        f[name] = jax.lax.dynamic_slice_in_dim(buf, o, n)
+                        o += n
+                    return SeqBatch(
+                        q_tokens=q_override if use_override else f["q_tokens"],
+                        q_pos=f["q_pos"],
+                        out_loc=f["out_loc"],
+                        paths=jnp.zeros((L, 0), jnp.int32),
+                        seq_lens=f["seq_lens"],
+                        seg_src=f["seg_src"],
+                        seg_live=f["seg_live"],
+                        blk_live=f["blk_live"],
+                    )
                 if kind == "seq":
                     L, C = sizes
                     o = 0
@@ -395,13 +445,27 @@ class ModelRunner:
         if kind == "tree_index":
             return build_tree_index_plan(self.tree, **kw)
         if kind == "seq":
-            return build_seq_plan(self.tree, **kw)
+            # in-kernel paged reads need a Pallas backend, bf16 pools, and
+            # head packing (128 % D == 0) — same gates as _use_paged
+            want_paged = (
+                self.kernels != "xla"
+                and not self.kv_quantized
+                and 128 % self.cfg.head_dim == 0
+            )
+            return build_seq_plan(self.tree, want_paged=want_paged, **kw)
         raise ValueError(kind)
 
     def _use_paged(self, mode: ForwardMode, plan) -> bool:
         """Paged kernel eligibility: seg-aligned plan, Pallas backend, and a
         lane-aligned per-head row (head_dim % 128 == 0; smaller head dims
         would force per-head VMEM relayouts that dominate the kernel)."""
+        if isinstance(plan, SeqPlan):
+            return (
+                plan.paged
+                and self.kernels != "xla"
+                and not self.kv_quantized
+                and 128 % self.cfg.head_dim == 0
+            )
         return (
             isinstance(plan, FlattenPlan)
             and plan.paged
@@ -413,6 +477,16 @@ class ModelRunner:
     def _pack_plan(self, mode: ForwardMode, plan):
         """(packed int32 buffer, sizes tuple, paged) for the jitted step."""
         if isinstance(plan, SeqPlan):
+            if self._use_paged(mode, plan):
+                buf = np.concatenate([
+                    plan.q_tokens, plan.q_pos, plan.out_loc, plan.seq_lens,
+                    plan.seg_src, plan.seg_live, plan.blk_live,
+                ])
+                nseg_tot = len(plan.seg_src) // plan.l_pad
+                nb = len(plan.blk_live) // plan.l_pad
+                block_len = plan.c_pad // nb
+                sizes = (plan.l_pad, nseg_tot, nb, block_len, plan.seg_len)
+                return buf, sizes, True
             buf = np.concatenate([
                 plan.q_tokens, plan.q_pos, plan.out_loc, plan.seq_lens,
                 plan.paths.reshape(-1),
@@ -432,12 +506,16 @@ class ModelRunner:
         """Materialize a DecodeBatch/SeqBatch of device arrays (debug /
         external-harness surface; the hot path uses the packed buffer)."""
         if isinstance(plan, SeqPlan):
+            paged = self._use_paged(mode, plan)
             return SeqBatch(
                 q_tokens=jnp.asarray(plan.q_tokens),
                 q_pos=jnp.asarray(plan.q_pos),
                 out_loc=jnp.asarray(plan.out_loc),
                 paths=jnp.asarray(plan.paths),
                 seq_lens=jnp.asarray(plan.seq_lens),
+                seg_src=jnp.asarray(plan.seg_src) if paged else None,
+                seg_live=jnp.asarray(plan.seg_live) if paged else None,
+                blk_live=jnp.asarray(plan.blk_live) if paged else None,
             )
         paged = self._use_paged(mode, plan)
         return DecodeBatch(
@@ -453,6 +531,82 @@ class ModelRunner:
             seg_src=jnp.asarray(plan.seg_src) if paged else None,
         )
 
+    def _measure_attention_bucket(self, mode: ForwardMode, plan,
+                                  sizes: tuple, paged: bool) -> tuple:
+        """(store_s, attn_s) per decode step for this shape bucket: compiled
+        attention-only and KV-store-only loops over all layers, best-of-3.
+
+        The store microbench scatters dummy rows to the DUMP scratch slot
+        (writing real out_loc rows would corrupt the KV the step just
+        produced); pools ride through donation so no copies are timed."""
+        key = (mode.plan_kind, paged, sizes)
+        hit = self._attn_bench_cache.get(key)
+        if hit is not None:
+            return hit
+        cfg = self.cfg
+        attn = self._attn_fn(mode, paged)
+        if mode.plan_kind == "seq" and len(sizes) == 5:
+            attn = functools.partial(attn, block_len=sizes[3],
+                                     seg_len=sizes[4])
+        batch = self.build_decode_batch(mode, plan)
+        R = int(batch.q_tokens.shape[0])
+        scale = cfg.head_dim ** -0.5
+        Hq, Hkv, D = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+        mk = lambda *shape: (jnp.arange(  # noqa: E731 deterministic filler
+            int(np.prod(shape)), dtype=jnp.float32
+        ).reshape(shape) % 7 / 7.0).astype(self.dtype)
+        q = mk(R, Hq, D)
+        k_new = mk(R, Hkv, D)
+        v_new = mk(R, Hkv, D)
+        lis = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+
+        @jax.jit
+        def attn_all(kp, vp, q, k_new, v_new, batch):
+            def body(acc, li):
+                o = attn(q, k_new, v_new, kp, vp, li, batch, scale)
+                return acc + o.astype(jnp.float32).sum(), None
+            tot, _ = jax.lax.scan(body, jnp.float32(0.0), lis)
+            return tot
+
+        dump_loc = jnp.zeros((R,), jnp.int32)  # all rows -> DUMP scratch
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def store_all(kp, vp, k_new, v_new):
+            def body(carry, li):
+                kp, vp = carry
+                kp = kv_store(kp, li, dump_loc, k_new)
+                vp = kv_store(vp, li, dump_loc, v_new)
+                return (kp, vp), None
+            return jax.lax.scan(body, (kp, vp), lis)[0]
+
+        def best_of(n, run):
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.perf_counter()
+                run()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        out = attn_all(self.k_pool, self.v_pool, q, k_new, v_new, batch)
+        jax.block_until_ready(out)  # compile
+        attn_s = best_of(3, lambda: jax.block_until_ready(
+            attn_all(self.k_pool, self.v_pool, q, k_new, v_new, batch)
+        ))
+        self.k_pool, self.v_pool = store_all(
+            self.k_pool, self.v_pool, k_new, v_new
+        )  # compile
+        t0 = time.perf_counter()
+        self.k_pool, self.v_pool = store_all(
+            self.k_pool, self.v_pool, k_new, v_new
+        )
+        jax.block_until_ready(self.k_pool.data)
+        store_s = time.perf_counter() - t0
+        result = (store_s, attn_s)
+        self._attn_bench_cache[key] = result
+        logger.info("attn microbench %s: store %.3f ms, attn %.3f ms/step",
+                    key, store_s * 1e3, attn_s * 1e3)
+        return result
+
     def forward_tree_decode(
         self, mode: ForwardMode, plan, q_tokens_override=None, block: bool = True
     ) -> tuple:
@@ -465,6 +619,10 @@ class ModelRunner:
         buf, sizes, paged = self._pack_plan(mode, plan)
         use_override = q_tokens_override is not None
         step = self._decode_step(mode, paged, sizes, use_override)
+        if self.measure_attention:
+            self.last_attn_estimate = self._measure_attention_bucket(
+                mode, plan, sizes, paged
+            )
         override = (
             q_tokens_override
             if use_override

@@ -256,3 +256,74 @@ def test_int8_kv_cache_close_to_fp32():
         branch_controller=Branch_Controller(workloads.simple_tree),
     )
     assert len(runner.tree.all_finished_seqs) == 3
+
+
+def test_paged_seq_e2e_matches_xla():
+    """Seq-mode generation through the in-kernel paged-read baseline
+    (ops/paged_seq_attn.py, interpret on CPU) must produce the same tokens
+    as the XLA gather path — and the plan must actually take the paged
+    route (plan.paged), not silently fall back."""
+    from deft_tpu.control import Branch_Controller, workloads
+    from deft_tpu.runtime import tree_generate
+
+    # long enough prompt that the seg-alignment waste limit admits the
+    # paged layout (tiny trees correctly fall back to the gather kernel)
+    prompt = list(range(5, 205))
+    results = {}
+    for kernels in ("xla", "pallas"):
+        runner = make_runner(kernels=kernels)
+        if kernels == "pallas":
+            # pre-flight: the tree this workload builds must be seg-aligned
+            t = runner.tree
+            t.init_prompt(prompt)
+            for i, c in enumerate(t.branch(t.root, 3)):
+                c.append_token(20 + i)
+            t.alloc()
+            plan = runner.build_plan(ForwardMode.DECODE)
+            assert plan.paged, "chunked pool should admit the paged seq plan"
+            runner.reset_state()
+        tree_generate(
+            model=runner,
+            mode=ForwardMode.DECODE,
+            tokenizer=None,
+            prompt_ids=prompt,
+            max_seq_len=len(prompt) + 12,
+            width=3,
+            depth=1,
+            branch_controller=Branch_Controller(workloads.simple_tree),
+        )
+        results[kernels] = sorted(
+            tuple(b.token_ids) for b in runner.tree.all_finished_seqs
+        )
+    assert results["xla"] == results["pallas"]
+
+
+def test_int8_weights_match_bf16_generation():
+    """Weight-only int8 quantization must preserve the generation protocol
+    and stay close to the full-precision logits (random-init weights are
+    well-conditioned for per-channel symmetric int8)."""
+    import dataclasses
+
+    runs = {}
+    for wdt in ("inherit", "int8"):
+        runner = ModelRunner(
+            PRESETS["tiny"],
+            dataclasses.replace(ECFG, weight_dtype=wdt),
+            kernels="xla",
+        )
+        if wdt == "int8":
+            assert runner.params["wq"].dtype.name == "int8"
+            assert "wq_s" in runner.params
+        tree_generate(
+            model=runner, mode=ForwardMode.TREE_DECODE_FLATTEN,
+            tokenizer=None, prompt_ids=PROMPT,
+            max_seq_len=len(PROMPT) + 8, width=2, depth=1,
+            branch_controller=Branch_Controller(workloads.simple_tree),
+        )
+        runs[wdt] = sorted(
+            tuple(b.token_ids) for b in runner.tree.all_finished_seqs
+        )
+        assert len(runs[wdt]) == 2
+    # int8 is lossy: the protocol must complete; token-level agreement is
+    # expected but not guaranteed on random weights -> compare lengths only
+    assert [len(t) for t in runs["int8"]] == [len(t) for t in runs["inherit"]]

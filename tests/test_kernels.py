@@ -252,3 +252,95 @@ def test_paged_quant_kernel_vs_dequant_oracle(dtype):
     )
     live = np.arange(R) < plan.n_leaves
     assert rel_err(np.asarray(got)[live], np.asarray(want)[live]) < 2e-5
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_paged_seq_kernel_vs_oracle(dtype):
+    """Fair seq baseline: in-kernel paged per-leaf path reads
+    (ops/paged_seq_attn.py) vs the dense per-leaf oracle, on a real tree
+    with a chunked pool (interpret mode)."""
+    from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache
+    from deft_tpu.ops.paged_seq_attn import paged_seq_attention
+    from deft_tpu.plan.seq import build_seq_plan
+
+    rng = np.random.default_rng(11)
+    Hq, Hkv, D = 8, 2, 64
+    qpk = Hq // Hkv
+    tree = TreeCache(TokenKVPool(8192), ReqToTokenPool(64, 2048))
+    tree.init_prompt(list(range(150)))
+    for i, c in enumerate(tree.branch(tree.root, 4)):
+        c.append_token(50 + i)
+    for _ in range(30):
+        tree.alloc()
+        for leaf in list(tree.leaves.values()):
+            leaf.append_token(int(rng.integers(1, 400)))
+    # one more generation iteration that branches one leaf, appends the
+    # rest, and prunes another — fragmenting the pool runs.  Order matches
+    # the decode loop: alloc (KV catches up), then structural edits.
+    tree.alloc()
+    deep = sorted(tree.leaves.values(), key=lambda x: x.id)[0]
+    new_children = tree.branch(deep, 2)
+    for i, c in enumerate(new_children):
+        c.append_token(60 + i)
+    new_ids = {c.id for c in new_children}
+    for leaf in list(tree.leaves.values()):
+        if leaf.id not in new_ids:
+            leaf.append_token(int(rng.integers(1, 400)))
+    tree.cut(sorted(tree.leaves.values(), key=lambda x: x.id)[-1])
+    tree.alloc()
+    plan = build_seq_plan(tree, q_per_kv=qpk, min_token_bucket=256)
+    assert plan.paged, "plan should be seg-aligned on a chunked pool"
+
+    # plan property: seg tables reconstruct exactly the page-table paths
+    seg = plan.seg_len
+    nseg_tot = len(plan.seg_src) // plan.l_pad
+    src = plan.seg_src.reshape(plan.l_pad, nseg_tot)
+    livec = plan.seg_live.reshape(plan.l_pad, nseg_tot)
+    for leaf in tree.leaves.values():
+        q_i = tree.leaf_to_q[leaf.id]
+        got_path = np.concatenate([
+            np.arange(src[q_i, j], src[q_i, j] + livec[q_i, j])
+            for j in range(nseg_tot) if livec[q_i, j]
+        ])
+        req = tree.leaf_to_req[leaf.id]
+        n = leaf.positions[-1] + 1
+        want_path = tree.req_to_token_pool.req_to_token[req, :n]
+        np.testing.assert_array_equal(got_path, want_path)
+
+    S = tree.token_to_kv_pool.size
+    k_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), dtype)
+    v_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), dtype)
+    R = plan.l_pad
+    q = jnp.asarray(rng.standard_normal((R, Hq, D)), dtype)
+    scale = D**-0.5
+
+    got = paged_seq_attention(
+        q.reshape(R, Hkv, qpk, D),
+        k_pool, v_pool,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(plan.seg_src),
+        jnp.asarray(plan.seg_live),
+        jnp.asarray(plan.blk_live),
+        scale=scale,
+        block_len=plan.c_pad // (len(plan.blk_live) // R),
+        seg_len=plan.seg_len,
+    ).reshape(R, Hq, D)
+
+    # oracle: per-leaf dense attention over its true path
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    qn = np.asarray(q, np.float64)
+    kp = np.asarray(k_pool[0], np.float64).reshape(S, Hkv, D)
+    vp = np.asarray(v_pool[0], np.float64).reshape(S, Hkv, D)
+    for leaf in tree.leaves.values():
+        q_i = tree.leaf_to_q[leaf.id]
+        req = tree.leaf_to_req[leaf.id]
+        n = leaf.positions[-1] + 1
+        path = tree.req_to_token_pool.req_to_token[req, :n]
+        for h in range(Hq):
+            kh = kp[path, h // qpk]           # (n, D)
+            vh = vp[path, h // qpk]
+            s = (qn[q_i, h] @ kh.T) * scale
+            p = np.exp(s - s.max())
+            want = (p / p.sum()) @ vh
+            err = np.abs(np.asarray(got[q_i, h], np.float64) - want).max()
+            assert err / max(np.abs(want).max(), 1e-9) < tol, (q_i, h, err)
