@@ -78,22 +78,57 @@ def _finalize(bufs: Dict[str, np.ndarray], dtype, weight_dtype: str):
 
 def random_params(
     cfg: LlamaConfig, seed: int = 0, dtype: jnp.dtype = jnp.bfloat16,
-    weight_dtype: str = "inherit",
+    weight_dtype: str = "inherit", on_device: bool = None,
 ) -> Dict[str, jnp.ndarray]:
     """Random-init params with sane scales (tests / benchmarks; the
-    environment has no network egress for HF downloads)."""
+    environment has no network egress for HF downloads).
+
+    On an accelerator backend the tensors are generated (and int8-quantized)
+    ON DEVICE with jax.random — host generation + transfer of multi-GB
+    params over the device tunnel costs minutes per process, which starved
+    the benchmark's watchdog windows.  CPU keeps the numpy path (test seeds
+    derive from it)."""
+    if on_device is None:
+        on_device = jax.default_backend() != "cpu"
     shapes = _param_shapes(cfg)
-    rng = np.random.default_rng(seed)
-    bufs: Dict[str, np.ndarray] = {}
+    if not on_device:
+        rng = np.random.default_rng(seed)
+        bufs: Dict[str, np.ndarray] = {}
+        for name, shape in shapes.items():
+            if name.startswith("ln"):
+                bufs[name] = np.ones(shape, dtype=np.float32)
+            else:
+                fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
+                arr = rng.standard_normal(size=shape, dtype=np.float32)
+                arr *= 1.0 / np.sqrt(fan_in)
+                bufs[name] = arr
+        return _finalize(bufs, dtype, weight_dtype)
+
+    def gen(sub, shape, fan_in, quant):
+        arr = jax.random.normal(sub, shape, jnp.float32) * (fan_in ** -0.5)
+        if not quant:
+            return (arr.astype(dtype),)
+        s = jnp.maximum(
+            jnp.max(jnp.abs(arr), axis=-2, keepdims=True) / 127.0, 1e-8
+        )
+        q = jnp.clip(jnp.round(arr / s), -127, 127).astype(jnp.int8)
+        return q, jnp.squeeze(s, axis=-2)
+
+    gen = jax.jit(gen, static_argnums=(1, 2, 3))
+    key = jax.random.PRNGKey(seed)
+    params: Dict[str, jnp.ndarray] = {}
     for name, shape in shapes.items():
         if name.startswith("ln"):
-            bufs[name] = np.ones(shape, dtype=np.float32)
-        else:
-            fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
-            arr = rng.standard_normal(size=shape, dtype=np.float32)
-            arr *= 1.0 / np.sqrt(fan_in)
-            bufs[name] = arr
-    return _finalize(bufs, dtype, weight_dtype)
+            params[name] = jnp.ones(shape, jnp.float32)
+            continue
+        key, sub = jax.random.split(key)
+        fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
+        quant = weight_dtype == "int8" and name in QUANT_WEIGHTS
+        out = gen(sub, shape, fan_in, quant)
+        params[name] = out[0]
+        if quant:
+            params[name + "_s"] = out[1]
+    return params
 
 
 def _iter_hf_weights(path: str):

@@ -49,7 +49,15 @@ def _partial_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    live = blk_lo_ref[0, b] < blk_hi_ref[0, b]
+    # Skip dead blocks (empty interval) and, under dp row sharding, blocks
+    # whose (already offset-shifted) leaf interval misses this shard's local
+    # leaf range [0, Rq/qpk).
+    n_leaves = q_ref.shape[1] // qpk
+    live = (
+        (blk_lo_ref[0, b] < blk_hi_ref[0, b])
+        & (blk_lo_ref[0, b] < n_leaves)
+        & (blk_hi_ref[0, b] > 0)
+    )
 
     @pl.when(live)
     def _compute():

@@ -38,7 +38,24 @@ def param_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
         "wdown": s(None, "tp", None),
         "ln_f": s(),
         "lm_head": s(None, "tp"),
+        # Weight-only int8 per-output-channel scales follow their weight's
+        # output axis: (L, out) for stacked layers, (V,) for lm_head.
+        # Row-parallel weights (wo/wdown) have an unsharded output axis.
+        "wq_s": s(None, "tp"),
+        "wk_s": s(None, "tp"),
+        "wv_s": s(None, "tp"),
+        "wo_s": s(),
+        "wg_s": s(None, "tp"),
+        "wu_s": s(None, "tp"),
+        "wdown_s": s(),
+        "lm_head_s": s("tp"),
     }
+
+
+def shard_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Place a param pytree (bf16 or weight-only-int8) onto the mesh."""
+    ps = param_shardings(mesh)
+    return {k: jax.device_put(v, ps[k]) for k, v in params.items()}
 
 
 def pool_sharding(mesh: Mesh) -> NamedSharding:
@@ -83,7 +100,7 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
     raise TypeError(name)
 
 
-def _put_pool(mesh, pool):
+def shard_pool(mesh, pool):
     data = jax.device_put(pool.data, pool_sharding(mesh))
     scale = (
         jax.device_put(pool.scale, NamedSharding(mesh, P(None, "tp", None)))
@@ -95,10 +112,9 @@ def _put_pool(mesh, pool):
 
 def shard_decode_args(mesh: Mesh, params, k_pool, v_pool, batch):
     """Place (params, pools, batch) onto the mesh with the specs above."""
-    ps = param_shardings(mesh)
-    params = {k: jax.device_put(v, ps[k]) for k, v in params.items()}
-    k_pool = _put_pool(mesh, k_pool)
-    v_pool = _put_pool(mesh, v_pool)
+    params = shard_params(mesh, params)
+    k_pool = shard_pool(mesh, k_pool)
+    v_pool = shard_pool(mesh, v_pool)
     bs = batch_shardings(mesh, batch)
     batch = type(batch)(*(jax.device_put(x, s) for x, s in zip(batch, bs)))
     return params, k_pool, v_pool, batch

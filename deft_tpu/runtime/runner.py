@@ -124,9 +124,15 @@ class ModelRunner:
         topk_k: int = 64,
         retain_full_logits: bool = False,
         measure_attention: Optional[bool] = None,
+        mesh=None,
     ):
         self.cfg = model_config
         self.ecfg = engine_config
+        # Multi-chip: a (dp, sp, tp) jax.sharding.Mesh.  Params/pools are
+        # sharded once here; the same jitted steps then run GSPMD-partitioned
+        # matmuls with shard_map'ed Pallas attention (parallel/engine.py), so
+        # tree_generate and every workload drive the sharded engine unchanged.
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
         self.use_tree_index = use_tree_index
         self.topk_k = min(topk_k, model_config.vocab_size)
         self.retain_full_logits = retain_full_logits
@@ -147,6 +153,13 @@ class ModelRunner:
             logger.info("random-init params (seed=%d, weights=%s)", seed, wdt)
             self.params = random_params(model_config, seed, self.dtype,
                                         weight_dtype=wdt)
+        if self.mesh is not None:
+            from deft_tpu.parallel.sharding import shard_params
+
+            assert model_config.num_kv_heads % self.mesh.shape.get("tp", 1) == 0, (
+                "tp must divide num_kv_heads for head-sharded attention"
+            )
+            self.params = shard_params(self.mesh, self.params)
 
         max_pos = min(self.cfg.context_len, engine_config.max_context_len)
         self._rope_tbl = rope_table(
@@ -175,6 +188,11 @@ class ModelRunner:
         else:
             self.k_pool = KVPool(jnp.zeros(shape, dtype=self.dtype))
             self.v_pool = KVPool(jnp.zeros(shape, dtype=self.dtype))
+        if self.mesh is not None:
+            from deft_tpu.parallel.sharding import shard_pool
+
+            self.k_pool = shard_pool(self.mesh, self.k_pool)
+            self.v_pool = shard_pool(self.mesh, self.v_pool)
 
         self.token_to_kv_pool = TokenKVPool(slots)
         self.req_to_token_pool = ReqToTokenPool(
@@ -197,7 +215,12 @@ class ModelRunner:
         # and the cached estimate is charged per iteration).  Auto: on for
         # real TPU, off for CPU/interpret (compile cost dominates tests).
         if measure_attention is None:
-            measure_attention = jax.default_backend() == "tpu"
+            measure_attention = (
+                jax.default_backend() == "tpu" and self.mesh is None
+            )
+        assert not (measure_attention and self.mesh is not None), (
+            "attention microbench timing is single-device"
+        )
         self.measure_attention = measure_attention
         self._attn_bench_cache: Dict[tuple, tuple] = {}
         # (mem_s, comp_s) estimate for the last decode step's bucket
@@ -243,6 +266,26 @@ class ModelRunner:
     # -- attention impl selection -----------------------------------------------
     def _attn_fn(self, mode: ForwardMode, paged: bool = False):
         kind = mode.plan_kind
+        if self.mesh is not None:
+            # Mesh path: tree modes run the Pallas partial kernel per chip
+            # under shard_map + cross-chip LSE merge; seq / medusa / int8-KV
+            # fall back to XLA attention, which GSPMD partitions over the
+            # same shardings (proven equal in tests/test_multichip.py).
+            if (
+                kind != "seq"
+                and mode is not ForwardMode.UNPAGED_MEDUSA
+                and self.kernels != "xla"
+                and not self.kv_quantized
+            ):
+                from deft_tpu.parallel.engine import make_sharded_tree_attn
+
+                return make_sharded_tree_attn(self.mesh)
+            return {
+                "flatten": attn_impls.flatten_attn_xla,
+                "node": attn_impls.flatten_attn_xla,
+                "tree_index": attn_impls.flatten_attn_xla,
+                "seq": attn_impls.seq_attn_xla,
+            }[kind]
         if mode is ForwardMode.UNPAGED_MEDUSA or self.kernels == "xla":
             return {
                 "flatten": attn_impls.flatten_attn_xla,
@@ -275,6 +318,10 @@ class ModelRunner:
     def _prefill_attn_fn(self):
         if self.kernels == "xla":
             return attn_impls.prefill_attn_xla
+        if self.mesh is not None:
+            from deft_tpu.parallel.engine import make_sharded_prefill_attn
+
+            return make_sharded_prefill_attn(self.mesh)
         from deft_tpu.ops.prefill import prefill_attn_pallas
 
         return prefill_attn_pallas
@@ -392,6 +439,15 @@ class ModelRunner:
         return self._jit_cache[key]
 
     # -- public API ---------------------------------------------------------------
+    def _upload(self, arr):
+        """Host array -> device; replicated across the mesh when sharded
+        (mixing single-device and mesh-sharded jit inputs is an error)."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from deft_tpu.parallel.engine import replicate
+
+        return replicate(self.mesh, np.asarray(arr))
+
     def reset_state(self) -> None:
         """Release all tree/KV bookkeeping for a fresh generation (device
         pools are reused as-is: slots are always written before being read)."""
@@ -418,10 +474,10 @@ class ModelRunner:
         out_loc = np.full(P_pad, DUMP_SLOT, dtype=np.int32)
         out_loc[:P] = cache_loc
         batch = PrefillBatch(
-            tokens=jnp.asarray(tokens),
-            positions=jnp.asarray(positions),
-            out_loc=jnp.asarray(out_loc),
-            length=jnp.asarray(P, dtype=jnp.int32),
+            tokens=self._upload(tokens),
+            positions=self._upload(positions),
+            out_loc=self._upload(out_loc),
+            length=self._upload(np.asarray(P, dtype=np.int32)),
         )
         vals, ids, logits, self.k_pool, self.v_pool = self._prefill_step()(
             self.params, self.k_pool, self.v_pool, batch
@@ -449,6 +505,7 @@ class ModelRunner:
             # head packing (128 % D == 0) — same gates as _use_paged
             want_paged = (
                 self.kernels != "xla"
+                and self.mesh is None
                 and not self.kv_quantized
                 and 128 % self.cfg.head_dim == 0
             )
@@ -458,7 +515,11 @@ class ModelRunner:
     def _use_paged(self, mode: ForwardMode, plan) -> bool:
         """Paged kernel eligibility: seg-aligned plan, Pallas backend, and a
         lane-aligned per-head row (head_dim % 128 == 0; smaller head dims
-        would force per-head VMEM relayouts that dominate the kernel)."""
+        would force per-head VMEM relayouts that dominate the kernel).
+        The DMA kernels are single-chip; under a mesh the shard_map gather
+        path runs instead (parallel/engine.py)."""
+        if self.mesh is not None:
+            return False
         if isinstance(plan, SeqPlan):
             return (
                 plan.paged
@@ -626,12 +687,12 @@ class ModelRunner:
         override = (
             q_tokens_override
             if use_override
-            else jnp.zeros((0,), jnp.int32)
+            else self._upload(np.zeros((0,), np.int32))
         )
         t0 = time.perf_counter()
         vals, ids, logits, self.k_pool, self.v_pool = step(
             self.params, self.k_pool, self.v_pool,
-            jnp.asarray(buf, dtype=jnp.int32), override,
+            self._upload(np.asarray(buf, dtype=np.int32)), override,
         )
         if block:
             jax.block_until_ready(vals)

@@ -118,6 +118,44 @@ def test_sharded_flatten_kernel_matches_oracle():
     assert err < 2e-5, err
 
 
+def test_sharded_engine_generation_matches_single_device():
+    """tree_generate over a ModelRunner(mesh=...) — GSPMD matmuls +
+    shard_map'ed Pallas flatten per chip with cross-chip LSE merge — must
+    produce token-identical generations to the single-device engine
+    (the multi-chip analog of test_cross_mode_equivalence)."""
+    from deft_tpu.config import EngineConfig
+    from deft_tpu.control import Branch_Controller, workloads
+    from deft_tpu.models import PRESETS
+    from deft_tpu.runtime import ForwardMode, ModelRunner, tree_generate
+
+    ecfg = EngineConfig(
+        kv_pool_slots=1024, max_requests=16, max_context_len=128,
+        min_token_bucket=128, dtype="float32",
+    )
+    prompt = list(range(7, 27))
+
+    def gen(mesh, kernels, mode=ForwardMode.TREE_DECODE_FLATTEN):
+        runner = ModelRunner(PRESETS["tiny"], ecfg, kernels=kernels, seed=3,
+                             mesh=mesh)
+        tree_generate(
+            runner, mode, None, prompt, max_seq_len=32, width=3, depth=0,
+            branch_controller=Branch_Controller(workloads.simple_tree),
+        )
+        return [tuple(s.token_ids) for s in runner.tree.all_finished_seqs]
+
+    want = gen(None, "xla")
+    assert len(want) == 3
+    mesh = make_mesh(8, num_kv_heads=PRESETS["tiny"].num_kv_heads)
+    assert mesh.shape["tp"] > 1 and mesh.shape["dp"] * mesh.shape["sp"] > 1
+    got_pallas = gen(mesh, "pallas")  # shard_map Pallas flatten path
+    assert got_pallas == want
+    got_xla = gen(mesh, "xla")  # GSPMD-partitioned XLA attention path
+    assert got_xla == want
+    # sequential baseline mode under the mesh (GSPMD path)
+    got_seq = gen(mesh, "pallas", mode=ForwardMode.DECODE)
+    assert got_seq == want
+
+
 def test_entry_compiles_single_chip():
     """__graft_entry__.entry() must lower+compile on the current backend."""
     fn, args = graft.entry()
