@@ -119,7 +119,7 @@ def random_params(
     params: Dict[str, jnp.ndarray] = {}
     for name, shape in shapes.items():
         if name.startswith("ln"):
-            params[name] = jnp.ones(shape, jnp.float32)
+            params[name] = jnp.ones(shape, dtype)
             continue
         key, sub = jax.random.split(key)
         fan_in = shape[-2] if len(shape) >= 2 else shape[-1]

@@ -40,6 +40,14 @@ def main() -> int:
     ap.add_argument("--prompt-len", type=int, default=None)
     ap.add_argument("--gen-len", type=int, default=None)
     ap.add_argument("--kv-dtype", default="inherit")
+    ap.add_argument(
+        "--dataset", default=None,
+        help="real template JSON for reasoning/speculative suites (e.g. "
+        "/root/reference/dataset/generation/Reasoning/sorting128ToT.json); "
+        "synthetic templates are used when omitted",
+    )
+    ap.add_argument("--tree-idx", type=int, default=0,
+                    help="which record of --dataset to replay")
     ap.add_argument("--out", default="/tmp/deft_sweep")
     ap.add_argument("--platform", choices=["default", "cpu"],
                     default="default")
@@ -68,8 +76,27 @@ def main() -> int:
     cfg = PRESETS[args.model]
     rows = []
     for mode_name in args.modes:
+        # templates are mutated by replay bookkeeping — load fresh per mode
         template = None
-        if controller_name == "Practical_Tree":
+        if args.dataset and controller_name == "Practical_Tree":
+            from deft_tpu.data.loader import load_trees
+
+            template = load_trees(args.dataset)[args.tree_idx]
+            width = args.width or template.max_width
+            # replay the full recorded schedule unless truncated explicitly
+            sched_end = max(max(template.branch_record, default=0),
+                            max(template.prune_record, default=0))
+            gen_len = args.gen_len or (sched_end + 1)
+        elif args.dataset and controller_name == "Speculative_Decoding":
+            from deft_tpu.data.loader import load_prompts
+
+            template = load_prompts(args.dataset)[args.tree_idx]
+            width = template.node_num
+            if args.gen_len:
+                template.accepted_len_list = \
+                    template.accepted_len_list[:args.gen_len]
+            gen_len = len(template.accepted_len_list) + 1
+        elif controller_name == "Practical_Tree":
             template = synth_tot_tree(seed=0, width=4, max_leaves=width,
                                       total_iters=gen_len, mean_run=32)
         elif controller_name == "Speculative_Decoding":
