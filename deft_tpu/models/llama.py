@@ -64,6 +64,17 @@ class PrefillBatch(NamedTuple):
     length: jnp.ndarray     # () int32 true prompt length
 
 
+class RaggedPrefillBatch(NamedTuple):
+    """B prompts concatenated along the token axis (reference ragged-batch
+    prefill, context_flashattention_nopad.py:132-195 — start_loc/seqlen
+    re-expressed as per-token segment ids for static TPU shapes)."""
+    tokens: jnp.ndarray     # (P,) int32 concatenated prompt tokens (padded)
+    positions: jnp.ndarray  # (P,) int32 position within own prompt
+    out_loc: jnp.ndarray    # (P,) int32 KV slot per token (DUMP for pads)
+    seg_ids: jnp.ndarray    # (P,) int32 prompt index per token; pads -1
+    last_idx: jnp.ndarray   # (B,) int32 index of each prompt's final token
+
+
 class KVPool(NamedTuple):
     """Paged KV arena for one of K/V.  ``data`` is token-major and
     head-flattened: (L, S, Hkv*D) — one pool row is every head's K (or V)
@@ -247,4 +258,34 @@ def prefill_forward(
     )
     last = x[batch.length - 1]
     logits = mm(last[None, :], params, "lm_head")[0].astype(jnp.float32)
+    return logits, k_pool, v_pool
+
+
+def ragged_prefill_forward(
+    cfg: LlamaConfig,
+    params: Dict[str, jnp.ndarray],
+    rope_apply,
+    k_pool: jnp.ndarray,
+    v_pool: jnp.ndarray,
+    batch: RaggedPrefillBatch,
+    attn: AttnFn,
+):
+    """Prefill B concatenated prompts in ONE forward; returns ((B, V) fp32
+    last-token logits, pools).  The attention impl masks cross-prompt pairs
+    via batch.seg_ids (reference ragged-batch prefill,
+    context_flashattention_nopad.py:132-195)."""
+    x, k_pool, v_pool = _forward(
+        cfg,
+        params,
+        rope_apply,
+        k_pool,
+        v_pool,
+        batch.tokens,
+        batch.positions,
+        batch.out_loc,
+        attn,
+        batch,
+    )
+    last = x[batch.last_idx]  # (B, hidden)
+    logits = mm(last, params, "lm_head").astype(jnp.float32)
     return logits, k_pool, v_pool

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from deft_tpu.models.llama import kv_gather_heads
 from deft_tpu.ops.dense_oracle import (
     dense_causal_attention,
+    dense_ragged_causal_attention,
     dense_tree_attention,
     _NEG,
 )
@@ -58,3 +59,9 @@ def seq_attn_xla(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
 def prefill_attn_xla(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """Causal prefill over the in-flight projections (small-prompt / CPU)."""
     return dense_causal_attention(q, k_new, v_new, scale)
+
+
+def ragged_prefill_attn_xla(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
+    """Ragged-batch causal prefill (CPU / oracle path): batch.seg_ids maps
+    each concatenated token to its prompt; cross-prompt attention masked."""
+    return dense_ragged_causal_attention(q, k_new, v_new, batch.seg_ids, scale)

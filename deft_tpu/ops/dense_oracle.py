@@ -65,3 +65,35 @@ def dense_causal_attention(
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     return jnp.einsum("nht,thd->nhd", p, vx.astype(jnp.float32)).astype(q.dtype)
+
+
+def dense_ragged_causal_attention(
+    q: jnp.ndarray,    # (N, Hq, D) concatenated prompts
+    k: jnp.ndarray,    # (N, Hkv, D)
+    v: jnp.ndarray,    # (N, Hkv, D)
+    seg: jnp.ndarray,  # (N,) int32 segment (prompt) id per token; pads < 0
+    scale: float,
+) -> jnp.ndarray:
+    """Ragged-batch causal self-attention oracle: token i attends token j iff
+    seg[i] == seg[j] >= 0 and i >= j (reference ragged prefill semantics,
+    context_flashattention_nopad.py:132-195, expressed densely)."""
+    N, Hq, D = q.shape
+    Hkv = k.shape[1]
+    qpk = Hq // Hkv
+    kx = jnp.repeat(k, qpk, axis=1)
+    vx = jnp.repeat(v, qpk, axis=1)
+    s = jnp.einsum(
+        "nhd,thd->nht", q.astype(jnp.float32), kx.astype(jnp.float32)
+    ) * scale
+    i = jnp.arange(N, dtype=jnp.int32)
+    mask = (
+        (i[:, None] >= i[None, :])
+        & (seg[:, None] == seg[None, :])
+        & (seg[:, None] >= 0)
+    )
+    s = jnp.where(mask[:, None, :], s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.where(l == 0.0, 1.0, l)
+    return jnp.einsum("nht,thd->nhd", p, vx.astype(jnp.float32)).astype(q.dtype)

@@ -49,6 +49,17 @@ class _RowWindowView:
             self._base.vals[self._off : self._off + self._n, 0],
         )
 
+    def fetch_async(self) -> None:
+        """Async device->host copy of the shared base view (idempotent
+        across the row windows of one step)."""
+        self._base.fetch_async()
+
+    @property
+    def greedy_ids_device(self):
+        """Device-resident greedy ids for this window — keeps the batched
+        path eligible for the async greedy-chain fast path."""
+        return self._base.greedy_ids_device[self._off : self._off + self._n]
+
 
 class Request:
     """One in-flight generation: a tree + its policy."""
@@ -64,6 +75,7 @@ class Request:
         self.tree: Optional[TreeCache] = None
         self.iter = 0
         self.done = False
+        self.finished_seqs: list = []  # BranchSequence outputs, kept past free
 
 
 class BatchedEngine:
@@ -78,24 +90,39 @@ class BatchedEngine:
         self.active: List[Request] = []
 
     def add_request(self, req: Request) -> None:
-        """Admit: give the request its own tree on the shared pools and
-        prefill it (prefills are sequential; batching them is future work)."""
+        """Admit one request (see add_requests for the batched path)."""
+        self.add_requests([req])
+
+    def add_requests(self, reqs: List[Request]) -> None:
+        """Admit B requests with ONE ragged prefill forward: every prompt's
+        KV lands in the shared pools in a single jitted step
+        (runner.forward_prefill_batch), then each request's controller sees
+        its own row of the batched logits."""
+        if not reqs:
+            return
         r = self.runner
-        req.tree = TreeCache(
-            r.token_to_kv_pool, r.req_to_token_pool, r.tree_index_pool
+        for req in reqs:
+            req.tree = TreeCache(
+                r.token_to_kv_pool, r.req_to_token_pool, r.tree_index_pool
+            )
+        view = r.forward_prefill_batch(
+            [req.prompt_ids for req in reqs], [req.tree for req in reqs]
         )
-        view = r.forward_prefill(req.prompt_ids, tree=req.tree)
-        max_gen = req.max_seq_len - len(req.prompt_ids)
-        req.done = req.controller.apply_branching(
-            model=_TreeFacade(r, req.tree), iter=0, max_gen_len=max_gen,
-            width=req.width, depth=req.depth, logits=view,
-            execution_graph=req.controller.tree_templates,
-        )
-        req.iter = 1
-        if req.done:
-            req.tree.free()
-        else:
-            self.active.append(req)
+        view.fetch_async()
+        for i, req in enumerate(reqs):
+            sub = _RowWindowView(view, i, 1)
+            max_gen = req.max_seq_len - len(req.prompt_ids)
+            req.done = req.controller.apply_branching(
+                model=_TreeFacade(r, req.tree), iter=0, max_gen_len=max_gen,
+                width=req.width, depth=req.depth, logits=sub,
+                execution_graph=req.controller.tree_templates,
+            )
+            req.iter = 1
+            if req.done:
+                req.finished_seqs = list(req.tree.all_finished_seqs)
+                req.tree.free()
+            else:
+                self.active.append(req)
 
     def step(self) -> None:
         """One global decode step across every active tree."""
@@ -123,6 +150,7 @@ class BatchedEngine:
             ) or req.iter + 1 >= max_gen
             req.iter += 1
             if req.done:
+                req.finished_seqs = list(req.tree.all_finished_seqs)
                 req.tree.free()
             else:
                 still.append(req)

@@ -79,3 +79,52 @@ def test_multi_plan_shapes_and_masks():
         v = plan.kv_idx.reshape(-1, plan.seg_len)
         assert (np.diff(v, axis=1) == 1).all()
         assert (plan.seg_src == v[:, 0]).all()
+
+
+def test_batched_admissions_match_single_tree():
+    """One ragged prefill for all 3 prompts (add_requests) must decode to
+    exactly the same branches as per-request sequential admissions."""
+    width, gen = 2, 9
+    want = [_single_tree_tokens(p, width, gen) for p in PROMPTS]
+
+    runner = ModelRunner(PRESETS["tiny"], ECFG, kernels="xla")
+    eng = BatchedEngine(runner)
+    reqs = []
+    for p in PROMPTS:
+        def fn(*a, **k):
+            return workloads.simple_tree(*a, **k)
+        reqs.append(Request(p, Branch_Controller(fn), len(p) + gen,
+                            width=width))
+    eng.add_requests(reqs)  # ONE ragged prefill forward for the whole batch
+    eng.run()
+    got = [sorted(tuple(b.token_ids) for b in r.finished_seqs) for r in reqs]
+    assert got == want
+
+
+import pytest
+
+
+@pytest.mark.parametrize("kernels", ["xla", "pallas"])
+def test_ragged_prefill_forward_matches_sequential(kernels):
+    """runner.forward_prefill_batch row i == forward_prefill(prompt i),
+    on both the dense-XLA and the Pallas segment-kernel paths."""
+    import numpy as _np
+
+    single = []
+    for p in PROMPTS:
+        r1 = ModelRunner(PRESETS["tiny"], ECFG, kernels="xla")
+        v = r1.forward_prefill(p)
+        single.append((_np.asarray(v.ids[0]), _np.asarray(v.vals[0])))
+
+    from deft_tpu.core.tree import TreeCache
+    rb = ModelRunner(PRESETS["tiny"], ECFG, kernels=kernels)
+    trees = [
+        TreeCache(rb.token_to_kv_pool, rb.req_to_token_pool,
+                  rb.tree_index_pool)
+        for _ in PROMPTS
+    ]
+    view = rb.forward_prefill_batch(PROMPTS, trees)
+    for i, (ids, vals) in enumerate(single):
+        assert (_np.asarray(view.ids[i]) == ids).all()
+        _np.testing.assert_allclose(_np.asarray(view.vals[i]), vals,
+                                    rtol=2e-4, atol=1e-6)

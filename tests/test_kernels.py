@@ -344,3 +344,43 @@ def test_paged_seq_kernel_vs_oracle(dtype):
             want = (p / p.sum()) @ vh
             err = np.abs(np.asarray(got[q_i, h], np.float64) - want).max()
             assert err / max(np.abs(want).max(), 1e-9) < tol, (q_i, h, err)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize(
+    "lens,Hq,Hkv,D", [((60, 83, 100), 8, 2, 64), ((128, 72), 32, 8, 128)]
+)
+def test_ragged_prefill_kernel_vs_oracle(dtype, lens, Hq, Hkv, D):
+    """Segment-masked ragged prefill == dense ragged oracle; padded tail rows
+    are excluded (their outputs are garbage by contract)."""
+    from deft_tpu.ops.dense_oracle import dense_ragged_causal_attention
+    from deft_tpu.ops.prefill import ragged_prefill_attention
+
+    N = 256  # padded total (multiple of 128)
+    assert sum(lens) <= N
+    rng = np.random.default_rng(sum(lens))
+    q = jnp.asarray(rng.standard_normal((N, Hq, D)), dtype)
+    k = jnp.asarray(rng.standard_normal((N, Hkv, D)), dtype)
+    v = jnp.asarray(rng.standard_normal((N, Hkv, D)), dtype)
+    seg = np.full(N, -1, dtype=np.int32)
+    o = 0
+    for i, n in enumerate(lens):
+        seg[o:o + n] = i
+        o += n
+    seg = jnp.asarray(seg)
+    scale = D**-0.5
+    want = dense_ragged_causal_attention(q, k, v, seg, scale)
+    got = unfold_o(
+        ragged_prefill_attention(
+            fold_q(q, Hkv),
+            jnp.swapaxes(k, 0, 1),
+            jnp.swapaxes(v, 0, 1),
+            seg,
+            scale=scale,
+            qpk=Hq // Hkv,
+        ),
+        N,
+    )
+    live = np.asarray(seg) >= 0
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    assert rel_err(np.asarray(got)[live], np.asarray(want)[live]) < tol
