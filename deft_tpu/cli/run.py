@@ -75,6 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace-dir", type=str, default=None,
                    help="write a jax.profiler trace of the run here"
                         " (TensorBoard-loadable; the reference's NVTX analog)")
+    p.add_argument("--mesh", type=str, default=None, metavar="DPxSPxTP",
+                   help="run the sharded engine on a (dp, sp, tp) device"
+                        " mesh, e.g. 1x1x4 (default: single device; 'auto'"
+                        " spans all visible devices)")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize first (pod / multi-host"
+                        " launch; run one process per host)")
     return p
 
 
@@ -109,10 +116,23 @@ def _load_model_and_tokenizer(args):
     )
     topk_k = max(64, args.max_width)
     use_tree_index = args.mode == "tree_index"
+
+    mesh = None
+    if args.mesh:
+        from deft_tpu.parallel import make_mesh
+
+        def _mesh_for(cfg):
+            if args.mesh == "auto":
+                return make_mesh(num_kv_heads=cfg.num_kv_heads)
+            dp, sp, tp = (int(x) for x in args.mesh.lower().split("x"))
+            return make_mesh(dp * sp * tp, num_kv_heads=cfg.num_kv_heads,
+                             shape=(dp, sp, tp))
     if args.random_model:
         cfg = PRESETS[args.random_model]
+        mesh = _mesh_for(cfg) if args.mesh else None
         runner = ModelRunner(cfg, ecfg, kernels=args.kernels, seed=args.seed,
-                             topk_k=topk_k, use_tree_index=use_tree_index)
+                             topk_k=topk_k, use_tree_index=use_tree_index,
+                             mesh=mesh)
         tokenizer = _IdTokenizer(cfg.vocab_size)
     elif args.model:
         cfg_path = os.path.join(args.model, "config.json")
@@ -120,9 +140,10 @@ def _load_model_and_tokenizer(args):
 
         with open(cfg_path) as f:
             cfg = LlamaConfig.from_hf_config(json.load(f))
+        mesh = _mesh_for(cfg) if args.mesh else None
         runner = ModelRunner(cfg, ecfg, model_path=args.model,
                              kernels=args.kernels, topk_k=topk_k,
-                             use_tree_index=use_tree_index)
+                             use_tree_index=use_tree_index, mesh=mesh)
         try:
             from transformers import AutoTokenizer
 
@@ -168,6 +189,10 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        from deft_tpu.parallel.multihost import init_runtime
+
+        init_runtime()
     print("Generation starts with arguments:",
           ", ".join(f"{k}={v}" for k, v in vars(args).items()))
 

@@ -4,6 +4,7 @@ from deft_tpu.parallel.engine import (
     replicate,
 )
 from deft_tpu.parallel.mesh import make_mesh
+from deft_tpu.parallel.multihost import init_runtime, is_primary, make_pod_mesh
 from deft_tpu.parallel.sharding import (
     batch_shardings,
     param_shardings,
@@ -13,7 +14,10 @@ from deft_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "init_runtime",
+    "is_primary",
     "make_mesh",
+    "make_pod_mesh",
     "make_sharded_prefill_attn",
     "make_sharded_tree_attn",
     "param_shardings",

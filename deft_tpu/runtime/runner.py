@@ -710,9 +710,12 @@ class ModelRunner:
 
         REPS_LO, REPS_HI = 4, 36
 
-        @functools.partial(jax.jit, static_argnames=("reps",))
-        def attn_reps(kp, vp, q, k_new, v_new, batch, *, reps):
-            def outer(acc, _):
+        # reps is a TRACED fori_loop bound so lo/hi share ONE compilation
+        # per quantity (a static-reps scan would compile twice per bucket,
+        # and each compile over the device tunnel costs tens of seconds)
+        @jax.jit
+        def attn_reps(kp, vp, q, k_new, v_new, batch, reps):
+            def outer(_, acc):
                 # carry-dependent q: blocks XLA from hoisting the body out
                 # of the rep loop (the perturbation rounds to 0 in bf16 but
                 # the data dependency survives compilation)
@@ -723,25 +726,22 @@ class ModelRunner:
                     return a + o.astype(jnp.float32).sum(), None
 
                 tot, _ = jax.lax.scan(body, jnp.float32(0.0), lis)
-                return tot, None
+                return tot
 
-            final, _ = jax.lax.scan(outer, jnp.float32(0.0), None,
-                                    length=reps)
-            return final
+            return jax.lax.fori_loop(0, reps, outer, jnp.float32(0.0))
 
         dump_loc = jnp.zeros((R,), jnp.int32)  # all rows -> DUMP scratch
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1),
-                           static_argnames=("reps",))
-        def store_reps(kp, vp, k_new, v_new, *, reps):
-            def outer(carry, _):
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def store_reps(kp, vp, k_new, v_new, reps):
+            def outer(_, carry):
                 def body(c, li):
                     kp, vp = c
                     kp = kv_store(kp, li, dump_loc, k_new)
                     vp = kv_store(vp, li, dump_loc, v_new)
                     return (kp, vp), None
-                return jax.lax.scan(body, carry, lis)[0], None
-            return jax.lax.scan(outer, (kp, vp), None, length=reps)[0]
+                return jax.lax.scan(body, carry, lis)[0]
+            return jax.lax.fori_loop(0, reps, outer, (kp, vp))
 
         def best_of(n, run):
             best = float("inf")
@@ -753,22 +753,21 @@ class ModelRunner:
 
         def run_attn(reps):
             jax.block_until_ready(attn_reps(
-                self.k_pool, self.v_pool, q, k_new, v_new, batch, reps=reps
+                self.k_pool, self.v_pool, q, k_new, v_new, batch,
+                jnp.int32(reps)
             ))
 
         def run_store(reps):
             self.k_pool, self.v_pool = store_reps(
-                self.k_pool, self.v_pool, k_new, v_new, reps=reps
+                self.k_pool, self.v_pool, k_new, v_new, jnp.int32(reps)
             )
             jax.block_until_ready(self.k_pool.data)
 
-        run_attn(REPS_LO)   # compile
-        run_attn(REPS_HI)   # compile
+        run_attn(REPS_LO)   # compile (shared by both rep counts)
         t_lo = best_of(2, lambda: run_attn(REPS_LO))
         t_hi = best_of(2, lambda: run_attn(REPS_HI))
         attn_s = max(t_hi - t_lo, 0.0) / (REPS_HI - REPS_LO)
         run_store(REPS_LO)  # compile
-        run_store(REPS_HI)  # compile
         t_lo = best_of(2, lambda: run_store(REPS_LO))
         t_hi = best_of(2, lambda: run_store(REPS_HI))
         store_s = max(t_hi - t_lo, 0.0) / (REPS_HI - REPS_LO)

@@ -51,6 +51,9 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/deft_sweep")
     ap.add_argument("--platform", choices=["default", "cpu"],
                     default="default")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the throwaway warmup generation (measured "
+                    "TPOT then includes every in-run jit compile)")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -76,32 +79,38 @@ def main() -> int:
     cfg = PRESETS[args.model]
     rows = []
     for mode_name in args.modes:
-        # templates are mutated by replay bookkeeping — load fresh per mode
-        template = None
-        if args.dataset and controller_name == "Practical_Tree":
-            from deft_tpu.data.loader import load_trees
+        # templates are mutated by replay bookkeeping — build fresh per
+        # generation (warmup and measured runs each need their own copy)
+        def make_template():
+            if args.dataset and controller_name == "Practical_Tree":
+                from deft_tpu.data.loader import load_trees
 
-            template = load_trees(args.dataset)[args.tree_idx]
+                return load_trees(args.dataset)[args.tree_idx]
+            if args.dataset and controller_name == "Speculative_Decoding":
+                from deft_tpu.data.loader import load_prompts
+
+                t = load_prompts(args.dataset)[args.tree_idx]
+                if args.gen_len:
+                    t.accepted_len_list = t.accepted_len_list[:args.gen_len]
+                return t
+            if controller_name == "Practical_Tree":
+                return synth_tot_tree(seed=0, width=4, max_leaves=width,
+                                      total_iters=gen_len, mean_run=32)
+            if controller_name == "Speculative_Decoding":
+                return synth_spec_tree(token_tree_size=width,
+                                       gen_len=gen_len, seed=0)
+            return None
+
+        template = make_template()
+        if args.dataset and controller_name == "Practical_Tree":
             width = args.width or template.max_width
             # replay the full recorded schedule unless truncated explicitly
             sched_end = max(max(template.branch_record, default=0),
                             max(template.prune_record, default=0))
             gen_len = args.gen_len or (sched_end + 1)
         elif args.dataset and controller_name == "Speculative_Decoding":
-            from deft_tpu.data.loader import load_prompts
-
-            template = load_prompts(args.dataset)[args.tree_idx]
             width = template.node_num
-            if args.gen_len:
-                template.accepted_len_list = \
-                    template.accepted_len_list[:args.gen_len]
             gen_len = len(template.accepted_len_list) + 1
-        elif controller_name == "Practical_Tree":
-            template = synth_tot_tree(seed=0, width=4, max_leaves=width,
-                                      total_iters=gen_len, mean_run=32)
-        elif controller_name == "Speculative_Decoding":
-            template = synth_spec_tree(token_tree_size=width,
-                                       gen_len=gen_len, seed=0)
         slots = prompt_len + width * (gen_len + 8 + 256) + 2048
         ecfg = EngineConfig(
             kv_pool_slots=slots,
@@ -123,24 +132,42 @@ def main() -> int:
             "Practical_Tree": workloads.practical_tree,
             "Speculative_Decoding": workloads.speculative_decoding,
         }[controller_name]
-        pm = tree_generate(
-            model=runner,
-            mode=mode_from_cli(mode_name),
-            tokenizer=None,
-            prompt_ids=prompt,
-            max_seq_len=prompt_len + gen_len,
-            width=width,
-            depth=10,
-            branch_controller=Branch_Controller(fn),
-            tree_template=template,
-            output_file=out_file,
-            perf_metrics=PerfMetrics(out_file),
-        )
+
+        def gen(tpl, out=None):
+            return tree_generate(
+                model=runner,
+                mode=mode_from_cli(mode_name),
+                tokenizer=None,
+                prompt_ids=prompt,
+                max_seq_len=prompt_len + gen_len,
+                width=width,
+                depth=10,
+                branch_controller=Branch_Controller(fn),
+                tree_template=tpl,
+                output_file=out,
+                perf_metrics=PerfMetrics(out),
+            )
+
+        if not args.no_warmup:
+            # throwaway generation walks every jit shape bucket so the
+            # measured run is steady-state (bench.py protocol); without it
+            # in-run compiles dominate TPOT on replay workloads
+            gen(template)
+            runner.reset_state()
+            template = make_template()
+        pm = gen(template, out_file)
         rows.append((mode_name, pm.TPOT, pm.decode_latency,
                      pm.attention_latency, pm.KV_IO, pm.generated_len))
         print(f"[{args.suite}/{mode_name}] TPOT={pm.TPOT:.4f} ms/tok  "
               f"decode={pm.decode_latency:.1f} ms  KV_IO={pm.KV_IO:.3g} B  "
               f"gen={pm.generated_len}", flush=True)
+        # free this mode's params/pools before the next runner inits (two
+        # 3B+ runners do not fit HBM together)
+        runner.params = runner.k_pool = runner.v_pool = None
+        del runner
+        import gc
+
+        gc.collect()
 
     print(f"\n{'mode':<12}{'TPOT ms/tok':>14}{'decode ms':>14}"
           f"{'KV IO B':>14}{'gen':>8}")
