@@ -219,6 +219,8 @@ class TreeCache:
         self.node_cnt = 0
         self.deleted_token_num = 0
         self.all_finished_seqs: List[BranchSequence] = []
+        # merge-compaction row copies queued for the runner (drain_kv_copies)
+        self.pending_kv_copies: List[tuple] = []
 
     # -- refcount maintenance (integer counts; reference uses leaf sets,
     #    tree_cache.py:504-516) ---------------------------------------------
@@ -375,14 +377,49 @@ class TreeCache:
         self, node_a: TreeNode, node_b: TreeNode, prune_b: bool = True
     ) -> None:
         """Squeeze node_b's tokens + KV into node_a (speculative-decoding
-        accept path).  KV slots gain a reference for node_a's copy."""
+        accept path, reference tree_cache.py:300-325).
+
+        TPU-first change vs the reference: the reference re-links node_b's
+        KV indices into node_a (aliasing — free on a GPU whose kernels
+        gather per token).  Here node_b's rows are COPIED into fresh slots
+        from node_a's chunked allocation run: accepted tokens land
+        pool-contiguous with node_a's existing KV, so the tree's plans stay
+        seg-aligned and keep the paged DMA kernels after arbitrarily many
+        accepts (aliasing fragments the root's runs within a few spec-decode
+        steps and forces the gather fallback).  The device-side row copies
+        are recorded in ``pending_kv_copies`` and drained as ONE batched
+        gather/scatter by the runner before its next forward — O(accepted)
+        rows per step, negligible next to the step's KV traffic."""
         for token_id in node_b.token_ids:
             node_a.append_token(token_id)
         if node_b.kv_len:
-            node_a.extend_indices(node_b.kv_indices.copy(), self.tree_index_pool)
-            self.token_to_kv_pool.add_refs(node_b.kv_indices)
+            src = np.asarray(node_b.kv_indices, dtype=np.int32).copy()
+            dst = self.token_to_kv_pool.alloc_for(
+                (self._owner_tag, node_a.id), len(src)
+            )
+            if dst is None:
+                # pool exhausted — reference aliasing semantics (plans then
+                # degrade to the gather kernel, correctness unchanged)
+                node_a.extend_indices(src, self.tree_index_pool)
+                self.token_to_kv_pool.add_refs(src)
+            else:
+                node_a.extend_indices(dst, self.tree_index_pool)
+                self.pending_kv_copies.append((src, dst))
         if prune_b:
             self.cut(node_b)
+
+    def drain_kv_copies(self):
+        """(src, dst) int32 arrays of queued merge compactions, or None.
+        The caller (runner) must apply them to the device pools BEFORE its
+        next decode/prefill step executes: sources stay valid until that
+        step's kv_store scatters (freed slots are only rewritten by later
+        allocations' stores, never asynchronously)."""
+        if not self.pending_kv_copies:
+            return None
+        src = np.concatenate([s for s, _ in self.pending_kv_copies])
+        dst = np.concatenate([d for _, d in self.pending_kv_copies])
+        self.pending_kv_copies.clear()
+        return src, dst
 
     def reset_node_KV(self, node: TreeNode, diff: int) -> None:
         """Free a node's KV and shift its positions by ``diff`` (after a
@@ -424,8 +461,11 @@ class TreeCache:
         if self.req_to_token_pool is not None:
             for req in self.leaf_to_req.values():
                 self.req_to_token_pool.free(req)
-        for leaf_id in list(self.leaves):
-            self.token_to_kv_pool.close_owner((self._owner_tag, leaf_id))
+        for node_id in list(self.nodes):
+            # every node id, not just leaves: merge_nodes opens a chunk for
+            # the merge TARGET (typically the root), whose tail must recycle
+            self.token_to_kv_pool.close_owner((self._owner_tag, node_id))
+        self.pending_kv_copies.clear()
         self.root = None
         self.nodes.clear()
         self.leaves.clear()

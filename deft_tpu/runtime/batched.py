@@ -130,6 +130,7 @@ class BatchedEngine:
         r = self.runner
         trees = [req.tree for req in self.active]
         for t in trees:
+            r.apply_kv_copies(t)  # per-tree merge compactions (spec decode)
             t.alloc()
         a = r.ecfg.attention
         plan = build_multi_flatten_plan(

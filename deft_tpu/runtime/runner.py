@@ -51,6 +51,7 @@ from deft_tpu.plan import (
     build_tree_index_plan,
     pad_token_count,
 )
+from deft_tpu.plan.padding import next_pow2
 from deft_tpu.plan.flatten import FlattenPlan
 from deft_tpu.plan.seq import SeqPlan
 from deft_tpu.runtime.modes import ForwardMode
@@ -613,6 +614,49 @@ class ModelRunner:
             and 128 % self.cfg.head_dim == 0  # head-packed kernel needs this
         )
 
+    def _relocate_step(self, n_pad: int):
+        """Jitted batched KV-row copy data[:, dst] = data[:, src] on both
+        pools (merge compaction, core/tree.py merge_nodes).  XLA gathers all
+        sources before scattering, so overlapping src/dst batches are safe."""
+        key = f"relocate/{n_pad}"
+        if key not in self._jit_cache:
+
+            def move(pool, src, dst):
+                pool = pool._replace(
+                    data=pool.data.at[:, dst, :].set(pool.data[:, src, :])
+                )
+                if pool.scale is not None:
+                    pool = pool._replace(
+                        scale=pool.scale.at[:, :, dst].set(
+                            pool.scale[:, :, src]
+                        )
+                    )
+                return pool
+
+            def step(k_pool, v_pool, src, dst):
+                return move(k_pool, src, dst), move(v_pool, src, dst)
+
+            self._jit_cache[key] = jax.jit(step, donate_argnums=(0, 1))
+        return self._jit_cache[key]
+
+    def apply_kv_copies(self, tree=None) -> None:
+        """Drain a tree's queued merge compactions into the device pools.
+        Must run before the next forward step (tree.drain_kv_copies
+        contract); padded with DUMP->DUMP identity pairs to a pow2 bucket."""
+        tree = tree if tree is not None else self.tree
+        pairs = tree.drain_kv_copies()
+        if pairs is None:
+            return
+        src, dst = pairs
+        n_pad = max(8, next_pow2(len(src)))
+        s = np.full(n_pad, DUMP_SLOT, np.int32)
+        d = np.full(n_pad, DUMP_SLOT, np.int32)
+        s[: len(src)] = src
+        d[: len(dst)] = dst
+        self.k_pool, self.v_pool = self._relocate_step(n_pad)(
+            self.k_pool, self.v_pool, self._upload(s), self._upload(d)
+        )
+
     def _pack_plan(self, mode: ForwardMode, plan):
         """(packed int32 buffer, sizes tuple, paged) for the jitted step."""
         if isinstance(plan, SeqPlan):
@@ -786,6 +830,7 @@ class ModelRunner:
         greedy ids) — chains steps on device with no host round-trip.
         block=False enqueues without waiting (async pipelining; the timer
         then measures enqueue cost only)."""
+        self.apply_kv_copies()  # merge compactions must land pre-step
         buf, sizes, paged = self._pack_plan(mode, plan)
         use_override = q_tokens_override is not None
         step = self._decode_step(mode, paged, sizes, use_override)

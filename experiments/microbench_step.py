@@ -85,6 +85,24 @@ def main() -> int:
     t_dev = (time.perf_counter() - t0) / N * 1000
     print(f"device step (resident) : {t_dev:7.3f} ms")
 
+    # device step with a FRESH upload per step (the real decode loop's
+    # traffic pattern) — the delta vs resident isolates what the per-step
+    # plan upload costs inside the pipelined stream, which per-transfer
+    # timing above cannot show (async H2D may overlap compute... or not)
+    out = step(runner.params, runner.k_pool, runner.v_pool,
+               jnp.asarray(buf_np), dummy)
+    runner.k_pool, runner.v_pool = out[3], out[4]
+    t0 = time.perf_counter()
+    for _ in range(N):
+        b = jnp.asarray(buf_np)
+        out = step(runner.params, runner.k_pool, runner.v_pool, b, dummy)
+        runner.k_pool, runner.v_pool = out[3], out[4]
+    jax.block_until_ready(out[0])
+    t_dev_up = (time.perf_counter() - t0) / N * 1000
+    print(f"device step (fresh up) : {t_dev_up:7.3f} ms  "
+          f"(upload overhead {t_dev_up - t_dev:+.3f} ms/step, "
+          f"buf {buf_np.nbytes // 1024} KiB)")
+
     # fetch RTT
     t0 = time.perf_counter()
     np.asarray(out[0])

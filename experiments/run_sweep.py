@@ -111,11 +111,18 @@ def main() -> int:
         elif args.dataset and controller_name == "Speculative_Decoding":
             width = template.node_num
             gen_len = len(template.accepted_len_list) + 1
-        slots = prompt_len + width * (gen_len + 8 + 256) + 2048
+        # speculative replays merge accepted tokens into the root every
+        # iteration, so a leaf's root-to-leaf path grows by accepted_len
+        # (not 1) per iter — size the page-table rows for the full accept
+        # schedule, not just the iteration count
+        ctx_extra = 0
+        if controller_name == "Speculative_Decoding" and template is not None:
+            ctx_extra = int(sum(template.accepted_len_list)) + width
+        slots = prompt_len + width * (gen_len + 8 + 256) + ctx_extra + 2048
         ecfg = EngineConfig(
             kv_pool_slots=slots,
             max_requests=max(64, 2 * width),
-            max_context_len=prompt_len + gen_len + 64,
+            max_context_len=prompt_len + gen_len + ctx_extra + 64,
             kv_dtype=args.kv_dtype,
         )
         runner = ModelRunner(cfg, ecfg, kernels="auto", seed=0)

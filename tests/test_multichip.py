@@ -160,3 +160,28 @@ def test_entry_compiles_single_chip():
     """__graft_entry__.entry() must lower+compile on the current backend."""
     fn, args = graft.entry()
     jax.jit(fn).lower(*args).compile()
+
+
+def test_multihost_helpers_single_process():
+    """init_runtime is a no-op without a launcher config; pod mesh spans
+    the (virtual) device set; rank-0 gating holds."""
+    from deft_tpu.parallel import init_runtime, is_primary, make_pod_mesh
+
+    assert init_runtime() is False  # single process: stays local
+    assert is_primary()
+    m = make_pod_mesh(num_kv_heads=8)
+    import numpy as np
+    assert int(np.prod(list(m.shape.values()))) == 8
+    assert tuple(m.axis_names) == ("dp", "sp", "tp")
+
+
+def test_cli_mesh_flag_runs_sharded():
+    """--mesh DPxSPxTP drives a short sharded generation end-to-end."""
+    from deft_tpu.cli.run import main
+
+    rc = main([
+        "--random-model", "tiny", "--mode", "flatten",
+        "--Branch_controller", "Simple_Tree", "--max_width", "2",
+        "--max_seq_len", "20", "--mesh", "2x2x2", "--kernels", "pallas",
+    ])
+    assert rc == 0
