@@ -151,6 +151,19 @@ def speculative_decoding(model, iter, max_gen_len, width, depth, logits,
     return False
 
 
+def _speculative_logits_free(template, max_gen_len):
+    """Every loop iteration is structural (merge/reset) but reads NO logits
+    values: the accept schedule is predetermined by the template and leaves
+    keep their iter-0 tokens (reference mock semantics,
+    branch_func_example.py:374-442).  Declaring them logits-free lets the
+    generation loop enqueue decode steps asynchronously — no per-step
+    device->host sync (the dominant cost on high-latency transports)."""
+    return range(1, max_gen_len)
+
+
+speculative_decoding.logits_free_iters = _speculative_logits_free
+
+
 def _path_logprob(leaf) -> float:
     total, node = 0.0, leaf
     while node is not None:

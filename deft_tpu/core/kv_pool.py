@@ -118,6 +118,29 @@ class TokenKVPool:
         self._live += need_size
         return out
 
+    def alloc_group(self, need_size: int) -> Optional[np.ndarray]:
+        """Chunk-ALIGNED contiguous batch alloc from the bump region, or None
+        when it can't be served contiguously (caller falls back to per-owner
+        chunks).  Used for the per-step decode slots of RESET leaves
+        (speculative decoding): w single-token leaves allocated back-to-back
+        form one pool run, which the flatten plan coalesces into one DMA
+        segment instead of w seg-padded ones (plan/flatten.py _assemble)."""
+        aligned = ((self._bump + self.chunk - 1) // self.chunk) * self.chunk
+        skip = aligned - self._bump
+        if self.size - aligned < need_size:
+            return None
+        if self._free_count < need_size + skip:
+            return None
+        if skip:
+            self._recycled.extend(range(self._bump, aligned))
+            self._bump = aligned
+        out = np.arange(aligned, aligned + need_size, dtype=np.int32)
+        self._bump = aligned + need_size
+        self.refs[out] = 1
+        self._free_count -= need_size
+        self._live += need_size
+        return out
+
     def _reserved_unused(self) -> int:
         return sum(e - n for n, e in self._open.values())
 

@@ -89,6 +89,7 @@ class TreeNode:
         "ref_count",
         "cumulative_logprob",
         "node_index_row",
+        "was_reset",
     )
 
     def __init__(self, node_id: int):
@@ -105,6 +106,9 @@ class TreeNode:
         self.ref_count = 0  # number of leaves descending through this node
         self.cumulative_logprob = 0.0
         self.node_index_row: Optional[int] = None  # TreeIndexPool row
+        # set by reset_node_KV; alloc() group-allocates flagged empty
+        # leaves' slots contiguously (speculative decoding fast path)
+        self.was_reset = False
 
     # -- token / kv ops ------------------------------------------------------
     def get_len(self) -> int:
@@ -296,13 +300,36 @@ class TreeCache:
 
         Slots come from each leaf's private chunk (TokenKVPool.alloc_for), so
         a leaf's appended KV stays pool-contiguous — the property the flatten
-        plan's DMA segment tables rely on."""
+        plan's DMA segment tables rely on.
+
+        Exception: when many leaves were just KV-RESET (speculative decoding
+        squeezes accepts into the root then resets every leaf each step),
+        their slots come from ONE aligned contiguous group
+        (TokenKVPool.alloc_group) in leaf-id == DFS order, so the whole leaf
+        set coalesces into a single DMA run in the flatten plan instead of
+        one seg-padded run per leaf."""
         leaves = sorted(self.leaves.values(), key=lambda x: x.id)
         out_cache_loc = np.empty(len(leaves), dtype=np.int32)
+        grouped = [
+            l for l in leaves if l.was_reset and l.kv_len == 0
+        ] if len(leaves) >= 8 else []
+        group_slots = None
+        if len(grouped) >= 8:
+            group_slots = self.token_to_kv_pool.alloc_group(len(grouped))
+        group_of = (
+            {l.id: int(s) for l, s in zip(grouped, group_slots)}
+            if group_slots is not None else {}
+        )
         for idx, leaf in enumerate(leaves):
-            loc_arr = self.token_to_kv_pool.alloc_for((self._owner_tag, leaf.id), 1)
-            assert loc_arr is not None, "KV pool exhausted"
-            loc = int(loc_arr[0])
+            if leaf.id in group_of:
+                loc = group_of[leaf.id]
+                leaf.was_reset = False
+            else:
+                loc_arr = self.token_to_kv_pool.alloc_for(
+                    (self._owner_tag, leaf.id), 1
+                )
+                assert loc_arr is not None, "KV pool exhausted"
+                loc = int(loc_arr[0])
             out_cache_loc[idx] = loc
             leaf.append_index(loc, self.tree_index_pool)
             if self.req_to_token_pool is not None:
@@ -427,6 +454,7 @@ class TreeCache:
         if node.kv_len:
             self.token_to_kv_pool.free(node.kv_indices)
         node.clear_indices()
+        node.was_reset = True
         node.position_offset += diff
         node.positions = [p + diff for p in node.positions]
 

@@ -126,10 +126,31 @@ def _assemble(
     chunk_len == block_len this coincides with plain node alignment (the
     reference's default node_chunk setting, run_DeFT_llama_paged.py:146-150);
     smaller chunks buy nothing on TPU (the grid is already block-tiled) and
-    cost padding — that cost is made visible, not hidden."""
-    # entries: (src_start, n_live, n_pad, lo, hi); src_start < 0 => DUMP pad
-    entries: List[Tuple[int, int, int, int, int]] = []
+    cost padding — that cost is made visible, not hidden.
+
+    Coalescing (flatten mode, seg_len > 0): consecutive DFS extents that are
+    POOL-contiguous merge into one DMA run before seg padding — masks are
+    per-token, so a segment may span nodes.  This is what keeps speculative
+    decoding seg-aligned: with group-allocated leaf slots
+    (TokenKVPool.alloc_group) the w single-token leaves collapse into one
+    w-token run instead of w segments padded seg_len-to-1."""
+    # groups: (extents, seg_pad) with extents = [(ps, pn, lo, hi), ...]
+    # pool-contiguous in order; extents is None for node-align block pads
+    groups: List[Tuple[Optional[List[Tuple[int, int, int, int]]], int]] = []
     total = 0
+    cur: List[Tuple[int, int, int, int]] = []
+    cur_n = 0
+    coalesce = bool(seg_len) and not node_aligned
+
+    def flush():
+        nonlocal cur, cur_n, total
+        if not cur:
+            return
+        pad = (-cur_n) % seg_len if seg_len else 0
+        groups.append((cur, pad))
+        total += cur_n + pad
+        cur, cur_n = [], 0
+
     for i, node in enumerate(order):
         if node.kv_len == 0:
             continue
@@ -141,44 +162,50 @@ def _assemble(
                 if chunk_len else [(start, n)]
             )
             for ps, pn in pieces:
-                pad = (-pn) % seg_len if seg_len else 0
-                entries.append((ps, pn, pad, lo, hi))
-                total += pn + pad
+                if cur and (
+                    not coalesce or cur[-1][0] + cur[-1][1] != ps
+                ):
+                    flush()
+                cur.append((ps, pn, lo, hi))
+                cur_n += pn
                 if chunk_len and node_aligned:
+                    flush()
                     padb = (-total) % block_len
                     if padb:
-                        entries.append((-1, 0, padb, 0, 0))
+                        groups.append((None, padb))
                         total += padb
         if node_aligned:
+            flush()
             padb = (-total) % block_len
             if padb:
-                entries.append((-1, 0, padb, 0, 0))
+                groups.append((None, padb))
                 total += padb
+    flush()
 
     kv = np.empty(total, dtype=np.int32)
     lo_a = np.empty(total, dtype=np.int32)
     hi_a = np.empty(total, dtype=np.int32)
     pos = 0
-    for start, n, pad, lo, hi in entries:
-        if n:
-            kv[pos : pos + n] = np.arange(start, start + n, dtype=np.int32)
-            lo_a[pos : pos + n] = lo
-            hi_a[pos : pos + n] = hi
-            pos += n
-        if pad:
-            if start < 0:
-                if seg_len:
-                    # seg-tiled scratch reads keep segments contiguous
-                    kv[pos : pos + pad] = (
-                        np.arange(pad, dtype=np.int32) % seg_len
-                    )
-                else:
-                    kv[pos : pos + pad] = DUMP_SLOT
+    for extents, pad in groups:
+        if extents is None:
+            if seg_len:
+                # seg-tiled scratch reads keep segments contiguous
+                kv[pos : pos + pad] = np.arange(pad, dtype=np.int32) % seg_len
             else:
-                # addresses the segment DMA over-reads; masked out
-                kv[pos : pos + pad] = np.arange(
-                    start + n, start + n + pad, dtype=np.int32
-                )
+                kv[pos : pos + pad] = DUMP_SLOT
+            lo_a[pos : pos + pad] = _EMPTY_LO
+            hi_a[pos : pos + pad] = 0
+            pos += pad
+            continue
+        for ps, pn, lo, hi in extents:
+            kv[pos : pos + pn] = np.arange(ps, ps + pn, dtype=np.int32)
+            lo_a[pos : pos + pn] = lo
+            hi_a[pos : pos + pn] = hi
+            pos += pn
+        if pad:
+            # addresses the segment DMA over-reads; masked out
+            end = extents[-1][0] + extents[-1][1]
+            kv[pos : pos + pad] = np.arange(end, end + pad, dtype=np.int32)
             lo_a[pos : pos + pad] = _EMPTY_LO
             hi_a[pos : pos + pad] = 0
             pos += pad

@@ -83,6 +83,18 @@ def tree_generate(
         if structural_fn is not None
         else None
     )
+    # Structural iterations that read no logits VALUES (e.g. speculative
+    # decoding replays a predetermined accept schedule): the tree is mutated
+    # on host, but the decode step needs no fetch — it enqueues async just
+    # like a greedy chain step.
+    logits_free_fn = getattr(
+        branch_controller.branching_function, "logits_free_iters", None
+    )
+    logits_free = (
+        logits_free_fn(branch_controller.tree_templates, max_gen_len)
+        if logits_free_fn is not None
+        else frozenset()
+    )
     pending = []  # (LogitsView, {q: (node, token_index)})
     chain_view = None  # previous step's view when it was a chain step
 
@@ -114,12 +126,13 @@ def tree_generate(
             GlobalTimer.stop("prepare")
 
             is_struct = structural is None or it in structural
+            needs_logits = is_struct and it not in logits_free
             override = (
                 chain_view.greedy_ids_device if chain_view is not None else None
             )
             with tracer.span("decode_step"):
                 logits, fwd_t = model.forward_tree_decode(
-                    mode, plan, q_tokens_override=override, block=is_struct
+                    mode, plan, q_tokens_override=override, block=needs_logits
                 )
 
             # analytic KV/mask IO accounting (per layer x layers)
@@ -142,7 +155,11 @@ def tree_generate(
             tracer_branch = tracer.span("branch")
             tracer_branch.__enter__()
             if is_struct:
-                resolve_pending()
+                # backfills must land before the tree mutates (even on a
+                # logits-free step — pending is empty on pure-replay
+                # workloads, so this never blocks their pipeline)
+                if needs_logits or pending:
+                    resolve_pending()
                 chain_view = None
                 stop = branch_controller.apply_branching(
                     model=model,
@@ -153,6 +170,14 @@ def tree_generate(
                     logits=logits,
                     execution_graph=branch_controller.tree_templates,
                 )
+                # logits-free structural steps pipeline like greedy steps;
+                # bound the async queue the same way (see comment below)
+                if not needs_logits and it % 8 == 0:
+                    import jax
+
+                    t_sync = time.perf_counter()
+                    jax.block_until_ready(logits._vals)
+                    fwd_t += time.perf_counter() - t_sync
             else:
                 # greedy append: placeholder tokens now, values backfilled
                 # from the async fetch at the next structural iteration
@@ -201,6 +226,21 @@ def tree_generate(
             )
             if stop:
                 break
+        # drain the device pipeline: async steps only enqueue, so the last
+        # window's device time must be waited out and charged to decode
+        # latency (decode_latency = sum(forward_per_iter)) before the e2e
+        # clock stops
+        import jax
+
+        t_sync = time.perf_counter()
+        try:
+            jax.block_until_ready(logits._vals)
+        except Exception:
+            pass
+        if perf_metrics.forward_per_iter:
+            perf_metrics.forward_per_iter[-1] += (
+                time.perf_counter() - t_sync
+            ) * 1000
         resolve_pending()
 
     e2e = (time.perf_counter() - start_time) * 1000

@@ -69,3 +69,30 @@ def test_exhaustion_returns_none():
     assert got is not None
     assert p.alloc(1) is None
     assert p.alloc_for(1, 1) is None
+
+
+def test_alloc_group_aligned_contiguous():
+    """alloc_group returns a chunk-ALIGNED contiguous span (the flatten
+    plan's seg-alignment check requires start % seg == 0)."""
+    import numpy as np
+
+    from deft_tpu.core.kv_pool import TokenKVPool
+
+    pool = TokenKVPool(4096, chunk=128)
+    pool.alloc(100)  # misalign the bump pointer
+    g = pool.alloc_group(64)
+    assert g is not None
+    assert g[0] % 128 == 0
+    np.testing.assert_array_equal(g, np.arange(g[0], g[0] + 64))
+    # freed group slots recycle as singles
+    pool.free(g)
+    assert pool.used_size() == 100
+
+
+def test_alloc_group_exhaustion_returns_none():
+    from deft_tpu.core.kv_pool import TokenKVPool
+
+    pool = TokenKVPool(512, chunk=128)
+    pool.alloc(200)
+    assert pool.alloc_group(256) is None  # bump region too small
+    assert pool.alloc_group(64) is not None

@@ -168,3 +168,44 @@ def test_node_chunk_splits_runs():
     plan_a = build_node_plan(tree, q_per_kv=2, block_len=128, chunk_len=128)
     plan_b = build_node_plan(tree, q_per_kv=2, block_len=128)
     np.testing.assert_array_equal(plan_a.kv_idx, plan_b.kv_idx)
+
+
+def test_flatten_coalesces_pool_adjacent_leaves():
+    """Speculative-decoding shape: reset leaves' slots are group-allocated
+    contiguously, and _assemble coalesces them into ONE seg run — the plan
+    stays seg-aligned with near-zero padding instead of one seg-padded run
+    per single-token leaf (which trips the waste limit -> gather fallback)."""
+    import numpy as np
+
+    from deft_tpu.core.kv_pool import TokenKVPool
+    from deft_tpu.core.page_table import ReqToTokenPool
+    from deft_tpu.core.tree import TreeCache
+    from deft_tpu.plan import build_flatten_plan
+
+    tree = TreeCache(TokenKVPool(65536), ReqToTokenPool(160, 4096))
+    tree.init_prompt(list(range(100)))
+    kids = tree.branch(tree.root, 64)
+    for i, k in enumerate(kids):
+        k.append_token(1000 + i)
+    tree.alloc()
+    # one spec step: merge 4 accepts into root, reset every leaf
+    kv_before = tree.root.kv_len
+    for i in range(4):
+        tree.merge_nodes(tree.root, kids[i], prune_b=False)
+    diff = tree.root.kv_len - kv_before
+    for k in kids:
+        tree.reset_node_KV(k, diff)
+    tree.sync_page_table()
+    tree.pending_kv_copies.clear()  # device copies not modeled here
+    tree.alloc()  # post-reset: group-allocated
+    slots = np.array([k.kv_indices[0] for k in kids])
+    np.testing.assert_array_equal(slots, np.arange(slots[0], slots[0] + 64))
+    plan = build_flatten_plan(tree, q_per_kv=8, seg_len=(128, 32))
+    live = sum(n.kv_len for n in tree.nodes.values())
+    assert plan.paged, "spec-decode tree must stay seg-aligned"
+    assert plan.n_tokens == live  # zero seg padding after coalescing
+    # per-token masks survive coalescing: each leaf token is visible only
+    # to its own query interval
+    lo, hi = plan.tok_lo, plan.tok_hi
+    leaf_tok = np.isin(plan.kv_idx[: plan.n_tokens], slots)
+    assert np.all((hi - lo)[: plan.n_tokens][leaf_tok] == 1)
