@@ -57,6 +57,14 @@ class TokenKVPool:
         self._live = 0  # slots with refs > 0 (excludes reserved-unused)
         # owner id -> [next_slot, end_slot) of its open chunk
         self._open: dict[int, list] = {}
+        # last alloc_group span [start, n) + ids of its slots freed since:
+        # freed group slots are held back from _recycled so the NEXT
+        # alloc_group can reuse the span in place once it is fully free —
+        # without this, the speculative-decoding free-all/realloc-all cycle
+        # consumes bump space monotonically (width slots per step, never
+        # recycled into later groups)
+        self._group_span: Optional[list] = None  # [start, n]
+        self._group_freed: list[int] = []
 
     # -- queries -------------------------------------------------------------
     def available_size(self) -> int:
@@ -125,6 +133,28 @@ class TokenKVPool:
         (speculative decoding): w single-token leaves allocated back-to-back
         form one pool run, which the flatten plan coalesces into one DMA
         segment instead of w seg-padded ones (plan/flatten.py _assemble)."""
+        span = self._group_span
+        if (
+            span is not None
+            and len(self._group_freed) == span[1]
+            and need_size <= span[1]
+        ):
+            # previous group fully freed (the spec-decode steady state):
+            # reuse the span in place, releasing any tail past need_size.
+            # Held-back slots were never counted free, so free_count only
+            # gains the released tail.
+            start = span[0]
+            out = np.arange(start, start + need_size, dtype=np.int32)
+            if need_size < span[1]:
+                self._recycled.extend(
+                    range(start + need_size, start + span[1])
+                )
+                self._free_count += span[1] - need_size
+            self._group_freed.clear()
+            self._group_span = [start, need_size]
+            self.refs[out] = 1
+            self._live += need_size
+            return out
         aligned = ((self._bump + self.chunk - 1) // self.chunk) * self.chunk
         skip = aligned - self._bump
         if self.size - aligned < need_size:
@@ -134,7 +164,14 @@ class TokenKVPool:
         if skip:
             self._recycled.extend(range(self._bump, aligned))
             self._bump = aligned
+        # retire the old span: flush its held-back freed slots (they become
+        # free capacity now)
+        if self._group_freed:
+            self._recycled.extend(self._group_freed)
+            self._free_count += len(self._group_freed)
+            self._group_freed.clear()
         out = np.arange(aligned, aligned + need_size, dtype=np.int32)
+        self._group_span = [int(aligned), need_size]
         self._bump = aligned + need_size
         self.refs[out] = 1
         self._free_count -= need_size
@@ -182,9 +219,18 @@ class TokenKVPool:
         dead = indices[self.refs[indices] == 0]
         if len(dead):
             assert np.all(self.refs[dead] == 0)
+            self._live -= len(dead)
+            if self._group_span is not None:
+                # hold back dead group slots for span reuse (alloc_group);
+                # they are NOT free capacity (not in _recycled) until the
+                # span is reused or retired
+                s, n = self._group_span
+                in_group = (dead >= s) & (dead < s + n)
+                if in_group.any():
+                    self._group_freed.extend(int(i) for i in dead[in_group])
+                    dead = dead[~in_group]
             self._recycled.extend(int(i) for i in dead)
             self._free_count += len(dead)
-            self._live -= len(dead)
 
     # Reference naming: free == decrement refs, releasing slots at zero
     # (memory_pool.py:76-88).
@@ -197,3 +243,5 @@ class TokenKVPool:
         self._free_count = self.size - self.chunk
         self._live = 0
         self._open.clear()
+        self._group_span = None
+        self._group_freed.clear()

@@ -112,13 +112,21 @@ def main() -> int:
             width = template.node_num
             gen_len = len(template.accepted_len_list) + 1
         # speculative replays merge accepted tokens into the root every
-        # iteration, so a leaf's root-to-leaf path grows by accepted_len
+        # iteration, so a leaf's root-to-leaf PATH grows by accepted_len
         # (not 1) per iter — size the page-table rows for the full accept
-        # schedule, not just the iteration count
+        # schedule.  The KV POOL however stays small: leaves are reset
+        # every step (group-span slots reused in place,
+        # TokenKVPool.alloc_group) and only the root accumulates KV, so the
+        # per-leaf gen_len budget of the growing-leaf workloads would
+        # massively oversize it (tree_size64's 700-step schedule at w=64
+        # asked for 67k slots = 7.6 GB that OOMed a v5e next to 3B weights).
         ctx_extra = 0
         if controller_name == "Speculative_Decoding" and template is not None:
             ctx_extra = int(sum(template.accepted_len_list)) + width
-        slots = prompt_len + width * (gen_len + 8 + 256) + ctx_extra + 2048
+        if controller_name == "Speculative_Decoding":
+            slots = prompt_len + 2 * ctx_extra + width * 140 + 4096
+        else:
+            slots = prompt_len + width * (gen_len + 8 + 256) + ctx_extra + 2048
         ecfg = EngineConfig(
             kv_pool_slots=slots,
             max_requests=max(64, 2 * width),

@@ -96,3 +96,39 @@ def test_alloc_group_exhaustion_returns_none():
     pool.alloc(200)
     assert pool.alloc_group(256) is None  # bump region too small
     assert pool.alloc_group(64) is not None
+
+
+def test_alloc_group_span_reuse():
+    """The spec-decode steady state (free all group slots, realloc same
+    size) must reuse the span in place — bump consumption stays bounded
+    instead of growing by `width` slots per step."""
+    from deft_tpu.core.kv_pool import TokenKVPool
+
+    pool = TokenKVPool(4096, chunk=128)
+    g1 = pool.alloc_group(64)
+    bump_after_first = pool._bump
+    for _ in range(50):
+        pool.free(g1)
+        g2 = pool.alloc_group(64)
+        assert g2[0] == g1[0]  # same span, reused in place
+        g1 = g2
+    assert pool._bump == bump_after_first
+    # accounting stays consistent: reuse never double-counts capacity
+    assert pool.used_size() == 64
+    pool.free(g1)
+    assert pool.used_size() == 0
+
+
+def test_alloc_group_partial_free_retires_span():
+    """A partially-freed span can't be reused; a fresh group retires it,
+    flushing held-back slots into the recycled pool (no capacity leak)."""
+    from deft_tpu.core.kv_pool import TokenKVPool
+
+    pool = TokenKVPool(4096, chunk=128)
+    g1 = pool.alloc_group(64)
+    pool.free(g1[:32])  # only half the span dies
+    before = pool.available_size()
+    g2 = pool.alloc_group(64)
+    assert g2[0] != g1[0]
+    # the 32 held-back slots were flushed to _recycled on retirement
+    assert pool.available_size() == before + 32 - 64
