@@ -130,21 +130,23 @@ def kernel_check() -> str:
             else f"fail: rel_err={worst:.2e}")
 
 
-def run_mode(mode_name: str) -> dict:
+def run_mode(mode_name: str, model: str = None, weights: str = None) -> dict:
     from deft_tpu.config import EngineConfig
     from deft_tpu.control import Branch_Controller, workloads
     from deft_tpu.models import PRESETS
     from deft_tpu.obs import PerfMetrics
     from deft_tpu.runtime import ModelRunner, mode_from_cli, tree_generate
 
-    cfg = PRESETS[MODEL]
+    model = model or MODEL
+    weights = weights or WEIGHT_DTYPE
+    cfg = PRESETS[model]
     # chunked allocator reserves up to 2 chunks (128 slots) per leaf
     slots = PROMPT_LEN + WIDTH * (GEN_LEN + 8 + 256) + 1024
     ecfg = EngineConfig(
         kv_pool_slots=slots,
         max_requests=max(64, 2 * WIDTH),
         max_context_len=PROMPT_LEN + GEN_LEN + 64,
-        weight_dtype=WEIGHT_DTYPE,
+        weight_dtype=weights,
     )
     runner = ModelRunner(cfg, ecfg, kernels="auto", seed=0)
     rng = np.random.default_rng(0)
@@ -185,7 +187,8 @@ def run_mode(mode_name: str) -> dict:
     }
 
 
-def run_child(phase: str, timeout_s: float) -> dict:
+def run_child(phase: str, timeout_s: float, model: str = None,
+              weights: str = None) -> dict:
     """Run one phase in a watchdogged child process, retrying on wedge."""
     last_err = None
     for attempt in range(1 + RETRIES):
@@ -193,6 +196,10 @@ def run_child(phase: str, timeout_s: float) -> dict:
             raise RuntimeError(f"deadline exhausted before {phase}: {last_err}")
         env = dict(os.environ)
         env["BENCH_CHILD_PHASE"] = phase
+        if model:
+            env["BENCH_CHILD_MODEL"] = model
+        if weights:
+            env["BENCH_CHILD_WQ"] = weights
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -220,7 +227,11 @@ def main() -> int:
         print(json.dumps({"kernel_check": kernel_check()}))
         return 0
     if phase:
-        print(json.dumps(run_mode(phase)))
+        print(json.dumps(run_mode(
+            phase,
+            model=os.environ.get("BENCH_CHILD_MODEL"),
+            weights=os.environ.get("BENCH_CHILD_WQ"),
+        )))
         return 0
 
     info = {"width": WIDTH, "prompt_len": PROMPT_LEN, "gen_len": GEN_LEN,
@@ -250,29 +261,53 @@ def main() -> int:
     print(f"# seq: {seq}", file=sys.stderr)
 
     speedup = seq["tpot_ms"] / flat["tpot_ms"]
-    attn_speedup = (
-        seq["attn_latency_ms"] / flat["attn_latency_ms"]
-        if flat.get("attn_latency_ms") else None
-    )
     print(f"# wall {time.time()-_T0:.0f}s  TPOT speedup {speedup:.3f}x"
           f"  (tpot {seq['tpot_ms']:.3f} -> {flat['tpot_ms']:.3f} ms/tok;"
           f"  KV IO {seq['kv_io_bytes']:.3g} -> {flat['kv_io_bytes']:.3g} B)",
           file=sys.stderr)
-    print(json.dumps({
-        "metric": "tpot_speedup_flatten_vs_seq",
-        "value": round(speedup, 4),
-        "unit": "x",
-        "vs_baseline": round(speedup / BASELINE_SPEEDUP, 4),
-        "kernel_check": kc,
-        "tpot_flatten_ms": round(flat["tpot_ms"], 4),
-        "tpot_seq_ms": round(seq["tpot_ms"], 4),
-        "attn_speedup": round(attn_speedup, 4) if attn_speedup else None,
-        "kv_io_reduction": round(
-            1 - flat["kv_io_bytes"] / seq["kv_io_bytes"], 4
-        ) if seq["kv_io_bytes"] else None,
-        "model": MODEL, "weights": WEIGHT_DTYPE,
-        "width": WIDTH, "prompt_len": PROMPT_LEN, "gen_len": GEN_LEN,
-    }))
+    def headline(flat_r, seq_r, model, weights, sp):
+        asp = (
+            seq_r["attn_latency_ms"] / flat_r["attn_latency_ms"]
+            if flat_r.get("attn_latency_ms") else None
+        )
+        return {
+            "metric": "tpot_speedup_flatten_vs_seq",
+            "value": round(sp, 4),
+            "unit": "x",
+            "vs_baseline": round(sp / BASELINE_SPEEDUP, 4),
+            "kernel_check": kc,
+            "tpot_flatten_ms": round(flat_r["tpot_ms"], 4),
+            "tpot_seq_ms": round(seq_r["tpot_ms"], 4),
+            "attn_speedup": round(asp, 4) if asp else None,
+            "kv_io_reduction": round(
+                1 - flat_r["kv_io_bytes"] / seq_r["kv_io_bytes"], 4
+            ) if seq_r["kv_io_bytes"] else None,
+            "model": model, "weights": weights,
+            "width": WIDTH, "prompt_len": PROMPT_LEN, "gen_len": GEN_LEN,
+        }
+
+    print(json.dumps(headline(flat, seq, MODEL, WEIGHT_DTYPE, speedup)))
+    sys.stdout.flush()
+
+    # Apples-to-apples pass: the reference's headline model is Llama-3-8B
+    # (BASELINE.md).  bf16 8B does not fit a 16 GB v5e, so weights are int8
+    # (KV bf16, attention fp32).  Only attempted when the small-model
+    # headline above is already safely printed and budget clearly remains;
+    # if it lands, its line REPLACES the headline (drivers read the last
+    # parseable line).
+    if MODEL == "3b" and _left() > 450:
+        try:
+            flat8 = run_child("flatten", MODE_TIMEOUT_S, "8b", "int8")
+            print(f"# 8b flatten: {flat8}", file=sys.stderr)
+            seq8 = run_child("seq", MODE_TIMEOUT_S, "8b", "int8")
+            print(f"# 8b seq: {seq8}", file=sys.stderr)
+            sp8 = seq8["tpot_ms"] / flat8["tpot_ms"]
+            print(f"# 8b wall {time.time()-_T0:.0f}s  TPOT speedup "
+                  f"{sp8:.3f}x  ({seq8['tpot_ms']:.3f} -> "
+                  f"{flat8['tpot_ms']:.3f} ms/tok)", file=sys.stderr)
+            print(json.dumps(headline(flat8, seq8, "8b", "int8", sp8)))
+        except RuntimeError as e:
+            print(f"# 8b pass skipped: {e}", file=sys.stderr)
     return 0
 
 
