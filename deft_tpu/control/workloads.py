@@ -58,9 +58,18 @@ simple_tree.structural_iters = _simple_tree_structural
 
 
 def practical_tree(model, iter, max_gen_len, width, depth, logits,
-                   execution_graph: Optional[ExecuteTree] = None, **kw) -> bool:
+                   execution_graph: Optional[ExecuteTree] = None,
+                   deferred=None, **kw) -> bool:
     """Multi-step (ToT) reasoning: replay an ExecuteTree's branch/prune
-    schedule; greedy generation on untouched leaves."""
+    schedule; greedy generation on untouched leaves.
+
+    With ``deferred`` (runtime/generate.py DeferredSelect), token VALUES are
+    never read on host: WHICH leaf branches/prunes is predetermined by the
+    template, and each appended token is recorded as (prev_q, top-k column)
+    so the next decode step gathers it on device.  The whole replay then
+    pipelines like a greedy chain — the branch-heavy iterations that used to
+    block on a logits fetch (the dominant cost on high-latency transports)
+    enqueue asynchronously."""
     assert execution_graph is not None
     tree = model.tree
     branch_pairs = execution_graph.branch_record.get(iter, {})
@@ -68,6 +77,9 @@ def practical_tree(model, iter, max_gen_len, width, depth, logits,
     stop = False
     ROOT_ID = 0
     if ROOT_ID in prune_nodes:
+        # output iterations copy token values (output_branch) — generate.py
+        # runs them synchronously (excluded from logits_free_iters)
+        assert deferred is None, "output iteration must not be deferred"
         stop = True
         for leaf in list(tree.leaves.values()):
             tree.output_branch(leaf)
@@ -81,22 +93,31 @@ def practical_tree(model, iter, max_gen_len, width, depth, logits,
             w = len(children_ids)
             assert w > 0
             q_idx = 0 if iter == 0 else tree.leaf_to_q[l_id]
-            probs, ids = logits.topk(q_idx, w)
             children = tree.branch(tree.nodes[l_id], w)
-            for c, child in enumerate(children):
-                child.append_token(int(ids[c]), logprob=float(np.log(probs[c])))
+            if deferred is not None:
+                for c, child in enumerate(children):
+                    deferred.append(child, q_idx, c)
+            else:
+                probs, ids = logits.topk(q_idx, w)
+                for c, child in enumerate(children):
+                    child.append_token(int(ids[c]),
+                                       logprob=float(np.log(probs[c])))
         elif l_id in prune_nodes:
             tree.cut(tree.nodes[l_id], record_deleted=True)
         else:
-            if greedy_ids is None:
-                greedy_ids, greedy_probs = logits.argmax()
             # iter 0 == prefill: one logits row for the root, leaf_to_q not
             # built yet (templates may run the root greedily before branching)
             q = 0 if iter == 0 else tree.leaf_to_q[leaf.id]
+            if deferred is not None:
+                deferred.append(leaf, q, 0)
+                continue
+            if greedy_ids is None:
+                greedy_ids, greedy_probs = logits.argmax()
             leaf.append_token(
                 int(greedy_ids[q]), logprob=float(np.log(greedy_probs[q]))
             )
     if iter == max_gen_len - 1:
+        assert deferred is None, "output iteration must not be deferred"
         for leaf in list(tree.leaves.values()):
             tree.output_branch(leaf)
         stop = True
@@ -110,7 +131,21 @@ def _practical_tree_structural(template, max_gen_len):
     return s
 
 
+def _practical_tree_logits_free(template, max_gen_len):
+    """Every replay iteration EXCEPT the ones that copy token values
+    (output_branch at root-prune / final iter) defers its token selection
+    to the device (DeferredSelect) — no host logits reads."""
+    out_iters = {max_gen_len - 1}
+    if template is not None:
+        for it, nodes in template.prune_record.items():
+            if 0 in nodes:
+                out_iters.add(it)
+    return frozenset(range(1, max_gen_len)) - out_iters
+
+
 practical_tree.structural_iters = _practical_tree_structural
+practical_tree.logits_free_iters = _practical_tree_logits_free
+practical_tree.supports_deferred = True
 
 
 def speculative_decoding(model, iter, max_gen_len, width, depth, logits,

@@ -177,7 +177,7 @@ def restore(runner, path: str) -> None:
             out_loc=jnp.asarray(out),
             length=jnp.asarray(P, dtype=jnp.int32),
         )
-        _, _, _, runner.k_pool, runner.v_pool = runner._prefill_step()(
+        _, _, _, _, runner.k_pool, runner.v_pool = runner._prefill_step()(
             runner.params, runner.k_pool, runner.v_pool, batch
         )
 

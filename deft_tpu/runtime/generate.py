@@ -17,6 +17,34 @@ from deft_tpu.runtime.modes import ForwardMode
 from deft_tpu.runtime.runner import ModelRunner
 
 
+class DeferredSelect:
+    """Collects a structural step's token selections WITHOUT reading logits
+    values: each appended token is recorded as (prev_q row, top-K column) of
+    the step's LogitsView.  The generation loop turns the records into
+      * the next step's on-device q_tokens gather (runner q_select), and
+      * host backfills resolved from the async logits fetch later,
+    so branch/prune replay workloads (e.g. ToT templates, where WHICH leaf
+    branches is predetermined but the branch TOKENS are the model's top-k)
+    pipeline on device exactly like greedy chains — no blocking logits fetch.
+
+    Workloads that opt in (``supports_deferred = True``) must not copy token
+    values during their structural mutations (branch/cut are fine;
+    merge_nodes and output_branch copy — those iterations must be declared
+    NON-logits-free so they run synchronously)."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.backfills = {}  # (prev_q, col) -> (node, token_index)
+        self.qsrc = {}       # leaf_id -> (prev_q, col)
+
+    def append(self, leaf, prev_q: int, col: int) -> None:
+        """leaf.append_token(ids[prev_q, col]) — deferred."""
+        assert col < self.k, f"column {col} >= step top-K {self.k}"
+        leaf.append_token(0)
+        self.backfills[(prev_q, col)] = (leaf, len(leaf.token_ids) - 1)
+        self.qsrc[leaf.id] = (prev_q, col)
+
+
 def tree_generate(
     model: ModelRunner,
     mode: ForwardMode,
@@ -95,17 +123,23 @@ def tree_generate(
         if logits_free_fn is not None
         else frozenset()
     )
-    pending = []  # (LogitsView, {q: (node, token_index)})
-    chain_view = None  # previous step's view when it was a chain step
+    pending = []  # (LogitsView, {(q, col): (node, token_index)})
+    # chain: where the NEXT step's q_tokens come from —
+    #   None                      host plan buffer (tree token values)
+    #   ("ids", view)             view's greedy ids, identical row order
+    #   ("sel", view, qsrc)       view's top-K ids gathered by the fresh
+    #                             leaf_to_q -> (prev_q, col) map (row order
+    #                             changed: branch/prune happened)
+    chain = None
 
     def resolve_pending():
         import numpy as _np
 
         for view, backfills in pending:
             ids, vals = view.ids, view.vals
-            for q, (node, ti) in backfills.items():
-                node.token_ids[ti] = int(ids[q, 0])
-                node.cumulative_logprob += float(_np.log(vals[q, 0]))
+            for (q, col), (node, ti) in backfills.items():
+                node.token_ids[ti] = int(ids[q, col])
+                node.cumulative_logprob += float(_np.log(vals[q, col]))
         pending.clear()
 
     if not stop:
@@ -114,6 +148,18 @@ def tree_generate(
                          "traversal", "alloc", "tree_metadata"):
                 GlobalTimer.reset(name)
             step_start = time.perf_counter()
+
+            if chain is None and pending:
+                # the step will pack host token values (no device chain) but
+                # placeholders are outstanding — resolve before plan build
+                resolve_pending()
+            if chain is not None and chain[0] == "sel" and any(
+                leaf_id not in chain[2] for leaf_id in model.tree.leaves
+            ):
+                # a live leaf made no deferred selection last step (workload
+                # bug or exotic schedule): fall back to host token values
+                resolve_pending()
+                chain = None
 
             GlobalTimer.start("prepare")
             with tracer.span("plan_build"):
@@ -127,12 +173,22 @@ def tree_generate(
 
             is_struct = structural is None or it in structural
             needs_logits = is_struct and it not in logits_free
-            override = (
-                chain_view.greedy_ids_device if chain_view is not None else None
-            )
+            override = select = None
+            if chain is not None and chain[0] == "ids":
+                override = chain[1].greedy_ids_device
+            elif chain is not None:
+                _, view_prev, qsrc = chain
+                import numpy as _np
+
+                rows = _np.zeros(plan.l_pad, _np.int32)
+                cols = _np.zeros(plan.l_pad, _np.int32)
+                for leaf_id, q in model.tree.leaf_to_q.items():
+                    rows[q], cols[q] = qsrc[leaf_id]
+                select = (view_prev.ids_device, rows, cols)
             with tracer.span("decode_step"):
                 logits, fwd_t = model.forward_tree_decode(
-                    mode, plan, q_tokens_override=override, block=needs_logits
+                    mode, plan, q_tokens_override=override,
+                    q_select=select, block=needs_logits
                 )
 
             # analytic KV/mask IO accounting (per layer x layers)
@@ -155,12 +211,18 @@ def tree_generate(
             tracer_branch = tracer.span("branch")
             tracer_branch.__enter__()
             if is_struct:
-                # backfills must land before the tree mutates (even on a
-                # logits-free step — pending is empty on pure-replay
-                # workloads, so this never blocks their pipeline)
-                if needs_logits or pending:
+                deferred = (
+                    DeferredSelect(logits.k)
+                    if not needs_logits and getattr(
+                        branch_controller.branching_function,
+                        "supports_deferred", False)
+                    else None
+                )
+                if needs_logits or (pending and deferred is None):
+                    # backfills must land before the tree mutates (pending
+                    # is empty on pure-replay workloads like spec decoding,
+                    # so their logits-free pipeline never blocks here)
                     resolve_pending()
-                chain_view = None
                 stop = branch_controller.apply_branching(
                     model=model,
                     iter=it,
@@ -169,7 +231,14 @@ def tree_generate(
                     depth=depth,
                     logits=logits,
                     execution_graph=branch_controller.tree_templates,
+                    deferred=deferred,
                 )
+                if deferred is not None and deferred.qsrc:
+                    logits.fetch_async()
+                    pending.append((logits, deferred.backfills))
+                    chain = ("sel", logits, deferred.qsrc)
+                else:
+                    chain = None
                 # logits-free structural steps pipeline like greedy steps;
                 # bound the async queue the same way (see comment below)
                 if not needs_logits and it % 8 == 0:
@@ -186,10 +255,10 @@ def tree_generate(
                 for leaf in tree.leaves.values():
                     q = tree.leaf_to_q[leaf.id]
                     leaf.append_token(0)
-                    backfills[q] = (leaf, len(leaf.token_ids) - 1)
+                    backfills[(q, 0)] = (leaf, len(leaf.token_ids) - 1)
                 logits.fetch_async()
                 pending.append((logits, backfills))
-                chain_view = logits
+                chain = ("ids", logits)
                 stop = False
                 # bound the async queue: an unbounded enqueue storm (hundreds
                 # of steps x MB-scale plan uploads) can wedge slow transports;

@@ -64,17 +64,31 @@ class LogitsView:
     """Per-leaf next-token distribution, top-K resident on host, full
     distribution lazily fetchable.  Row order == DFS leaf_to_q."""
 
-    def __init__(self, vals, ids, full=None):
+    def __init__(self, vals, ids, full=None, packed=None):
         self._vals = vals  # (R, K) probabilities (softmax + 1e-6)
         self._ids = ids    # (R, K) int32 token ids, descending prob
         self._full = full  # optional device (R, V) logits
+        # (R, 2K) int32 [ids | bitcast(vals)] built inside the jitted step:
+        # a blocking host read is then ONE device->host transfer instead of
+        # two (each transfer pays the transport's ~RTT setup latency).
+        self._packed = packed
+
+    @functools.cached_property
+    def _host_packed(self) -> np.ndarray:
+        return np.asarray(self._packed)
 
     @functools.cached_property
     def vals(self) -> np.ndarray:
+        if self._packed is not None:
+            k = self._host_packed.shape[-1] // 2
+            return self._host_packed[..., k:].view(np.float32)
         return np.asarray(self._vals)
 
     @functools.cached_property
     def ids(self) -> np.ndarray:
+        if self._packed is not None:
+            k = self._host_packed.shape[-1] // 2
+            return self._host_packed[..., :k]
         return np.asarray(self._ids)
 
     def fetch_async(self) -> None:
@@ -82,7 +96,9 @@ class LogitsView:
         return without a fresh round-trip.  This is what lets greedy decode
         steps pipeline on device without paying the tunnel/PCIe fetch RTT
         every iteration."""
-        for arr in (self._vals, self._ids):
+        arrs = ((self._packed,) if self._packed is not None
+                else (self._vals, self._ids))
+        for arr in arrs:
             try:
                 arr.copy_to_host_async()
             except AttributeError:  # non-jax array (tests)
@@ -93,6 +109,14 @@ class LogitsView:
         """Device-resident (R,) argmax token ids — feed these as the next
         step's q_tokens to chain decode steps without any host sync."""
         return self._ids[:, 0]
+
+    @property
+    def ids_device(self):
+        """Device-resident (R, K) top-K ids — the source array for the
+        deferred-select chain (forward_tree_decode q_select): the next step
+        gathers its q_tokens from these ON DEVICE, so branch/prune replay
+        workloads never fetch logits to pick branch tokens."""
+        return self._ids
 
     @property
     def k(self) -> int:
@@ -342,13 +366,24 @@ class ModelRunner:
 
     # -- jitted steps ----------------------------------------------------------
     def _decode_step(self, mode: ForwardMode, paged: bool, sizes: tuple,
-                     use_override: bool):
+                     override_kind: str):
         """Jitted decode step consuming ONE packed int32 plan buffer.
 
         Per-array host->device transfers each pay the transport's setup
         latency (measured ~3 ms/array over the TPU link — ~30 ms/step for a
         10-array plan); packing the whole plan into a single upload makes it
         one transfer.  The static unpack offsets are part of the cache key.
+
+        override_kind selects where q_tokens come from:
+          "none"   — the packed plan buffer (host tokens)
+          "ids"    — q_override is the previous step's (R,) greedy ids
+                     (device-chained greedy decode, identical row order)
+          "select" — q_override is the previous step's (R_prev, K) top-K
+                     ids; the buffer carries 2L extra ints (qrows, qcols)
+                     and q_tokens = q_override[qrows, qcols] is gathered on
+                     device.  This chains steps across BRANCH/PRUNE events
+                     (row order changes, branch children take column c>0)
+                     with no host logits fetch.
         """
         attn = self._attn_fn(mode, paged)
         attn_name = attn.__name__
@@ -357,27 +392,38 @@ class ModelRunner:
             attn = functools.partial(
                 attn, block_len=sizes[3], seg_len=sizes[4]
             )
-        key = f"decode/{mode.plan_kind}/{attn_name}/{sizes}/{use_override}"
+        key = f"decode/{mode.plan_kind}/{attn_name}/{sizes}/{override_kind}"
         if key not in self._jit_cache:
             cfg, rope, K = self.cfg, self._rope_apply, self.topk_k
             retain = self.retain_full_logits
             kind = mode.plan_kind
+            select = override_kind == "select"
+
+            def q_from(f, q_override, L):
+                if select:
+                    return q_override[f["qrows"], f["qcols"]]
+                if override_kind == "ids":
+                    return q_override
+                return f["q_tokens"]
 
             def unpack(buf, q_override):
                 if kind == "seq" and len(sizes) == 5:
                     # paged seq: (L, nseg_tot, nb, block_len, seg_len)
                     L, nseg_tot, nb, _, _ = sizes
+                    fields = [("q_tokens", L), ("q_pos", L),
+                              ("out_loc", L), ("seq_lens", L),
+                              ("seg_src", L * nseg_tot),
+                              ("seg_live", L * nseg_tot),
+                              ("blk_live", L * nb)]
+                    if select:
+                        fields += [("qrows", L), ("qcols", L)]
                     o = 0
                     f = {}
-                    for name, n in (("q_tokens", L), ("q_pos", L),
-                                    ("out_loc", L), ("seq_lens", L),
-                                    ("seg_src", L * nseg_tot),
-                                    ("seg_live", L * nseg_tot),
-                                    ("blk_live", L * nb)):
+                    for name, n in fields:
                         f[name] = jax.lax.dynamic_slice_in_dim(buf, o, n)
                         o += n
                     return SeqBatch(
-                        q_tokens=q_override if use_override else f["q_tokens"],
+                        q_tokens=q_from(f, q_override, L),
                         q_pos=f["q_pos"],
                         out_loc=f["out_loc"],
                         paths=jnp.zeros((L, 0), jnp.int32),
@@ -388,30 +434,36 @@ class ModelRunner:
                     )
                 if kind == "seq":
                     L, C = sizes
+                    fields = [("q_tokens", L), ("q_pos", L),
+                              ("out_loc", L), ("seq_lens", L),
+                              ("paths", L * C)]
+                    if select:
+                        fields += [("qrows", L), ("qcols", L)]
                     o = 0
                     f = {}
-                    for name, n in (("q_tokens", L), ("q_pos", L),
-                                    ("out_loc", L), ("seq_lens", L),
-                                    ("paths", L * C)):
+                    for name, n in fields:
                         f[name] = jax.lax.dynamic_slice_in_dim(buf, o, n)
                         o += n
                     return SeqBatch(
-                        q_tokens=q_override if use_override else f["q_tokens"],
+                        q_tokens=q_from(f, q_override, L),
                         q_pos=f["q_pos"],
                         out_loc=f["out_loc"],
                         paths=f["paths"].reshape(L, C),
                         seq_lens=f["seq_lens"],
                     )
                 L, T, B, tail = sizes
+                fields = [("q_tokens", L), ("q_pos", L), ("out_loc", L),
+                          ("tok_lo", T), ("tok_hi", T),
+                          ("blk_lo", B), ("blk_hi", B), ("tail", tail)]
+                if select:
+                    fields += [("qrows", L), ("qcols", L)]
                 o = 0
                 f = {}
-                for name, n in (("q_tokens", L), ("q_pos", L), ("out_loc", L),
-                                ("tok_lo", T), ("tok_hi", T),
-                                ("blk_lo", B), ("blk_hi", B), ("tail", tail)):
+                for name, n in fields:
                     f[name] = jax.lax.dynamic_slice_in_dim(buf, o, n)
                     o += n
                 return DecodeBatch(
-                    q_tokens=q_override if use_override else f["q_tokens"],
+                    q_tokens=q_from(f, q_override, L),
                     q_pos=f["q_pos"],
                     out_loc=f["out_loc"],
                     kv_idx=jnp.zeros((1,), jnp.int32) if paged else f["tail"],
@@ -429,8 +481,12 @@ class ModelRunner:
                 )
                 probs = jax.nn.softmax(logits, axis=-1) + 1e-6
                 vals, ids = jax.lax.top_k(probs, K)
+                packed = jnp.concatenate(
+                    [ids, jax.lax.bitcast_convert_type(vals, jnp.int32)],
+                    axis=-1,
+                )
                 out_logits = logits if retain else jnp.zeros((0,), jnp.float32)
-                return vals, ids, out_logits, k_pool, v_pool
+                return vals, ids, packed, out_logits, k_pool, v_pool
 
             self._jit_cache[key] = jax.jit(step, donate_argnums=(1, 2))
         return self._jit_cache[key]
@@ -447,7 +503,11 @@ class ModelRunner:
                 )
                 probs = jax.nn.softmax(logits, axis=-1) + 1e-6
                 vals, ids = jax.lax.top_k(probs, K)
-                return vals, ids, logits, k_pool, v_pool
+                packed = jnp.concatenate(
+                    [ids, jax.lax.bitcast_convert_type(vals, jnp.int32)],
+                    axis=-1,
+                )
+                return vals, ids, packed, logits, k_pool, v_pool
 
             self._jit_cache[key] = jax.jit(step, donate_argnums=(1, 2))
         return self._jit_cache[key]
@@ -464,7 +524,11 @@ class ModelRunner:
                 )
                 probs = jax.nn.softmax(logits, axis=-1) + 1e-6
                 vals, ids = jax.lax.top_k(probs, K)
-                return vals, ids, logits, k_pool, v_pool
+                packed = jnp.concatenate(
+                    [ids, jax.lax.bitcast_convert_type(vals, jnp.int32)],
+                    axis=-1,
+                )
+                return vals, ids, packed, logits, k_pool, v_pool
 
             self._jit_cache[key] = jax.jit(step, donate_argnums=(1, 2))
         return self._jit_cache[key]
@@ -510,11 +574,12 @@ class ModelRunner:
             out_loc=self._upload(out_loc),
             length=self._upload(np.asarray(P, dtype=np.int32)),
         )
-        vals, ids, logits, self.k_pool, self.v_pool = self._prefill_step()(
-            self.params, self.k_pool, self.v_pool, batch
+        vals, ids, packed, logits, self.k_pool, self.v_pool = (
+            self._prefill_step()(self.params, self.k_pool, self.v_pool, batch)
         )
         return LogitsView(vals[None, :], ids[None, :],
-                          logits[None, :] if self.retain_full_logits else None)
+                          logits[None, :] if self.retain_full_logits else None,
+                          packed=packed[None, :])
 
     def forward_prefill_batch(self, prompts, trees) -> LogitsView:
         """Prefill B prompts in ONE ragged forward (prompts concatenated
@@ -556,13 +621,14 @@ class ModelRunner:
             seg_ids=self._upload(seg),
             last_idx=self._upload(last),
         )
-        vals, ids_, logits, self.k_pool, self.v_pool = (
+        vals, ids_, packed, logits, self.k_pool, self.v_pool = (
             self._ragged_prefill_step()(
                 self.params, self.k_pool, self.v_pool, batch
             )
         )
         return LogitsView(vals, ids_,
-                          logits if self.retain_full_logits else None)
+                          logits if self.retain_full_logits else None,
+                          packed=packed)
 
     def build_plan(self, mode: ForwardMode):
         """Host-side attention plan for the current tree (call after alloc)."""
@@ -822,29 +888,40 @@ class ModelRunner:
         return result
 
     def forward_tree_decode(
-        self, mode: ForwardMode, plan, q_tokens_override=None, block: bool = True
+        self, mode: ForwardMode, plan, q_tokens_override=None,
+        q_select=None, block: bool = True
     ) -> tuple:
         """Run one tree-decode step.  Returns (LogitsView, forward_seconds).
 
         q_tokens_override: device-resident (R,) token ids (a previous step's
         greedy ids) — chains steps on device with no host round-trip.
+        q_select: (prev_ids_device (R_prev, K), rows (L,), cols (L,)) —
+        q_tokens = prev_ids[rows, cols] gathered ON DEVICE inside the jitted
+        step.  This chains across branch/prune events: row order may change
+        and branch children select column c > 0 of their parent's top-K.
+        rows/cols ride the packed plan upload (no extra transfer).
         block=False enqueues without waiting (async pipelining; the timer
         then measures enqueue cost only)."""
         self.apply_kv_copies()  # merge compactions must land pre-step
         buf, sizes, paged = self._pack_plan(mode, plan)
-        use_override = q_tokens_override is not None
-        step = self._decode_step(mode, paged, sizes, use_override)
+        if q_select is not None:
+            prev_ids, rows, cols = q_select
+            buf = np.concatenate([buf,
+                                  np.asarray(rows, np.int32),
+                                  np.asarray(cols, np.int32)])
+            override_kind, override = "select", prev_ids
+        elif q_tokens_override is not None:
+            override_kind, override = "ids", q_tokens_override
+        else:
+            override_kind = "none"
+            override = self._upload(np.zeros((0,), np.int32))
+        step = self._decode_step(mode, paged, sizes, override_kind)
         if self.measure_attention:
             self.last_attn_estimate = self._measure_attention_bucket(
                 mode, plan, sizes, paged
             )
-        override = (
-            q_tokens_override
-            if use_override
-            else self._upload(np.zeros((0,), np.int32))
-        )
         t0 = time.perf_counter()
-        vals, ids, logits, self.k_pool, self.v_pool = step(
+        vals, ids, packed, logits, self.k_pool, self.v_pool = step(
             self.params, self.k_pool, self.v_pool,
             self._upload(np.asarray(buf, dtype=np.int32)), override,
         )
@@ -852,5 +929,6 @@ class ModelRunner:
             jax.block_until_ready(vals)
         t = time.perf_counter() - t0
         self.decode_time += t
-        view = LogitsView(vals, ids, logits if self.retain_full_logits else None)
+        view = LogitsView(vals, ids, logits if self.retain_full_logits else None,
+                          packed=packed)
         return view, t

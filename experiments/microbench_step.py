@@ -71,16 +71,16 @@ def main() -> int:
     print(f"plan upload (H2D)      : {t_upload:7.3f} ms  (paged={paged})")
 
     # device step with fixed, resident buffer (pure compute + dispatch)
-    step = runner._decode_step(mode, paged, sizes, False)
+    step = runner._decode_step(mode, paged, sizes, "none")
     dummy = jnp.zeros((0,), jnp.int32)
     out = step(runner.params, runner.k_pool, runner.v_pool, buf, dummy)
     jax.block_until_ready(out[0])
-    runner.k_pool, runner.v_pool = out[3], out[4]
+    runner.k_pool, runner.v_pool = out[4], out[5]
     t0 = time.perf_counter()
     N = 30
     for _ in range(N):
         out = step(runner.params, runner.k_pool, runner.v_pool, buf, dummy)
-        runner.k_pool, runner.v_pool = out[3], out[4]
+        runner.k_pool, runner.v_pool = out[4], out[5]
     jax.block_until_ready(out[0])
     t_dev = (time.perf_counter() - t0) / N * 1000
     print(f"device step (resident) : {t_dev:7.3f} ms")
@@ -91,12 +91,12 @@ def main() -> int:
     # timing above cannot show (async H2D may overlap compute... or not)
     out = step(runner.params, runner.k_pool, runner.v_pool,
                jnp.asarray(buf_np), dummy)
-    runner.k_pool, runner.v_pool = out[3], out[4]
+    runner.k_pool, runner.v_pool = out[4], out[5]
     t0 = time.perf_counter()
     for _ in range(N):
         b = jnp.asarray(buf_np)
         out = step(runner.params, runner.k_pool, runner.v_pool, b, dummy)
-        runner.k_pool, runner.v_pool = out[3], out[4]
+        runner.k_pool, runner.v_pool = out[4], out[5]
     jax.block_until_ready(out[0])
     t_dev_up = (time.perf_counter() - t0) / N * 1000
     print(f"device step (fresh up) : {t_dev_up:7.3f} ms  "

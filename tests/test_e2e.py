@@ -218,6 +218,54 @@ def test_greedy_chain_matches_sync():
     assert a == b and len(a) == 3
 
 
+def test_practical_tree_deferred_matches_sync():
+    """The deferred-select pipeline (branch tokens picked on device, no host
+    logits fetch) must replay a ToT template to exactly the tokens of the
+    fully-synchronous path — including across branch AND prune events, where
+    row order changes and branch children gather top-k columns > 0."""
+
+    def make_template():
+        # root branches 3-way at iter 0; node 1 branches 2-way at iter 2;
+        # node 2 prunes at iter 4; root prunes (stop+output) at iter 9
+        root = ExecuteTreeNode(0, value=1, start_offset=0, end_offset=0)
+        n1 = ExecuteTreeNode(1, value=2, start_offset=0, end_offset=2)
+        n2 = ExecuteTreeNode(2, value=4, start_offset=0, end_offset=4)
+        n5 = ExecuteTreeNode(5, value=9, start_offset=0, end_offset=9)
+        n3 = ExecuteTreeNode(3, value=9, start_offset=2, end_offset=9)
+        n4 = ExecuteTreeNode(4, value=9, start_offset=2, end_offset=9)
+        root.children = [n1, n2, n5]
+        n1.children = [n3, n4]
+        tpl = ExecuteTree(root, [root, n1, n2, n5, n3, n4])
+        assert tpl.branch_record[0] == {0: [1, 2, 5]}
+        assert tpl.branch_record[2] == {1: [3, 4]}
+        assert 2 in tpl.prune_record[4]
+        assert 0 in tpl.prune_record[9]
+        return tpl
+
+    def run(deferred: bool):
+        runner = make_runner()
+        fn = workloads.practical_tree
+        if not deferred:
+            # strip the deferral declarations -> sync every iteration
+            def sync_fn(*a, **k):
+                k.pop("deferred", None)
+                return workloads.practical_tree(*a, **k)
+            fn = sync_fn
+        tree_generate(
+            runner, ForwardMode.TREE_DECODE_FLATTEN, None, PROMPT,
+            max_seq_len=len(PROMPT) + 12, width=3, depth=2,
+            branch_controller=Branch_Controller(fn),
+            tree_template=make_template(),
+        )
+        return sorted(
+            (tuple(b.token_ids), round(b.cumulative_logprob, 4))
+            for b in runner.tree.all_finished_seqs
+        )
+
+    a, b = run(True), run(False)
+    assert a == b and len(a) == 3  # surviving leaves: n5, n3, n4
+
+
 def test_int8_kv_cache_close_to_fp32():
     """int8 KV (per-token-head scales) must track the fp32-KV distributions
     closely and run the full generation loop."""
