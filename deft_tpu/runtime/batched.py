@@ -76,6 +76,21 @@ class Request:
         self.iter = 0
         self.done = False
         self.finished_seqs: list = []  # BranchSequence outputs, kept past free
+        # iterations where this request's policy makes structural decisions
+        # (None -> every iteration); greedy iterations between them chain on
+        # device with no host sync
+        fn = getattr(branch_controller, "branching_function", None)
+        s = getattr(fn, "structural_iters", None)
+        self.structural = (
+            s(branch_controller.tree_templates,
+              max_seq_len - len(self.prompt_ids))
+            if s is not None else None
+        )
+
+    def is_structural(self, it: int) -> bool:
+        max_gen = self.max_seq_len - len(self.prompt_ids)
+        return (self.structural is None or it in self.structural
+                or it + 1 >= max_gen)
 
 
 class BatchedEngine:
@@ -88,10 +103,34 @@ class BatchedEngine:
         self.runner = runner
         self.mode = mode
         self.active: List[Request] = []
+        self.waiting: List[Request] = []  # feed() queue, admitted between steps
+        # async greedy-chain state (mirrors tree_generate's fast path):
+        # when EVERY active request's current iteration is non-structural the
+        # step only enqueues — placeholder tokens now, values backfilled from
+        # the async fetch at the next structural/admission boundary
+        self._pending: list = []   # (view, {(global_q, 0): (node, ti)})
+        self._chain = None         # previous all-greedy step's LogitsView
+        self._steps_since_sync = 0
 
     def add_request(self, req: Request) -> None:
         """Admit one request (see add_requests for the batched path)."""
         self.add_requests([req])
+
+    def feed(self, reqs: List[Request]) -> None:
+        """Queue requests for admission at the next step boundary
+        (continuous batching: callers feed work while decode runs; step()
+        admits the whole queue with one ragged prefill)."""
+        self.waiting.extend(reqs)
+
+    def _resolve_pending(self) -> None:
+        import numpy as np
+
+        for view, backfills in self._pending:
+            ids, vals = view.ids, view.vals
+            for (q, col), (node, ti) in backfills.items():
+                node.token_ids[ti] = int(ids[q, col])
+                node.cumulative_logprob += float(np.log(vals[q, col]))
+        self._pending.clear()
 
     def add_requests(self, reqs: List[Request]) -> None:
         """Admit B requests with ONE ragged prefill forward: every prompt's
@@ -100,6 +139,7 @@ class BatchedEngine:
         its own row of the batched logits."""
         if not reqs:
             return
+        self._chain = None  # admission changes the global row layout
         r = self.runner
         for req in reqs:
             req.tree = TreeCache(
@@ -125,9 +165,24 @@ class BatchedEngine:
                 self.active.append(req)
 
     def step(self) -> None:
-        """One global decode step across every active tree."""
+        """One global decode step across every active tree.
+
+        Fast path: when no active request's current iteration is structural,
+        the step only ENQUEUES — q_tokens chain from the previous step's
+        device-resident greedy ids, each leaf appends a placeholder token,
+        and values land via async fetches at the next structural step or
+        admission boundary.  The batched loop then pipelines on device like
+        tree_generate's greedy chain (no per-step host sync)."""
+        if self.waiting:
+            self._resolve_pending()
+            reqs, self.waiting = self.waiting, []
+            self.add_requests(reqs)
+            if not self.active:
+                return
         assert self.active
         r = self.runner
+        all_greedy = all(not req.is_structural(req.iter)
+                         for req in self.active)
         trees = [req.tree for req in self.active]
         for t in trees:
             r.apply_kv_copies(t)  # per-tree merge compactions (spec decode)
@@ -137,8 +192,39 @@ class BatchedEngine:
             trees, q_per_kv=r.cfg.q_per_kv, block_len=a.block_len,
             min_token_bucket=r.ecfg.min_token_bucket,
         )
-        view, _ = r.forward_tree_decode(self.mode, plan)
+        override = (
+            self._chain.greedy_ids_device if self._chain is not None else None
+        )
+        view, _ = r.forward_tree_decode(
+            self.mode, plan, q_tokens_override=override, block=not all_greedy
+        )
         offsets = plan.leaf_offsets
+
+        if all_greedy:
+            backfills = {}
+            for tree, off in zip(trees, offsets):
+                for leaf in tree.leaves.values():
+                    q = off + tree.leaf_to_q[leaf.id]
+                    leaf.append_token(0)
+                    backfills[(q, 0)] = (leaf, len(leaf.token_ids) - 1)
+            view.fetch_async()
+            self._pending.append((view, backfills))
+            self._chain = view
+            for req in self.active:
+                req.iter += 1
+            # bound the async queue (see tree_generate): sync every 8 steps
+            self._steps_since_sync += 1
+            if self._steps_since_sync >= 8:
+                import jax
+
+                jax.block_until_ready(view._vals)
+                self._steps_since_sync = 0
+            return
+
+        # structural step: backfills must land before controllers read
+        # logits windows or mutate trees
+        self._resolve_pending()
+        self._chain = None
         still = []
         for req, off in zip(self.active, offsets):
             n = len(req.tree.leaves)
@@ -159,9 +245,10 @@ class BatchedEngine:
 
     def run(self, max_steps: int = 10_000) -> None:
         steps = 0
-        while self.active and steps < max_steps:
+        while (self.active or self.waiting) and steps < max_steps:
             self.step()
             steps += 1
+        self._resolve_pending()
 
 
 class _TreeFacade:

@@ -101,6 +101,51 @@ def test_batched_admissions_match_single_tree():
     assert got == want
 
 
+def test_batched_greedy_chain_matches_sync():
+    """The batched async fast path (all-greedy steps enqueue, tokens chain
+    on device, values backfill lazily) must equal fully-sync batched runs."""
+    width, gen = 2, 9
+
+    def run(chained: bool):
+        runner = ModelRunner(PRESETS["tiny"], ECFG, kernels="xla")
+        eng = BatchedEngine(runner)
+        reqs = []
+        for p in PROMPTS:
+            fn = workloads.simple_tree
+            if not chained:
+                def fn(*a, **k):
+                    return workloads.simple_tree(*a, **k)
+            reqs.append(Request(p, Branch_Controller(fn), len(p) + gen,
+                                width=width))
+        eng.add_requests(reqs)
+        if chained:
+            assert any(not r.is_structural(1) for r in reqs)
+        eng.run()
+        return [sorted(tuple(b.token_ids) for b in r.finished_seqs)
+                for r in reqs]
+
+    assert run(True) == run(False)
+
+
+def test_batched_feed_mid_decode():
+    """Requests fed while others decode join at the next step boundary
+    (continuous batching) and still produce their single-tree tokens."""
+    width, gen = 2, 9
+    want = [_single_tree_tokens(p, width, gen) for p in PROMPTS]
+
+    runner = ModelRunner(PRESETS["tiny"], ECFG, kernels="xla")
+    eng = BatchedEngine(runner)
+    reqs = [Request(p, Branch_Controller(workloads.simple_tree),
+                    len(p) + gen, width=width) for p in PROMPTS]
+    eng.add_request(reqs[0])
+    for _ in range(3):  # run a few chained steps on request 0 alone
+        eng.step()
+    eng.feed(reqs[1:])  # admitted inside the next step()
+    eng.run()
+    got = [sorted(tuple(b.token_ids) for b in r.finished_seqs) for r in reqs]
+    assert got == want
+
+
 import pytest
 
 
