@@ -250,18 +250,24 @@ def beam_search(model, iter, max_gen_len, width, depth, logits,
 
 
 def random_tree(model, iter, max_gen_len, width, depth, logits,
-                execution_graph=None, rng=None, seed=0, **kw) -> bool:
+                execution_graph=None, rng=None, seed=0, deferred=None,
+                **kw) -> bool:
     """Random branch/prune stress workload (the reference CLI lists a
     Random_Tree controller choice without shipping one).
 
     Reproducible by construction: with no explicit ``rng`` the stream is
     derived from (seed, iter), so a rerun with the same seed replays the
     same branch/prune schedule.  Pass a shared np.random.RandomState to
-    correlate decisions across iterations instead."""
+    correlate decisions across iterations instead.
+
+    Branch/prune DECISIONS are rng-driven (host-known), so token values can
+    defer to the device like the ToT replay: with ``deferred`` every
+    iteration except the output one pipelines asynchronously."""
     if rng is None:
         rng = np.random.RandomState((seed * 1_000_003 + iter) & 0x7FFFFFFF)
     tree = model.tree
     if iter + 1 == max_gen_len:
+        assert deferred is None, "output iteration must not be deferred"
         for leaf in list(tree.leaves.values()):
             tree.output_branch(leaf)
         return True
@@ -270,21 +276,41 @@ def random_tree(model, iter, max_gen_len, width, depth, logits,
         for c, child in enumerate(tree.branch(tree.root, width)):
             child.append_token(int(ids[c]), logprob=float(np.log(probs[c])))
         return False
-    ids, probs = logits.argmax()
+    ids = probs = None
+    if deferred is None:
+        ids, probs = logits.argmax()
     for leaf in list(tree.leaves.values()):
         q = tree.leaf_to_q[leaf.id]
         r = rng.rand()
         if r < 0.08 and len(tree.leaves) < width * 4:
             k = int(rng.randint(2, 4))
-            probs_k, ids_k = logits.topk(q, k)
-            for c, child in enumerate(tree.branch(leaf, k)):
-                child.append_token(int(ids_k[c]),
-                                   logprob=float(np.log(probs_k[c])))
+            children = tree.branch(leaf, k)
+            if deferred is not None:
+                for c, child in enumerate(children):
+                    deferred.append(child, q, c)
+            else:
+                probs_k, ids_k = logits.topk(q, k)
+                for c, child in enumerate(children):
+                    child.append_token(int(ids_k[c]),
+                                       logprob=float(np.log(probs_k[c])))
         elif r > 0.96 and len(tree.leaves) > 2:
             tree.cut(leaf, record_deleted=True)
         else:
-            leaf.append_token(int(ids[q]), logprob=float(np.log(probs[q])))
+            if deferred is not None:
+                deferred.append(leaf, q, 0)
+            else:
+                leaf.append_token(int(ids[q]), logprob=float(np.log(probs[q])))
     return False
+
+
+def _random_tree_logits_free(template, max_gen_len):
+    return frozenset(range(1, max_gen_len - 1))
+
+
+# no structural_iters: every iteration may branch/prune (rng decides), but
+# all of them except the output iteration defer token values to the device
+random_tree.logits_free_iters = _random_tree_logits_free
+random_tree.supports_deferred = True
 
 
 # Reference-name aliases (branch_func_example.py).

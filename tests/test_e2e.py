@@ -266,6 +266,32 @@ def test_practical_tree_deferred_matches_sync():
     assert a == b and len(a) == 3  # surviving leaves: n5, n3, n4
 
 
+def test_random_tree_deferred_matches_sync():
+    """random_tree's rng-driven branch/prune schedule is host-known, so its
+    deferred run must equal the sync run token-for-token."""
+
+    def run(deferred: bool):
+        runner = make_runner()
+        fn = workloads.random_tree
+        if not deferred:
+            def sync_fn(*a, **k):
+                k.pop("deferred", None)
+                return workloads.random_tree(*a, **k)
+            fn = sync_fn
+        tree_generate(
+            runner, ForwardMode.TREE_DECODE_FLATTEN, None, PROMPT,
+            max_seq_len=len(PROMPT) + 16, width=3, depth=1,
+            branch_controller=Branch_Controller(fn),
+        )
+        return sorted(
+            (tuple(b.token_ids), round(b.cumulative_logprob, 4))
+            for b in runner.tree.all_finished_seqs
+        )
+
+    a, b = run(True), run(False)
+    assert a == b and len(a) >= 3
+
+
 def test_int8_kv_cache_close_to_fp32():
     """int8 KV (per-token-head scales) must track the fp32-KV distributions
     closely and run the full generation loop."""
