@@ -156,6 +156,48 @@ def test_sharded_engine_generation_matches_single_device():
     assert got_seq == want
 
 
+def test_sharded_deferred_replay_matches_single_device():
+    """The deferred-select chain (branch tokens gathered on device) must
+    also hold under the 8-device mesh: sharded ToT replay == unsharded."""
+    from deft_tpu.config import EngineConfig
+    from deft_tpu.control import Branch_Controller, workloads
+    from deft_tpu.data.loader import ExecuteTree, ExecuteTreeNode
+    from deft_tpu.models import PRESETS
+    from deft_tpu.runtime import ForwardMode, ModelRunner, tree_generate
+
+    ecfg = EngineConfig(
+        kv_pool_slots=1024, max_requests=16, max_context_len=128,
+        min_token_bucket=128, dtype="float32",
+    )
+    prompt = list(range(7, 27))
+
+    def make_template():
+        root = ExecuteTreeNode(0, value=1, start_offset=0, end_offset=0)
+        n1 = ExecuteTreeNode(1, value=2, start_offset=0, end_offset=2)
+        n2 = ExecuteTreeNode(2, value=8, start_offset=0, end_offset=8)
+        n3 = ExecuteTreeNode(3, value=8, start_offset=2, end_offset=8)
+        n4 = ExecuteTreeNode(4, value=8, start_offset=2, end_offset=8)
+        root.children = [n1, n2]
+        n1.children = [n3, n4]
+        return ExecuteTree(root, [root, n1, n2, n3, n4])
+
+    def gen(mesh):
+        runner = ModelRunner(PRESETS["tiny"], ecfg, kernels="pallas", seed=3,
+                             mesh=mesh)
+        tree_generate(
+            runner, ForwardMode.TREE_DECODE_FLATTEN, None, prompt,
+            max_seq_len=32, width=2, depth=2,
+            branch_controller=Branch_Controller(workloads.practical_tree),
+            tree_template=make_template(),
+        )
+        return sorted(tuple(s.token_ids) for s in runner.tree.all_finished_seqs)
+
+    want = gen(None)
+    assert len(want) == 3
+    mesh = make_mesh(8, num_kv_heads=PRESETS["tiny"].num_kv_heads)
+    assert gen(mesh) == want
+
+
 def test_entry_compiles_single_chip():
     """__graft_entry__.entry() must lower+compile on the current backend."""
     fn, args = graft.entry()
