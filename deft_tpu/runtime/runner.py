@@ -577,9 +577,11 @@ class ModelRunner:
         vals, ids, packed, logits, self.k_pool, self.v_pool = (
             self._prefill_step()(self.params, self.k_pool, self.v_pool, batch)
         )
-        return LogitsView(vals[None, :], ids[None, :],
+        view = LogitsView(vals[None, :], ids[None, :],
                           logits[None, :] if self.retain_full_logits else None,
                           packed=packed[None, :])
+        view.fetch_async()  # the caller reads top-k right away (iter-0 branch)
+        return view
 
     def forward_prefill_batch(self, prompts, trees) -> LogitsView:
         """Prefill B prompts in ONE ragged forward (prompts concatenated
@@ -626,9 +628,11 @@ class ModelRunner:
                 self.params, self.k_pool, self.v_pool, batch
             )
         )
-        return LogitsView(vals, ids_,
+        view = LogitsView(vals, ids_,
                           logits if self.retain_full_logits else None,
                           packed=packed)
+        view.fetch_async()  # callers read per-prompt rows right away
+        return view
 
     def build_plan(self, mode: ForwardMode):
         """Host-side attention plan for the current tree (call after alloc)."""
@@ -925,10 +929,15 @@ class ModelRunner:
             self.params, self.k_pool, self.v_pool,
             self._upload(np.asarray(buf, dtype=np.int32)), override,
         )
+        view = LogitsView(vals, ids, logits if self.retain_full_logits else None,
+                          packed=packed)
         if block:
+            # enqueue the D2H copy right behind the compute BEFORE waiting:
+            # by the time the caller reads .vals/.ids the transfer is already
+            # in flight (saves a host-turnaround RTT on every sync step —
+            # beam search pays one per iteration)
+            view.fetch_async()
             jax.block_until_ready(vals)
         t = time.perf_counter() - t0
         self.decode_time += t
-        view = LogitsView(vals, ids, logits if self.retain_full_logits else None,
-                          packed=packed)
         return view, t
