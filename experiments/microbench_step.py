@@ -1,7 +1,9 @@
 """Attribute decode-step time: device compute vs per-step plan upload vs
-host plan build.  Run on the real TPU after a workload warmup.
+host plan build vs weight streaming vs attention.  Run on the real TPU
+after a workload warmup.
 
-  python experiments/microbench_step.py [width] [prompt_len]
+  python experiments/microbench_step.py [width] [prompt_len] [model] [wq]
+  python experiments/microbench_step.py 50 4000 8b int8
 """
 
 from __future__ import annotations
@@ -16,20 +18,88 @@ import jax
 import numpy as np
 
 
+def matmul_slope_bench(cfg, weights: str) -> None:
+    """Per-layer matmul-stack time via a dependent in-jit loop at two
+    lengths (slope removes dispatch/RTT overhead): is the weight stream at
+    HBM speed-of-light for this dtype?"""
+    import functools
+
+    import jax.numpy as jnp
+
+    H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    Hq, Hkv, D = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    R = 64
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (R, H), jnp.bfloat16)
+
+    def mk(shape):
+        if weights == "int8":
+            w = jax.random.randint(key, shape, -127, 127, jnp.int8)
+            s = jax.random.uniform(key, (shape[1],), jnp.float32)
+            return (w, s)
+        return (jax.random.normal(key, shape, jnp.bfloat16), None)
+
+    # one decoder layer's matmuls: qkv, o, gate, up, down
+    Ws = [mk(s) for s in ((H, (Hq + 2 * Hkv) * D), ((Hq * D), H),
+                          (H, I), (H, I), (I, H))]
+
+    def mm(x, wsc):
+        w, s = wsc
+        y = x @ w.astype(jnp.bfloat16) if w.dtype == jnp.int8 else x @ w
+        if s is not None:
+            y = y * s.astype(jnp.bfloat16)
+        return y
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def loop(x, ws, k):
+        def body(x, _):
+            qkv = mm(x, ws[0])
+            o = mm(qkv[:, : ws[1][0].shape[0]], ws[1])
+            g, u = mm(o, ws[2]), mm(o, ws[3])
+            x = jnp.tanh(mm(g * u, ws[4]))
+            return x, ()
+        x, _ = jax.lax.scan(body, x, None, length=k)
+        return jnp.sum(x.astype(jnp.float32))
+
+    def timed(k, n=5):
+        float(loop(x0, Ws, k))
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(loop(x0, Ws, k))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)) * 1000
+
+    K1, K2 = 10, 60
+    per = (timed(K2) - timed(K1)) / (K2 - K1)
+    elem = 1 if weights == "int8" else 2
+    nbytes = sum(w.size * elem for w, _ in Ws)
+    total = per * cfg.num_layers
+    print(f"matmul stack ({weights:5s}) : {per:7.3f} ms/layer -> "
+          f"{nbytes / per / 1e6:.0f} GB/s ({weights} bytes); "
+          f"x{cfg.num_layers} layers = {total:.2f} ms/step weight floor")
+
+
 def main() -> int:
     width = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     prompt_len = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+    model = sys.argv[3] if len(sys.argv) > 3 else "1b"
+    wq = sys.argv[4] if len(sys.argv) > 4 else "inherit"
     steps = 200
 
     from deft_tpu.config import EngineConfig
     from deft_tpu.models import PRESETS
     from deft_tpu.runtime import ForwardMode, ModelRunner
 
-    cfg = PRESETS["1b"]
+    cfg = PRESETS[model]
+    matmul_slope_bench(cfg, "bf16")
+    if wq == "int8":
+        matmul_slope_bench(cfg, "int8")
     ecfg = EngineConfig(
         kv_pool_slots=prompt_len + width * (steps + 8 + 256) + 2048,
         max_requests=max(64, 2 * width),
         max_context_len=prompt_len + steps + 64,
+        weight_dtype=wq,
     )
     runner = ModelRunner(cfg, ecfg, kernels="auto", seed=0)
     print("backend:", jax.default_backend(), "kernels:", runner.kernels,
@@ -108,6 +178,16 @@ def main() -> int:
     np.asarray(out[0])
     t_fetch = (time.perf_counter() - t0) * 1000
     print(f"result fetch (D2H)     : {t_fetch:7.3f} ms")
+
+    # attention + KV-store attribution (compiled per-bucket microbench)
+    store_s, attn_s = runner._measure_attention_bucket(
+        mode, plan, sizes, paged
+    )
+    print(f"attention (all layers) : {attn_s * 1000:7.3f} ms")
+    print(f"KV store (all layers)  : {store_s * 1000:7.3f} ms")
+    print(f"residual (step - attn - store)      : "
+          f"{t_dev - (attn_s + store_s) * 1000:7.3f} ms  "
+          f"(matmuls + norms + dispatch)")
     return 0
 
 
