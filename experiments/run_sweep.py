@@ -133,7 +133,10 @@ def main() -> int:
             max_context_len=prompt_len + gen_len + ctx_extra + 64,
             kv_dtype=args.kv_dtype,
         )
-        runner = ModelRunner(cfg, ecfg, kernels="auto", seed=0)
+        # top-K must cover the widest branch event (spec-decode replays
+        # branch the root into `width` = tree-size children at iter 0)
+        runner = ModelRunner(cfg, ecfg, kernels="auto", seed=0,
+                             topk_k=max(64, width))
         rng = np.random.default_rng(0)
         prompt = [int(t) for t in
                   rng.integers(4, cfg.vocab_size - 4, prompt_len)]
