@@ -85,14 +85,19 @@ def test_sorting128tot_replays_e2e_cross_mode():
     from deft_tpu.control import Branch_Controller, workloads
     from deft_tpu.runtime import ForwardMode, tree_generate
 
-    def run(mode):
+    def run(mode, deferred=True):
         t = load_trees(os.path.join(REASONING_DIR, "sorting128ToT.json"))[0]
         runner = _engine(32768)
+        fn = workloads.practical_tree
+        if not deferred:
+            def fn(*a, **k):  # strip declarations -> sync every iteration
+                k.pop("deferred", None)
+                return workloads.practical_tree(*a, **k)
         tree_generate(
             model=runner, mode=mode, tokenizer=None,
             prompt_ids=list(range(7, 23)), max_seq_len=16 + 80,
             width=t.max_width, depth=t.max_depth,
-            branch_controller=Branch_Controller(workloads.practical_tree),
+            branch_controller=Branch_Controller(fn),
             tree_template=t,
         )
         return sorted(tuple(s.token_ids) for s in runner.tree.all_finished_seqs)
@@ -100,6 +105,9 @@ def test_sorting128tot_replays_e2e_cross_mode():
     got_f = run(ForwardMode.TREE_DECODE_FLATTEN)
     got_s = run(ForwardMode.DECODE)
     assert got_f and got_f == got_s
+    # the deferred device-side token selection must match a fully-sync
+    # replay on the REAL recorded branch/prune schedule
+    assert got_f == run(ForwardMode.TREE_DECODE_FLATTEN, deferred=False)
 
 
 def test_tree_size64_replays_e2e():
