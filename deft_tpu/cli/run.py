@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize first (pod / multi-host"
                         " launch; run one process per host)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="N>1: drive N requests of this workload through the"
+                        " continuous-batching engine (shared pools, one"
+                        " jitted step per global decode iteration; no"
+                        " reference counterpart)")
     return p
 
 
@@ -244,6 +249,35 @@ def main(argv=None) -> int:
     prompt_ids = _make_prompt(args, tokenizer, template)
     if template is not None and template.accepted_len_list is not None:
         generate_accepted_len_list(args.max_seq_len - len(prompt_ids), template)
+
+    if args.batch > 1:
+        import time as _time
+
+        from deft_tpu.runtime.batched import BatchedEngine, Request
+
+        eng = BatchedEngine(runner, mode=mode)
+        reqs = []
+        for i in range(args.batch):
+            ctl = Branch_Controller(controller.branching_function)
+            reqs.append(Request(
+                prompt_ids, ctl, args.max_seq_len,
+                width=args.max_width, depth=args.max_depth,
+                template=template,
+            ))
+        t0 = _time.perf_counter()
+        eng.add_requests(reqs)
+        eng.run()
+        wall = _time.perf_counter() - t0
+        tok = sum(len(s.token_ids) for r in reqs for s in r.finished_seqs)
+        print(f"batched: {args.batch} requests, {tok} generated tokens, "
+              f"{wall * 1000:.1f} ms wall, "
+              f"{wall * 1000 / max(tok, 1):.4f} ms/token aggregate")
+        if args.print_branches:
+            for i, r in enumerate(reqs):
+                for s in r.finished_seqs:
+                    print(f"req {i} branch {s.id}: "
+                          f"{tokenizer.decode(s.token_ids)}")
+        return 0
 
     from deft_tpu.obs.tracing import Tracer
 
