@@ -1,0 +1,37 @@
+#!/bin/bash
+# One-shot TPU measurement session (run when the tunnel is healthy).
+# Each phase runs under `timeout` so a wedged transport can't eat the session;
+# results land in experiments/results_r2_deferred/.
+set -u
+cd "$(dirname "$0")/.."
+OUT=experiments/results_r2_deferred
+mkdir -p "$OUT"
+
+echo "== sanity =="
+timeout 180 python -c "
+import jax, jax.numpy as jnp
+print('devices:', jax.devices())
+print('sum:', float(jnp.sum(jnp.ones((256, 256)))))
+" || { echo 'TPU NOT HEALTHY'; exit 1; }
+
+echo "== 1. step decomposition: 8B int8, few-shot shape =="
+timeout 900 python experiments/microbench_step.py 50 4000 8b int8 \
+    2>&1 | tee "$OUT/microbench_8b_int8.txt"
+
+echo "== 2. ToT reasoning replay (real sorting128ToT, 3B) =="
+timeout 1800 python experiments/run_sweep.py --suite reasoning --model 3b \
+    --modes flatten seq --prompt-len 4000 \
+    --dataset /root/reference/dataset/generation/Reasoning/sorting128ToT.json \
+    --out "$OUT" 2>&1 | tail -20
+
+echo "== 3. speculative decoding replay (real tree_size64, 3B) =="
+timeout 1800 python experiments/run_sweep.py --suite speculative --model 3b \
+    --modes flatten --prompt-len 1000 \
+    --dataset /root/reference/dataset/generation/Speculative_Decoding/tree_size64.json \
+    --out "$OUT" 2>&1 | tail -10
+
+echo "== 4. headline bench =="
+timeout 2400 python bench.py 2> "$OUT/bench_stderr.txt" | tee "$OUT/bench_stdout.txt"
+tail -5 "$OUT/bench_stderr.txt"
+
+echo "== done =="
