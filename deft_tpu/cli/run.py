@@ -65,10 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv-dtype", choices=["inherit", "int8"],
                    default="inherit",
                    help="int8: quantized KV cache (per-token-head scales)")
-    p.add_argument("--weight-dtype", choices=["inherit", "int8"],
+    p.add_argument("--weight-dtype",
+                   choices=["inherit", "int8", "int8-pallas"],
                    default="inherit",
                    help="int8: weight-only quantized matmuls (per-out-channel"
-                        " scales; fits 8B-class models on one v5e chip)")
+                        " scales; fits 8B-class models on one v5e chip);"
+                        " int8-pallas routes decode matmuls through the"
+                        " explicit dequant-in-matmul kernel"
+                        " (ops/int8_matmul.py)")
     p.add_argument("--kv_pool_slots", type=int, default=None)
     p.add_argument("--print-branches", action="store_true")
     p.add_argument("--seed", type=int, default=0)

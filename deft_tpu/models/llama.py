@@ -128,16 +128,28 @@ def kv_gather_heads(pool: KVPool, li, idx, head_dim: int,
 
 
 def mm(x: jnp.ndarray, p: Dict[str, jnp.ndarray], name: str) -> jnp.ndarray:
-    """x @ p[name], transparently handling weight-only int8 (p[name+'_s']
-    per-output-channel fp32 scales): the int8->bf16 convert is an operand of
-    the dot, which XLA fuses into the matmul's weight-streaming loop — the
-    weights are read from HBM as int8 (half the bytes of bf16; decode is
-    weight-bandwidth-bound) and never materialized wide."""
+    """x @ p[name], transparently handling weight-only int8.
+
+    Two int8 flavors, selected by which scale key the loader wrote
+    (per-output-channel fp32 scales either way):
+      name+'_s'  — XLA: the int8->bf16 convert is an operand of the dot and
+                   relies on XLA fusing it into the weight-streaming loop;
+      name+'_sp' — Pallas ops/int8_matmul.py: the dequant-in-matmul is
+                   explicit (guaranteed int8-byte HBM traffic).  Falls back
+                   to the XLA expression when the shape is ineligible
+                   (prefill-sized activations, non-tileable dims)."""
     w = p[name]
     s = p.get(name + "_s")
-    if s is None:
-        return x @ w
-    return ((x @ w.astype(x.dtype)).astype(jnp.float32) * s).astype(x.dtype)
+    if s is not None:
+        return ((x @ w.astype(x.dtype)).astype(jnp.float32) * s).astype(x.dtype)
+    sp = p.get(name + "_sp")
+    if sp is not None:
+        from deft_tpu.ops import int8_matmul as i8mm
+
+        if i8mm.eligible(x, w):
+            return i8mm.int8_matmul(x, w, sp).astype(x.dtype)
+        return ((x @ w.astype(x.dtype)).astype(jnp.float32) * sp).astype(x.dtype)
+    return x @ w
 
 
 def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -171,7 +183,8 @@ def _forward(
     n = x.shape[0]
     D = cfg.head_dim
     layer_keys = ["ln1", "wq", "wk", "wv", "wo", "ln2", "wg", "wu", "wdown"]
-    layer_keys += [k + "_s" for k in layer_keys if k + "_s" in params]
+    layer_keys += [k + suf for k in list(layer_keys) for suf in ("_s", "_sp")
+                   if k + suf in params]
     layer_params = {k: params[k] for k in layer_keys}
 
     def body(carry, xs):

@@ -67,10 +67,11 @@ def _finalize(bufs: Dict[str, np.ndarray], dtype, weight_dtype: str):
     bf16 weights in HBM — that transient alone would OOM a 16 GB chip)."""
     params: Dict[str, jnp.ndarray] = {}
     for name, arr in bufs.items():
-        if weight_dtype == "int8" and name in QUANT_WEIGHTS:
+        if weight_dtype in ("int8", "int8-pallas") and name in QUANT_WEIGHTS:
             q, s = _quantize_int8(arr)
             params[name] = jnp.asarray(q)
-            params[name + "_s"] = jnp.asarray(s)
+            suffix = "_sp" if weight_dtype == "int8-pallas" else "_s"
+            params[name + suffix] = jnp.asarray(s)
         else:
             params[name] = jnp.asarray(arr, dtype=dtype)
     return params
@@ -123,11 +124,13 @@ def random_params(
             continue
         key, sub = jax.random.split(key)
         fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
-        quant = weight_dtype == "int8" and name in QUANT_WEIGHTS
+        quant = (weight_dtype in ("int8", "int8-pallas")
+                 and name in QUANT_WEIGHTS)
         out = gen(sub, shape, fan_in, quant)
         params[name] = out[0]
         if quant:
-            params[name + "_s"] = out[1]
+            suffix = "_sp" if weight_dtype == "int8-pallas" else "_s"
+            params[name + suffix] = out[1]
     return params
 
 

@@ -401,3 +401,30 @@ def test_int8_weights_match_bf16_generation():
     # int8 is lossy: the protocol must complete; token-level agreement is
     # expected but not guaranteed on random weights -> compare lengths only
     assert [len(t) for t in runs["int8"]] == [len(t) for t in runs["inherit"]]
+
+
+def test_int8_pallas_matmul_matches_xla_generation():
+    """The explicit dequant-in-matmul Pallas kernel (weight_dtype
+    'int8-pallas') must generate the same tokens as the XLA int8 path —
+    identical quantized weights, only the matmul implementation differs."""
+    import dataclasses
+
+    runs = {}
+    for wdt in ("int8", "int8-pallas"):
+        runner = ModelRunner(
+            PRESETS["tiny"],
+            dataclasses.replace(ECFG, weight_dtype=wdt),
+            kernels="xla",
+        )
+        key = "wq_sp" if wdt == "int8-pallas" else "wq_s"
+        assert key in runner.params and runner.params["wq"].dtype.name == "int8"
+        tree_generate(
+            model=runner, mode=ForwardMode.TREE_DECODE_FLATTEN,
+            tokenizer=None, prompt_ids=PROMPT,
+            max_seq_len=len(PROMPT) + 10, width=2, depth=1,
+            branch_controller=Branch_Controller(workloads.simple_tree),
+        )
+        runs[wdt] = sorted(
+            tuple(b.token_ids) for b in runner.tree.all_finished_seqs
+        )
+    assert runs["int8"] == runs["int8-pallas"]

@@ -384,3 +384,26 @@ def test_ragged_prefill_kernel_vs_oracle(dtype, lens, Hq, Hkv, D):
     live = np.asarray(seg) >= 0
     tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
     assert rel_err(np.asarray(got)[live], np.asarray(want)[live]) < tol
+
+
+@pytest.mark.parametrize("R,H,I", [(8, 128, 256), (64, 512, 1536), (16, 256, 513)])
+def test_int8_matmul_kernel_vs_reference(R, H, I):
+    """Weight-streaming int8 matmul (interpret mode) vs the XLA dequant
+    expression; the (16, 256, 513) case exercises the ineligible fallback."""
+    from deft_tpu.ops import int8_matmul as i8mm
+
+    rng = np.random.default_rng(R + H + I)
+    x = jnp.asarray(rng.standard_normal((R, H)), jnp.float32)
+    w = jnp.asarray(rng.integers(-127, 128, (H, I)), jnp.int8)
+    s = jnp.asarray(rng.uniform(0.01, 0.1, (I,)), jnp.float32)
+
+    want = np.asarray(
+        (x @ w.astype(jnp.float32)) * s, np.float64
+    )
+    if i8mm.eligible(x, w):
+        got = np.asarray(i8mm.int8_matmul(x, w, s), np.float64)
+    else:
+        assert I == 513  # non-tileable out dim -> callers fall back
+        return
+    err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+    assert err < 2e-6, err
