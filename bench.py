@@ -3,12 +3,17 @@ baseline (in-kernel paged KV reads, ops/paged_seq_attn.py) on the reference's
 few-shot workload shape (width 50, prompt 4000; /root/reference/README.md:214).
 
 Budget-aware protocol (the driver's window is finite):
-1. kernel check   — compiled Pallas kernels vs an fp32 oracle on the real
+1. flatten mode   — the headline measurement runs first; its partial JSON
+                    line prints immediately, so even a timeout mid-seq
+                    leaves a parseable result.
+2. kernel check   — compiled Pallas kernels vs an fp32 oracle on the real
                     backend; result lands in every JSON line (`kernel_check`).
-2. flatten mode   — measured first; its partial JSON line prints immediately,
-                    so even a timeout mid-seq leaves a parseable result.
 3. seq mode       — skipped (gracefully, with a flatten-only headline) if the
                     remaining deadline budget is too small.
+Each phase runs in a watchdogged child that heartbeats once jax backend
+init completes; children wedged in init (the transport's observed failure
+mode: all threads futex-waiting before any device contact) are killed after
+INIT_TIMEOUT_S and retried cheaply instead of burning the phase timeout.
 Final line (the headline):
     {"metric": "tpot_speedup_flatten_vs_seq", "value": N, "unit": "x",
      "vs_baseline": N / 1.32, ...}
@@ -43,6 +48,7 @@ GEN_LEN = int(os.environ.get("BENCH_GEN_LEN", 64))
 MODEL = os.environ.get("BENCH_MODEL", "3b")
 WEIGHT_DTYPE = os.environ.get("BENCH_WQ", "inherit")
 MODE_TIMEOUT_S = int(os.environ.get("BENCH_MODE_TIMEOUT_S", 420))
+INIT_TIMEOUT_S = int(os.environ.get("BENCH_INIT_TIMEOUT_S", 150))
 DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", 1200))
 RETRIES = int(os.environ.get("BENCH_RETRIES", 1))
 BASELINE_SPEEDUP = 1.32  # reference few-shot w50 p4000 (BASELINE.md)
@@ -187,42 +193,102 @@ def run_mode(mode_name: str, model: str = None, weights: str = None) -> dict:
     }
 
 
+def _spawn_child(phase: str, timeout_s: float, model, weights):
+    """One watchdogged child attempt.  Returns (status, result_dict, err):
+    status 'ok' | 'init-wedge' | 'fail'.  The child prints `#backend-up`
+    to stderr the moment jax backend init completes; if that heartbeat
+    doesn't appear within BENCH_INIT_TIMEOUT_S the child is killed early —
+    the device transport occasionally wedges whole processes *at backend
+    init* (all threads futex-waiting), and waiting out the full phase
+    timeout on such a zombie wastes most of the deadline budget."""
+    import tempfile
+
+    env = dict(os.environ)
+    env["BENCH_CHILD_PHASE"] = phase
+    if model:
+        env["BENCH_CHILD_MODEL"] = model
+    if weights:
+        env["BENCH_CHILD_WQ"] = weights
+    with tempfile.TemporaryFile("w+") as outf, \
+            tempfile.TemporaryFile("w+") as errf:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=outf, stderr=errf, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        deadline = time.time() + min(timeout_s, max(_left(), 30))
+        init_deadline = time.time() + INIT_TIMEOUT_S
+        backend_up, wedged, timed_out = False, False, False
+        while proc.poll() is None:
+            now = time.time()
+            if not backend_up:
+                errf.seek(0)
+                backend_up = "#backend-up" in errf.read()
+                if not backend_up and now > init_deadline:
+                    proc.kill()
+                    proc.wait()
+                    wedged = True
+                    break
+            if now > deadline:
+                proc.kill()
+                proc.wait()
+                timed_out = True
+                break
+            time.sleep(2)
+        if wedged:
+            return ("init-wedge", None,
+                    f"backend init wedged (> {INIT_TIMEOUT_S}s)")
+        if timed_out:
+            return "fail", None, f"phase {phase} wedged (> {timeout_s}s)"
+        outf.seek(0)
+        for line in outf.read().splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                return "ok", json.loads(line), None
+        errf.seek(0)
+        return ("fail", None,
+                f"no result line (rc={proc.returncode}): "
+                + errf.read()[-800:])
+
+
 def run_child(phase: str, timeout_s: float, model: str = None,
-              weights: str = None) -> dict:
-    """Run one phase in a watchdogged child process, retrying on wedge."""
+              weights: str = None, max_wedges: int = None) -> dict:
+    """Run one phase in a watchdogged child process, retrying on wedge.
+    Init wedges are killed after INIT_TIMEOUT_S and retried as long as the
+    deadline allows (they are transport flakes, not code failures) up to
+    max_wedges times (None = unlimited — used for the headline flatten
+    phase, which should keep probing a down transport for the whole
+    window); real failures/timeouts get RETRIES extra attempts."""
     last_err = None
-    for attempt in range(1 + RETRIES):
+    fails = wedges = 0
+    while True:
         if _left() < 30:
             raise RuntimeError(f"deadline exhausted before {phase}: {last_err}")
-        env = dict(os.environ)
-        env["BENCH_CHILD_PHASE"] = phase
-        if model:
-            env["BENCH_CHILD_MODEL"] = model
-        if weights:
-            env["BENCH_CHILD_WQ"] = weights
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                timeout=min(timeout_s, max(_left(), 30)),
-                text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            for line in out.stdout.splitlines():
-                line = line.strip()
-                if line.startswith("{"):
-                    return json.loads(line)
-            last_err = f"no result line (rc={out.returncode}): " + \
-                (out.stderr or "")[-800:]
-        except subprocess.TimeoutExpired:
-            last_err = f"phase {phase} wedged (> {timeout_s}s)"
-        print(f"# attempt {attempt + 1} failed: {last_err}", file=sys.stderr)
-    raise RuntimeError(f"bench phase {phase} failed: {last_err}")
+        status, result, err = _spawn_child(phase, timeout_s, model, weights)
+        if status == "ok":
+            return result
+        last_err = err
+        print(f"# {phase} attempt failed: {last_err}", file=sys.stderr)
+        if status == "init-wedge":
+            wedges += 1
+            if (max_wedges is None or wedges < max_wedges) and \
+                    _left() > INIT_TIMEOUT_S + 60:
+                continue
+            raise RuntimeError(f"bench phase {phase} failed: {last_err}")
+        fails += 1
+        if fails > RETRIES:
+            raise RuntimeError(f"bench phase {phase} failed: {last_err}")
 
 
 def main() -> int:
     phase = os.environ.get("BENCH_CHILD_PHASE")
+    if phase:
+        # heartbeat for the parent's init watchdog: backend init is the
+        # step that wedges; everything after is bounded by the phase timeout
+        import jax
+
+        print(f"#backend-up {jax.default_backend()}", file=sys.stderr,
+              flush=True)
     if phase == "kernel_check":
         print(json.dumps({"kernel_check": kernel_check()}))
         return 0
@@ -238,14 +304,17 @@ def main() -> int:
             "model": MODEL, "weights": WEIGHT_DTYPE, "deadline_s": DEADLINE_S}
     print(f"# bench config: {info}", file=sys.stderr)
 
+    # flatten (the headline measurement) runs FIRST with unlimited cheap
+    # wedge-probes: if the transport is down for part of the window, the
+    # budget goes to capturing the number that matters
+    flat = run_child("flatten", MODE_TIMEOUT_S)
+    print(f"# flatten: {flat}", file=sys.stderr)
+
     try:
-        kc = run_child("kernel_check", 240)["kernel_check"]
+        kc = run_child("kernel_check", 240, max_wedges=2)["kernel_check"]
     except RuntimeError as e:
         kc = f"fail: {e}"
     print(f"# kernel_check: {kc} ({time.time() - _T0:.0f}s)", file=sys.stderr)
-
-    flat = run_child("flatten", MODE_TIMEOUT_S)
-    print(f"# flatten: {flat}", file=sys.stderr)
     # partial headline: parseable even if seq times out below
     print(json.dumps({
         "metric": "tpot_flatten_ms", "value": round(flat["tpot_ms"], 4),
