@@ -1,0 +1,135 @@
+"""Whole-model parity vs HuggingFace transformers' Llama implementation.
+
+The strongest correctness credential available without network egress: a
+tiny random transformers ``LlamaForCausalLM`` is saved to disk (safetensors
++ config.json) and loaded through this repo's REAL checkpoint path
+(``LlamaConfig.from_pretrained`` + ``loader.load_params``), then
+
+  - prefill next-token distribution must match the HF forward, and
+  - a branch-into-2 tree decode must match HF re-run over each leaf's full
+    root-to-leaf path at every step (greedy tokens AND distributions).
+
+This validates the HF weight mapping (q/k/v/o transposes, gate/up/down,
+norms, tied lm_head), RMSNorm eps placement, rope application, GQA, KV
+pools and tree attention against the public ground-truth implementation —
+not just against this repo's own oracle.  Reference counterpart: the
+reference loads HF weights but has no cross-implementation test at all
+(SURVEY.md §4; /root/reference/DeFT/deft/models/llama2.py:252-295).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from deft_tpu.config import EngineConfig
+from deft_tpu.models.config import LlamaConfig
+from deft_tpu.runtime import ForwardMode, ModelRunner
+
+PROMPT = [3, 11, 250, 77, 141, 9, 62, 200, 5, 18, 33, 127]  # 12 tokens
+DECODE_STEPS = 6
+
+
+@pytest.fixture(scope="module")
+def hf_model(tmp_path_factory):
+    """Tiny random HF Llama saved as safetensors + its live torch module."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        attention_bias=False,
+        mlp_bias=False,
+        torch_dtype=torch.float32,
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    d = tmp_path_factory.mktemp("hf_tiny_llama")
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+def hf_next_probs(model, token_ids):
+    """HF forward over the full sequence -> fp64 softmax of the last row."""
+    with torch.no_grad():
+        logits = model(torch.tensor([token_ids])).logits[0, -1]
+    x = logits.double().numpy()
+    e = np.exp(x - x.max())
+    return e / e.sum()
+
+
+def make_runner(path):
+    cfg = LlamaConfig.from_pretrained(path)
+    ecfg = EngineConfig(
+        kv_pool_slots=2048,
+        max_requests=16,
+        max_context_len=256,
+        min_token_bucket=128,
+        dtype="float32",
+    )
+    return ModelRunner(cfg, ecfg, kernels="xla", model_path=path,
+                       retain_full_logits=True)
+
+
+def test_config_parse_matches_hf(hf_model):
+    path, model = hf_model
+    cfg = LlamaConfig.from_pretrained(path)
+    assert cfg.hidden_size == 64 and cfg.num_layers == 2
+    assert cfg.num_q_heads == 4 and cfg.num_kv_heads == 2
+    assert cfg.head_dim == 16 and cfg.vocab_size == 256
+
+
+def test_prefill_distribution_matches_hf(hf_model):
+    path, model = hf_model
+    runner = make_runner(path)
+    view = runner.forward_prefill(PROMPT)
+    got = view.full_probs()[0]
+    want = hf_next_probs(model, PROMPT)
+    # full_probs includes the engine's +1e-6 smoothing; compare shifted
+    np.testing.assert_allclose(got, want + 1e-6, rtol=0, atol=5e-5)
+    assert int(view.ids[0, 0]) == int(want.argmax())
+
+
+def test_tree_decode_matches_hf_per_path(hf_model):
+    """Branch the root into the top-2 prefill tokens, decode greedily; at
+    every step each leaf's distribution must equal HF run fresh over that
+    leaf's full path (tree attention == per-path causal attention)."""
+    path, model = hf_model
+    runner = make_runner(path)
+    view = runner.forward_prefill(PROMPT)
+    tree = runner.tree
+    _, top2 = view.topk(0, 2)
+    for c, child in enumerate(tree.branch(tree.root, 2)):
+        child.append_token(int(top2[c]))
+
+    for step in range(DECODE_STEPS):
+        tree.alloc()
+        plan = runner.build_plan(ForwardMode.TREE_DECODE_FLATTEN)
+        lv, _ = runner.forward_tree_decode(ForwardMode.TREE_DECODE_FLATTEN,
+                                           plan)
+        probs = lv.full_probs()
+        ids, _ = lv.argmax()
+        for leaf in list(tree.leaves.values()):
+            q = tree.leaf_to_q[leaf.id]
+            path_tokens = []
+            n = leaf
+            chain = []
+            while n is not None:
+                chain.append(n)
+                n = n.parent
+            for node in reversed(chain):
+                path_tokens.extend(int(t) for t in node.token_ids)
+            want = hf_next_probs(model, path_tokens)
+            np.testing.assert_allclose(
+                probs[q], want + 1e-6, rtol=0, atol=5e-5,
+                err_msg=f"step {step}, leaf {leaf.id}",
+            )
+            assert int(ids[q]) == int(want.argmax()), (step, leaf.id)
+            leaf.append_token(int(ids[q]))
