@@ -23,6 +23,9 @@ class LlamaConfig:
     rope_scaling: Optional[Dict[str, Any]] = None
     max_position_embeddings: int = 4096
     tie_word_embeddings: bool = False
+    # Qwen2-family attention: q/k/v projections carry biases (transformers
+    # modeling_qwen2.Qwen2Attention hardcodes bias=True for qkv, False for o)
+    qkv_bias: bool = False
 
     @property
     def q_per_kv(self) -> int:
@@ -46,6 +49,17 @@ class LlamaConfig:
     def from_hf_config(cfg: Dict[str, Any]) -> "LlamaConfig":
         hidden = cfg["hidden_size"]
         n_q = cfg["num_attention_heads"]
+        archs = cfg.get("architectures") or []
+        if cfg.get("use_sliding_window"):
+            raise NotImplementedError(
+                "sliding-window attention is not supported (tree attention "
+                "over full shared prefixes is the point of this engine)"
+            )
+        if any("Mistral" in a for a in archs) and cfg.get("sliding_window"):
+            raise NotImplementedError(
+                "Mistral checkpoints with an active sliding_window are not "
+                "supported; windowless (null) Mistral configs load fine"
+            )
         return LlamaConfig(
             vocab_size=cfg["vocab_size"],
             hidden_size=hidden,
@@ -59,6 +73,12 @@ class LlamaConfig:
             rope_scaling=cfg.get("rope_scaling"),
             max_position_embeddings=cfg.get("max_position_embeddings", 4096),
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            # Llama-family configs carry an explicit attention_bias flag;
+            # Qwen2 configs carry none (bias is hardcoded in the modeling
+            # code), so the architecture name decides the default
+            qkv_bias=cfg.get(
+                "attention_bias", any("Qwen2" in a for a in archs)
+            ),
         )
 
     @staticmethod

@@ -1,4 +1,7 @@
 """Llama-family model executor (pure-function forward over a pytree).
+Covers Llama/TinyLlama/Mistral-shaped checkpoints and Qwen2-family
+(qkv-bias) ones — verified against transformers' implementations in
+tests/test_hf_parity.py.
 
 Parity surface: /root/reference/DeFT/deft/models/llama2.py (LlamaMLP :24-48,
 LlamaAttention :51-113, LlamaDecoderLayer :116-177, LlamaModel :180-222) and
@@ -185,15 +188,21 @@ def _forward(
     layer_keys = ["ln1", "wq", "wk", "wv", "wo", "ln2", "wg", "wu", "wdown"]
     layer_keys += [k + suf for k in list(layer_keys) for suf in ("_s", "_sp")
                    if k + suf in params]
+    layer_keys += [k for k in ("bq", "bk", "bv") if k in params]
     layer_params = {k: params[k] for k in layer_keys}
 
     def body(carry, xs):
         x, kp, vp = carry
         lp, li = xs
         h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q = mm(h, lp, "wq").reshape(n, cfg.num_q_heads, D)
-        k = mm(h, lp, "wk").reshape(n, cfg.num_kv_heads, D)
-        v = mm(h, lp, "wv").reshape(n, cfg.num_kv_heads, D)
+        q, k, v = (mm(h, lp, w) for w in ("wq", "wk", "wv"))
+        if cfg.qkv_bias:  # Qwen2-family
+            q = q + lp["bq"].astype(q.dtype)
+            k = k + lp["bk"].astype(k.dtype)
+            v = v + lp["bv"].astype(v.dtype)
+        q = q.reshape(n, cfg.num_q_heads, D)
+        k = k.reshape(n, cfg.num_kv_heads, D)
+        v = v.reshape(n, cfg.num_kv_heads, D)
         q = rope_apply(q, positions)
         k = rope_apply(k, positions)
         kp = kv_store(kp, li, out_loc, k)

@@ -45,7 +45,16 @@ def _param_shapes(cfg: LlamaConfig) -> Dict[str, Any]:
         "wdown": (L, I, E),
         "ln_f": (E,),
         "lm_head": (E, cfg.vocab_size),
-    }
+    } | (
+        # Qwen2-family qkv biases (o/mlp carry none)
+        {
+            "bq": (L, cfg.num_q_heads * D),
+            "bk": (L, cfg.num_kv_heads * D),
+            "bv": (L, cfg.num_kv_heads * D),
+        }
+        if cfg.qkv_bias
+        else {}
+    )
 
 
 # Stacked matmul weights eligible for weight-only int8 (everything except
@@ -190,6 +199,12 @@ def load_params(
                 bufs["wk"][li] = w.T
             elif sub == "self_attn.v_proj.weight":
                 bufs["wv"][li] = w.T
+            elif sub == "self_attn.q_proj.bias":
+                bufs["bq"][li] = w
+            elif sub == "self_attn.k_proj.bias":
+                bufs["bk"][li] = w
+            elif sub == "self_attn.v_proj.bias":
+                bufs["bv"][li] = w
             elif sub == "self_attn.o_proj.weight":
                 bufs["wo"][li] = w.T
             elif sub == "mlp.gate_proj.weight":

@@ -31,27 +31,40 @@ PROMPT = [3, 11, 250, 77, 141, 9, 62, 200, 5, 18, 33, 127]  # 12 tokens
 DECODE_STEPS = 6
 
 
-@pytest.fixture(scope="module")
-def hf_model(tmp_path_factory):
-    """Tiny random HF Llama saved as safetensors + its live torch module."""
-    hf_cfg = transformers.LlamaConfig(
-        vocab_size=256,
-        hidden_size=64,
-        intermediate_size=128,
-        num_hidden_layers=2,
-        num_attention_heads=4,
-        num_key_value_heads=2,
-        max_position_embeddings=512,
-        rms_norm_eps=1e-5,
-        rope_theta=10000.0,
-        tie_word_embeddings=False,
-        attention_bias=False,
-        mlp_bias=False,
-        torch_dtype=torch.float32,
-    )
+_TINY = dict(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=512,
+    rms_norm_eps=1e-5,
+    tie_word_embeddings=False,
+    torch_dtype=torch.float32,
+)
+
+
+def _make_hf(family):
+    if family == "llama":
+        cfg = transformers.LlamaConfig(
+            rope_theta=10000.0, attention_bias=False, mlp_bias=False, **_TINY
+        )
+        cls = transformers.LlamaForCausalLM
+    else:  # qwen2: qkv biases are hardcoded in the HF modeling code
+        cfg = transformers.Qwen2Config(
+            rope_theta=1e6, use_sliding_window=False, **_TINY
+        )
+        cls = transformers.Qwen2ForCausalLM
     torch.manual_seed(0)
-    model = transformers.LlamaForCausalLM(hf_cfg).eval()
-    d = tmp_path_factory.mktemp("hf_tiny_llama")
+    return cls(cfg).eval()
+
+
+@pytest.fixture(scope="module", params=["llama", "qwen2"])
+def hf_model(request, tmp_path_factory):
+    """Tiny random HF checkpoint saved as safetensors + its live module."""
+    model = _make_hf(request.param)
+    d = tmp_path_factory.mktemp(f"hf_tiny_{request.param}")
     model.save_pretrained(d, safe_serialization=True)
     return str(d), model
 
@@ -84,6 +97,8 @@ def test_config_parse_matches_hf(hf_model):
     assert cfg.hidden_size == 64 and cfg.num_layers == 2
     assert cfg.num_q_heads == 4 and cfg.num_kv_heads == 2
     assert cfg.head_dim == 16 and cfg.vocab_size == 256
+    # qkv_bias mirrors the architecture: hardcoded True in HF's Qwen2
+    assert cfg.qkv_bias == isinstance(model, transformers.Qwen2ForCausalLM)
 
 
 def test_prefill_distribution_matches_hf(hf_model):
