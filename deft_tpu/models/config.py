@@ -26,6 +26,9 @@ class LlamaConfig:
     # Qwen2-family attention: q/k/v projections carry biases (transformers
     # modeling_qwen2.Qwen2Attention hardcodes bias=True for qkv, False for o)
     qkv_bias: bool = False
+    # Qwen3-family attention: per-head RMSNorm on q and k after projection,
+    # before RoPE (transformers modeling_qwen3.Qwen3Attention q_norm/k_norm)
+    qk_norm: bool = False
 
     @property
     def q_per_kv(self) -> int:
@@ -79,6 +82,8 @@ class LlamaConfig:
             qkv_bias=cfg.get(
                 "attention_bias", any("Qwen2" in a for a in archs)
             ),
+            # Qwen3 hardcodes q_norm/k_norm in the modeling code, no flag
+            qk_norm=any("Qwen3" in a for a in archs),
         )
 
     @staticmethod

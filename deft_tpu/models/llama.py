@@ -1,7 +1,7 @@
 """Llama-family model executor (pure-function forward over a pytree).
-Covers Llama/TinyLlama/Mistral-shaped checkpoints and Qwen2-family
-(qkv-bias) ones — verified against transformers' implementations in
-tests/test_hf_parity.py.
+Covers Llama/TinyLlama/Mistral-shaped checkpoints, Qwen2-family (qkv-bias)
+and Qwen3-family (per-head q/k RMSNorm) ones — verified against
+transformers' implementations in tests/test_hf_parity.py.
 
 Parity surface: /root/reference/DeFT/deft/models/llama2.py (LlamaMLP :24-48,
 LlamaAttention :51-113, LlamaDecoderLayer :116-177, LlamaModel :180-222) and
@@ -188,7 +188,8 @@ def _forward(
     layer_keys = ["ln1", "wq", "wk", "wv", "wo", "ln2", "wg", "wu", "wdown"]
     layer_keys += [k + suf for k in list(layer_keys) for suf in ("_s", "_sp")
                    if k + suf in params]
-    layer_keys += [k for k in ("bq", "bk", "bv") if k in params]
+    layer_keys += [k for k in ("bq", "bk", "bv", "ln_q", "ln_k")
+                   if k in params]
     layer_params = {k: params[k] for k in layer_keys}
 
     def body(carry, xs):
@@ -203,6 +204,9 @@ def _forward(
         q = q.reshape(n, cfg.num_q_heads, D)
         k = k.reshape(n, cfg.num_kv_heads, D)
         v = v.reshape(n, cfg.num_kv_heads, D)
+        if cfg.qk_norm:  # Qwen3-family: per-head RMSNorm before RoPE
+            q = rms_norm(q, lp["ln_q"], cfg.rms_norm_eps)
+            k = rms_norm(k, lp["ln_k"], cfg.rms_norm_eps)
         q = rope_apply(q, positions)
         k = rope_apply(k, positions)
         kp = kv_store(kp, li, out_loc, k)

@@ -54,6 +54,10 @@ def _param_shapes(cfg: LlamaConfig) -> Dict[str, Any]:
         }
         if cfg.qkv_bias
         else {}
+    ) | (
+        # Qwen3-family per-head q/k RMSNorm weights ("ln" prefix: init to
+        # ones, never int8-quantized)
+        {"ln_q": (L, D), "ln_k": (L, D)} if cfg.qk_norm else {}
     )
 
 
@@ -205,6 +209,10 @@ def load_params(
                 bufs["bk"][li] = w
             elif sub == "self_attn.v_proj.bias":
                 bufs["bv"][li] = w
+            elif sub == "self_attn.q_norm.weight":
+                bufs["ln_q"][li] = w
+            elif sub == "self_attn.k_norm.weight":
+                bufs["ln_k"][li] = w
             elif sub == "self_attn.o_proj.weight":
                 bufs["wo"][li] = w.T
             elif sub == "mlp.gate_proj.weight":

@@ -51,16 +51,22 @@ def _make_hf(family):
             rope_theta=10000.0, attention_bias=False, mlp_bias=False, **_TINY
         )
         cls = transformers.LlamaForCausalLM
-    else:  # qwen2: qkv biases are hardcoded in the HF modeling code
+    elif family == "qwen2":  # qkv biases hardcoded in the HF modeling code
         cfg = transformers.Qwen2Config(
             rope_theta=1e6, use_sliding_window=False, **_TINY
         )
         cls = transformers.Qwen2ForCausalLM
+    else:  # qwen3: per-head q/k RMSNorm, no qkv bias, explicit head_dim
+        cfg = transformers.Qwen3Config(
+            rope_theta=1e6, use_sliding_window=False, attention_bias=False,
+            head_dim=16, **_TINY
+        )
+        cls = transformers.Qwen3ForCausalLM
     torch.manual_seed(0)
     return cls(cfg).eval()
 
 
-@pytest.fixture(scope="module", params=["llama", "qwen2"])
+@pytest.fixture(scope="module", params=["llama", "qwen2", "qwen3"])
 def hf_model(request, tmp_path_factory):
     """Tiny random HF checkpoint saved as safetensors + its live module."""
     model = _make_hf(request.param)
@@ -99,6 +105,8 @@ def test_config_parse_matches_hf(hf_model):
     assert cfg.head_dim == 16 and cfg.vocab_size == 256
     # qkv_bias mirrors the architecture: hardcoded True in HF's Qwen2
     assert cfg.qkv_bias == isinstance(model, transformers.Qwen2ForCausalLM)
+    # qk_norm mirrors the architecture: hardcoded q/k norms in HF's Qwen3
+    assert cfg.qk_norm == isinstance(model, transformers.Qwen3ForCausalLM)
 
 
 def test_prefill_distribution_matches_hf(hf_model):
