@@ -239,8 +239,14 @@ def decode_forward(
     v_pool: jnp.ndarray,
     batch,
     attn: AttnFn,
+    compute_logits: bool = True,
 ):
-    """One tree-decode step: returns (logits (R, V) fp32, k_pool, v_pool)."""
+    """One tree-decode step: returns (logits (R, V) fp32, k_pool, v_pool).
+
+    compute_logits=False skips the lm_head matmul and returns the final
+    hidden state (R, E) instead — logits-free replay steps (predetermined
+    token schedules) only need the KV-pool side effects, and on large-vocab
+    models the lm_head is a ~GB weight stream per step."""
     x, k_pool, v_pool = _forward(
         cfg,
         params,
@@ -253,6 +259,8 @@ def decode_forward(
         attn,
         batch,
     )
+    if not compute_logits:
+        return x, k_pool, v_pool
     logits = mm(x, params, "lm_head").astype(jnp.float32)
     return logits, k_pool, v_pool
 

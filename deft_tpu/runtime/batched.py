@@ -196,7 +196,11 @@ class BatchedEngine:
             self._chain.greedy_ids_device if self._chain is not None else None
         )
         view, _ = r.forward_tree_decode(
-            self.mode, plan, q_tokens_override=override, block=not all_greedy
+            self.mode, plan, q_tokens_override=override,
+            block=not all_greedy,
+            # all-greedy steps consume only column 0 (placeholder backfill
+            # + greedy chain): top-1 argmax skips the full-vocab sort
+            logits_kind="greedy" if all_greedy else "topk",
         )
         offsets = plan.leaf_offsets
 

@@ -173,6 +173,21 @@ def tree_generate(
 
             is_struct = structural is None or it in structural
             needs_logits = is_struct and it not in logits_free
+            supports_deferred = getattr(
+                branch_controller.branching_function,
+                "supports_deferred", False)
+            # How much of the logits head this step must compute:
+            #   non-structural greedy appends consume only column 0 ->
+            #   argmax instead of the full-vocab top-K sort ("greedy");
+            #   logits-free structural steps WITHOUT deferred selection
+            #   (pure replay: tokens predetermined by the template) never
+            #   read the view at all -> skip the lm_head matmul ("skip")
+            if not is_struct:
+                logits_kind = "greedy"
+            elif not needs_logits and not supports_deferred:
+                logits_kind = "skip"
+            else:
+                logits_kind = "topk"
             override = select = None
             if chain is not None and chain[0] == "ids":
                 override = chain[1].greedy_ids_device
@@ -188,7 +203,8 @@ def tree_generate(
             with tracer.span("decode_step"):
                 logits, fwd_t = model.forward_tree_decode(
                     mode, plan, q_tokens_override=override,
-                    q_select=select, block=needs_logits
+                    q_select=select, block=needs_logits,
+                    logits_kind=logits_kind,
                 )
 
             # analytic KV/mask IO accounting (per layer x layers)

@@ -366,7 +366,7 @@ class ModelRunner:
 
     # -- jitted steps ----------------------------------------------------------
     def _decode_step(self, mode: ForwardMode, paged: bool, sizes: tuple,
-                     override_kind: str):
+                     override_kind: str, logits_kind: str = "topk"):
         """Jitted decode step consuming ONE packed int32 plan buffer.
 
         Per-array host->device transfers each pay the transport's setup
@@ -384,6 +384,20 @@ class ModelRunner:
                      device.  This chains steps across BRANCH/PRUNE events
                      (row order changes, branch children take column c>0)
                      with no host logits fetch.
+
+        logits_kind selects how much of the logits head to compute:
+          "topk"   — softmax + top-K(topk_k) (structural steps: workloads
+                     read arbitrary top-k columns)
+          "greedy" — top-1 only: argmax + its softmax prob via logsumexp
+                     (non-structural steps consume ONLY column 0 — for the
+                     greedy chain, the token backfill and the logprob; this
+                     skips the full-vocab top-K sort and the (R, V) softmax
+                     materialization)
+          "skip"   — no lm_head at all (logits-free replay steps whose view
+                     is never read, e.g. speculative-decoding accept
+                     schedules: tokens are predetermined by the template);
+                     returns (R, 1) zeros data-dependent on the hidden
+                     state so callers can still block on the step
         """
         attn = self._attn_fn(mode, paged)
         attn_name = attn.__name__
@@ -392,7 +406,8 @@ class ModelRunner:
             attn = functools.partial(
                 attn, block_len=sizes[3], seg_len=sizes[4]
             )
-        key = f"decode/{mode.plan_kind}/{attn_name}/{sizes}/{override_kind}"
+        key = (f"decode/{mode.plan_kind}/{attn_name}/{sizes}/{override_kind}"
+               f"/{logits_kind}")
         if key not in self._jit_cache:
             cfg, rope, K = self.cfg, self._rope_apply, self.topk_k
             retain = self.retain_full_logits
@@ -476,16 +491,41 @@ class ModelRunner:
 
             def step(params, k_pool, v_pool, buf, q_override):
                 batch = unpack(buf, q_override)
-                logits, k_pool, v_pool = decode_forward(
-                    cfg, params, rope, k_pool, v_pool, batch, attn
+                out, k_pool, v_pool = decode_forward(
+                    cfg, params, rope, k_pool, v_pool, batch, attn,
+                    compute_logits=logits_kind != "skip",
                 )
-                probs = jax.nn.softmax(logits, axis=-1) + 1e-6
-                vals, ids = jax.lax.top_k(probs, K)
+                no_logits = jnp.zeros((0,), jnp.float32)
+                if logits_kind == "skip":
+                    # out is the hidden state; emit a (R, 1) zero view that
+                    # data-depends on it so block_until_ready drains the step
+                    vals = (out[:, :1] * 0.0).astype(jnp.float32)
+                    ids = vals.astype(jnp.int32)
+                    packed = jnp.concatenate(
+                        [ids, jax.lax.bitcast_convert_type(vals, jnp.int32)],
+                        axis=-1,
+                    )
+                    return vals, ids, packed, no_logits, k_pool, v_pool
+                logits = out
+                if logits_kind == "greedy":
+                    # top-1 without the full-vocab sort: argmax + its
+                    # softmax probability via logsumexp (identical to
+                    # softmax+1e-6 column 0 of the topk path, incl. the
+                    # lowest-index tie rule shared by argmax and top_k)
+                    m = jnp.max(logits, axis=-1, keepdims=True)
+                    ids = jnp.argmax(logits, axis=-1)[:, None].astype(
+                        jnp.int32)
+                    lse = m + jnp.log(jnp.sum(
+                        jnp.exp(logits - m), axis=-1, keepdims=True))
+                    vals = jnp.exp(m - lse) + 1e-6
+                else:
+                    probs = jax.nn.softmax(logits, axis=-1) + 1e-6
+                    vals, ids = jax.lax.top_k(probs, K)
                 packed = jnp.concatenate(
                     [ids, jax.lax.bitcast_convert_type(vals, jnp.int32)],
                     axis=-1,
                 )
-                out_logits = logits if retain else jnp.zeros((0,), jnp.float32)
+                out_logits = logits if retain else no_logits
                 return vals, ids, packed, out_logits, k_pool, v_pool
 
             self._jit_cache[key] = jax.jit(step, donate_argnums=(1, 2))
@@ -893,7 +933,7 @@ class ModelRunner:
 
     def forward_tree_decode(
         self, mode: ForwardMode, plan, q_tokens_override=None,
-        q_select=None, block: bool = True
+        q_select=None, block: bool = True, logits_kind: str = "topk"
     ) -> tuple:
         """Run one tree-decode step.  Returns (LogitsView, forward_seconds).
 
@@ -905,7 +945,8 @@ class ModelRunner:
         and branch children select column c > 0 of their parent's top-K.
         rows/cols ride the packed plan upload (no extra transfer).
         block=False enqueues without waiting (async pipelining; the timer
-        then measures enqueue cost only)."""
+        then measures enqueue cost only).
+        logits_kind: "topk" | "greedy" | "skip" — see _decode_step."""
         self.apply_kv_copies()  # merge compactions must land pre-step
         buf, sizes, paged = self._pack_plan(mode, plan)
         if q_select is not None:
@@ -919,7 +960,8 @@ class ModelRunner:
         else:
             override_kind = "none"
             override = self._upload(np.zeros((0,), np.int32))
-        step = self._decode_step(mode, paged, sizes, override_kind)
+        step = self._decode_step(mode, paged, sizes, override_kind,
+                                 logits_kind)
         if self.measure_attention:
             self.last_attn_estimate = self._measure_attention_bucket(
                 mode, plan, sizes, paged
