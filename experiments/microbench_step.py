@@ -179,6 +179,27 @@ def main() -> int:
     t_fetch = (time.perf_counter() - t0) * 1000
     print(f"result fetch (D2H)     : {t_fetch:7.3f} ms")
 
+    # logits-head attribution: step time under each logits_kind.
+    # topk-skip = lm_head matmul + softmax + top_k(64); greedy-skip =
+    # lm_head + argmax/logsumexp; topk-greedy = what the full-vocab sort
+    # and softmax materialization cost on top of the matmul.
+    kinds = {}
+    for kind in ("skip", "greedy", "topk"):
+        s = runner._decode_step(mode, paged, sizes, "none", kind)
+        o = s(runner.params, runner.k_pool, runner.v_pool, buf, dummy)
+        jax.block_until_ready(o[0])
+        runner.k_pool, runner.v_pool = o[4], o[5]
+        t0 = time.perf_counter()
+        for _ in range(N):
+            o = s(runner.params, runner.k_pool, runner.v_pool, buf, dummy)
+            runner.k_pool, runner.v_pool = o[4], o[5]
+        jax.block_until_ready(o[0])
+        kinds[kind] = (time.perf_counter() - t0) / N * 1000
+    print(f"logits head: skip {kinds['skip']:.3f} / greedy "
+          f"{kinds['greedy']:.3f} / topk {kinds['topk']:.3f} ms  "
+          f"(lm_head+argmax {kinds['greedy'] - kinds['skip']:+.3f}, "
+          f"top_k sort {kinds['topk'] - kinds['greedy']:+.3f})")
+
     # attention + KV-store attribution (compiled per-bucket microbench)
     store_s, attn_s = runner._measure_attention_bucket(
         mode, plan, sizes, paged
