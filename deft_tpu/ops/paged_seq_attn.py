@@ -79,7 +79,10 @@ def _paged_seq_kernel(
     def seg_copies(linear, slot):
         copies = []
         for j in range(spb):
-            src = pl.multiple_of(seg_src_ref[linear * spb + j], seg_len)
+            # NOTE: no multiple_of hint — segment sources may start at
+            # arbitrary pool rows (plan/seq.py tolerates unaligned runs so
+            # spec-decode trees stay on the in-kernel paged path)
+            src = seg_src_ref[linear * spb + j]
             dst = pl.ds(j * seg_len, seg_len)
             copies.append(pltpu.make_async_copy(
                 k_pool_ref.at[li, pl.ds(src, seg_len), :],

@@ -126,6 +126,7 @@ def build_seq_plan(
         candidates = (seg_len,) if isinstance(seg_len, int) else tuple(seg_len)
         pool_size = tree.token_to_kv_pool.size
         leaf_runs = {leaf.id: _leaf_chain_runs(tree, leaf) for leaf in leaves}
+        scored = []  # (padded_total, -seg, seg, max_padded)
         for seg in candidates:
             if seg <= 0 or block_len % seg != 0:
                 continue
@@ -136,7 +137,11 @@ def build_seq_plan(
                 padded = 0
                 for start, n in leaf_runs[leaf.id]:
                     nseg_run = -(-n // seg)
-                    if start % seg or start + nseg_run * seg > pool_size:
+                    # runs need NOT be seg-aligned: the kernel DMAs from
+                    # arbitrary row starts (spec-decode leaves own 1-token
+                    # runs at arbitrary offsets); only reads past the pool
+                    # end are disallowed
+                    if start + nseg_run * seg > pool_size:
                         ok = False
                         break
                     padded += nseg_run * seg
@@ -146,6 +151,10 @@ def build_seq_plan(
                 max_padded = max(max_padded, padded)
             if not ok or padded_total > _SEG_WASTE_LIMIT * max(total_kv, 1):
                 continue
+            scored.append((padded_total, -seg, seg, max_padded))
+        # least padding wins (the baseline must not read more KV than it has
+        # to); ties prefer the larger segment (fewer DMA descriptors)
+        for _, _, seg, max_padded in sorted(scored)[:1]:
             c_pad = pad_token_count(max_padded, block_len, min_token_bucket)
             nseg_tot = c_pad // seg
             seg_src = np.zeros((l_pad, nseg_tot), dtype=np.int32)

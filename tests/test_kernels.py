@@ -346,6 +346,74 @@ def test_paged_seq_kernel_vs_oracle(dtype):
             assert err / max(np.abs(want).max(), 1e-9) < tol, (q_i, h, err)
 
 
+def test_paged_seq_kernel_unaligned_spec_decode_shape():
+    """Speculative-decoding trees give every leaf 1-token KV runs at
+    ARBITRARY (unaligned) pool offsets; the plan must still take the
+    in-kernel paged path (fair baseline, VERDICT round 1 #2) and the kernel
+    must DMA from unaligned row starts correctly."""
+    from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache
+    from deft_tpu.ops.paged_seq_attn import paged_seq_attention
+    from deft_tpu.plan.seq import build_seq_plan
+
+    rng = np.random.default_rng(5)
+    Hq, Hkv, D = 8, 2, 64
+    qpk = Hq // Hkv
+    width = 16
+    tree = TreeCache(TokenKVPool(16384), ReqToTokenPool(64, 4096))
+    tree.init_prompt(list(range(300)))
+    for i, c in enumerate(tree.branch(tree.root, width)):
+        c.append_token(50 + i)
+    tree.alloc()
+    # merge-accept cycles: root grows, leaves reset to 1-token runs at
+    # arbitrary offsets (the reference mock, branch_func_example.py:374-442)
+    for _ in range(3):
+        leaves = list(tree.leaves.values())
+        kv_before = tree.root.kv_len
+        for i in range(2):
+            tree.merge_nodes(tree.root, leaves[i], prune_b=False)
+        diff = tree.root.kv_len - kv_before
+        for leaf in leaves:
+            tree.reset_node_KV(leaf, diff)
+        tree.sync_page_table()
+        tree.alloc()
+    plan = build_seq_plan(tree, q_per_kv=qpk, min_token_bucket=256)
+    assert plan.paged, "spec-decode shape must stay on the paged baseline"
+    # at least one segment source is NOT seg-aligned (the point of the test)
+    src = plan.seg_src[plan.seg_live > 0]
+    assert (src % plan.seg_len != 0).any()
+
+    S = tree.token_to_kv_pool.size
+    k_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), jnp.float32)
+    v_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), jnp.float32)
+    R = plan.l_pad
+    q = jnp.asarray(rng.standard_normal((R, Hq, D)), jnp.float32)
+    scale = D**-0.5
+    got = paged_seq_attention(
+        q.reshape(R, Hkv, qpk, D), k_pool, v_pool,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(plan.seg_src), jnp.asarray(plan.seg_live),
+        jnp.asarray(plan.blk_live),
+        scale=scale,
+        block_len=plan.c_pad // (len(plan.blk_live) // R),
+        seg_len=plan.seg_len,
+    ).reshape(R, Hq, D)
+
+    qn = np.asarray(q, np.float64)
+    kp = np.asarray(k_pool[0], np.float64).reshape(S, Hkv, D)
+    vp = np.asarray(v_pool[0], np.float64).reshape(S, Hkv, D)
+    for leaf in tree.leaves.values():
+        q_i = tree.leaf_to_q[leaf.id]
+        req = tree.leaf_to_req[leaf.id]
+        n = leaf.positions[-1] + 1
+        path = tree.req_to_token_pool.req_to_token[req, :n]
+        for h in range(Hq):
+            s = (qn[q_i, h] @ kp[path, h // qpk].T) * scale
+            p = np.exp(s - s.max())
+            want = (p / p.sum()) @ vp[path, h // qpk]
+            err = np.abs(np.asarray(got[q_i, h], np.float64) - want).max()
+            assert err / max(np.abs(want).max(), 1e-9) < 2e-5, (q_i, h, err)
+
+
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 @pytest.mark.parametrize(
     "lens,Hq,Hkv,D", [((60, 83, 100), 8, 2, 64), ((128, 72), 32, 8, 128)]
