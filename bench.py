@@ -128,6 +128,54 @@ def kernel_check() -> str:
             worst = max(worst,
                         np.abs(got_s[qi, h] - want).max() / ref,
                         np.abs(got_f[qi, h] - want).max() / ref)
+
+    # unaligned-DMA seq check: spec-decode trees put leaf KV runs at
+    # arbitrary pool offsets (plan/seq.py tolerates them; the Mosaic DMA
+    # must read from unaligned row starts correctly on real hardware)
+    tree2 = TreeCache(TokenKVPool(8192), ReqToTokenPool(64, 4096))
+    tree2.init_prompt(list(range(300)))
+    for i, c in enumerate(tree2.branch(tree2.root, 8)):
+        c.append_token(50 + i)
+    tree2.alloc()
+    for _ in range(2):
+        leaves = list(tree2.leaves.values())
+        kv0 = tree2.root.kv_len
+        for i in range(2):
+            tree2.merge_nodes(tree2.root, leaves[i], prune_b=False)
+        diff = tree2.root.kv_len - kv0
+        for leaf in leaves:
+            tree2.reset_node_KV(leaf, diff)
+        tree2.sync_page_table()
+        tree2.alloc()
+    splan2 = build_seq_plan(tree2, q_per_kv=qpk, min_token_bucket=256)
+    src_live = splan2.seg_src[splan2.seg_live > 0]
+    if not (splan2.paged and (src_live % splan2.seg_len != 0).any()):
+        return "fail: spec-shape seq plan not paged/unaligned"
+    S2 = tree2.token_to_kv_pool.size
+    k2 = jnp.asarray(rng.standard_normal((1, S2, Hkv * D)), jnp.float32)
+    v2 = jnp.asarray(rng.standard_normal((1, S2, Hkv * D)), jnp.float32)
+    R2 = splan2.l_pad
+    q2 = jnp.asarray(rng.standard_normal((R2, Hq, D)), jnp.float32)
+    got2 = np.asarray(paged_seq_attention(
+        q2.reshape(R2, Hkv, qpk, D), k2, v2, jnp.asarray(0, jnp.int32),
+        jnp.asarray(splan2.seg_src), jnp.asarray(splan2.seg_live),
+        jnp.asarray(splan2.blk_live), scale=scale,
+        block_len=splan2.c_pad // (len(splan2.blk_live) // R2),
+        seg_len=splan2.seg_len).reshape(R2, Hq, D))
+    kp2 = np.asarray(k2[0], np.float64).reshape(S2, Hkv, D)
+    vp2 = np.asarray(v2[0], np.float64).reshape(S2, Hkv, D)
+    q2n = np.asarray(q2, np.float64)
+    for leaf in tree2.leaves.values():
+        qi = tree2.leaf_to_q[leaf.id]
+        req = tree2.leaf_to_req[leaf.id]
+        n = leaf.positions[-1] + 1
+        path = tree2.req_to_token_pool.req_to_token[req, :n]
+        for h in range(Hq):
+            s = (q2n[qi, h] @ kp2[path, h // qpk].T) * scale
+            p = np.exp(s - s.max())
+            want = (p / p.sum()) @ vp2[path, h // qpk]
+            ref = max(np.abs(want).max(), 1e-9)
+            worst = max(worst, np.abs(got2[qi, h] - want).max() / ref)
     # TPU MXU multiplies fp32 operands through bf16 passes at default
     # precision, so ~5e-3 relative error vs a float64 oracle is the
     # hardware's fp32-matmul characteristic, not a kernel defect (interpret
