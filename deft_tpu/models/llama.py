@@ -185,22 +185,34 @@ def _forward(
     scale = cfg.head_dim ** -0.5
     n = x.shape[0]
     D = cfg.head_dim
-    layer_keys = ["ln1", "wq", "wk", "wv", "wo", "ln2", "wg", "wu", "wdown"]
+    layer_keys = ["ln1", "wo", "ln2", "wdown"]
+    layer_keys += ["wqkv"] if "wqkv" in params else ["wq", "wk", "wv"]
+    layer_keys += ["wgu"] if "wgu" in params else ["wg", "wu"]
     layer_keys += [k + suf for k in list(layer_keys) for suf in ("_s", "_sp")
                    if k + suf in params]
-    layer_keys += [k for k in ("bq", "bk", "bv", "ln_q", "ln_k")
+    layer_keys += [k for k in ("bq", "bk", "bv", "bqkv", "ln_q", "ln_k")
                    if k in params]
     layer_params = {k: params[k] for k in layer_keys}
+    nq_d = cfg.num_q_heads * D
+    nkv_d = cfg.num_kv_heads * D
 
     def body(carry, xs):
         x, kp, vp = carry
         lp, li = xs
         h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q, k, v = (mm(h, lp, w) for w in ("wq", "wk", "wv"))
-        if cfg.qkv_bias:  # Qwen2-family
-            q = q + lp["bq"].astype(q.dtype)
-            k = k + lp["bk"].astype(k.dtype)
-            v = v + lp["bv"].astype(v.dtype)
+        if "wqkv" in lp:  # fused single-chip path (loader.fuse_params)
+            qkv = mm(h, lp, "wqkv")
+            if cfg.qkv_bias:  # Qwen2-family
+                qkv = qkv + lp["bqkv"].astype(qkv.dtype)
+            q = qkv[:, :nq_d]
+            k = qkv[:, nq_d:nq_d + nkv_d]
+            v = qkv[:, nq_d + nkv_d:]
+        else:
+            q, k, v = (mm(h, lp, w) for w in ("wq", "wk", "wv"))
+            if cfg.qkv_bias:  # Qwen2-family
+                q = q + lp["bq"].astype(q.dtype)
+                k = k + lp["bk"].astype(k.dtype)
+                v = v + lp["bv"].astype(v.dtype)
         q = q.reshape(n, cfg.num_q_heads, D)
         k = k.reshape(n, cfg.num_kv_heads, D)
         v = v.reshape(n, cfg.num_kv_heads, D)
@@ -214,8 +226,12 @@ def _forward(
         o = attn(q, k, v, kp, vp, li, batch, scale)
         x = x + mm(o.reshape(x.shape[0], -1).astype(x.dtype), lp, "wo")
         h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        g = mm(h, lp, "wg")
-        u = mm(h, lp, "wu")
+        if "wgu" in lp:
+            gu = mm(h, lp, "wgu")
+            g, u = gu[:, :cfg.intermediate_size], gu[:, cfg.intermediate_size:]
+        else:
+            g = mm(h, lp, "wg")
+            u = mm(h, lp, "wu")
         x = x + mm(
             jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u,
             lp, "wdown",

@@ -66,6 +66,63 @@ def _param_shapes(cfg: LlamaConfig) -> Dict[str, Any]:
 QUANT_WEIGHTS = ("wq", "wk", "wv", "wo", "wg", "wu", "wdown", "lm_head")
 
 
+def fuse_params(params: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Single-chip fast path: concatenate q/k/v -> wqkv and gate/up -> wgu
+    along the output axis (2 matmuls per layer instead of 5 for the same
+    weight bytes — fewer op-dispatch bubbles at decode's tiny row counts,
+    and a wider N dim for the MXU).  int8 scales, Pallas-int8 scales and
+    Qwen2 biases concatenate the same way.  The TP mesh path keeps the
+    tensors separate (head-sharding needs clean per-projection boundaries,
+    see _param_shapes); the reference's QKVLinear/MergedLinear
+    (/root/reference/DeFT/deft/layers/linear.py:8-117) is the same fusion
+    done at weight-load time."""
+    p = dict(params)
+    for group, out in ((("wq", "wk", "wv"), "wqkv"), (("wg", "wu"), "wgu")):
+        for suf in ("", "_s", "_sp"):
+            keys = [g + suf for g in group]
+            if all(k in p for k in keys):
+                p[out + suf] = jnp.concatenate([p[k] for k in keys], axis=-1)
+                for k in keys:
+                    del p[k]
+    if all(b in p for b in ("bq", "bk", "bv")):
+        p["bqkv"] = jnp.concatenate([p["bq"], p["bk"], p["bv"]], axis=-1)
+        for b in ("bq", "bk", "bv"):
+            del p[b]
+    return p
+
+
+def unfuse_params(params: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Inverse of fuse_params (split sizes inferred from shapes: wo's input
+    axis is num_q_heads*D; k/v halve the remainder; wgu splits in half).
+    Used when fused single-chip params reach the TP mesh path, whose
+    shardings need per-projection tensors."""
+    if "wqkv" not in params and "wgu" not in params:
+        return params
+    p = dict(params)
+    if "wqkv" in p:
+        nq_d = p["wo"].shape[-2]
+        nkv_d = (p["wqkv"].shape[-1] - nq_d) // 2
+        splits = [("wq", 0, nq_d), ("wk", nq_d, nq_d + nkv_d),
+                  ("wv", nq_d + nkv_d, nq_d + 2 * nkv_d)]
+        for suf in ("", "_s", "_sp"):
+            if "wqkv" + suf in p:
+                w = p.pop("wqkv" + suf)
+                for name, lo, hi in splits:
+                    p[name + suf] = w[..., lo:hi]
+        if "bqkv" in p:
+            b = p.pop("bqkv")
+            for name, lo, hi in splits:
+                p["b" + name[1]] = b[..., lo:hi]
+    if "wgu" in p:
+        half = p["wgu"].shape[-1] // 2
+        for suf in ("", "_s", "_sp"):
+            if "wgu" + suf in p:
+                w = p.pop("wgu" + suf)
+                p["wg" + suf] = w[..., :half]
+                p["wu" + suf] = w[..., half:]
+    return p
+
+
 def _quantize_int8(arr: np.ndarray):
     """Per-output-channel symmetric int8: arr (..., in, out) ->
     (int8 weights, fp32 scale (..., out))."""

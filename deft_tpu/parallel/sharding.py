@@ -53,7 +53,12 @@ def param_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
 
 
 def shard_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
-    """Place a param pytree (bf16 or weight-only-int8) onto the mesh."""
+    """Place a param pytree (bf16 or weight-only-int8) onto the mesh.
+    Fused single-chip tensors (loader.fuse_params) are split back first —
+    TP head-sharding needs per-projection boundaries."""
+    from deft_tpu.models.loader import unfuse_params
+
+    params = unfuse_params(params)
     ps = param_shardings(mesh)
     return {k: jax.device_put(v, ps[k]) for k, v in params.items()}
 

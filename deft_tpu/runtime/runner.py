@@ -187,6 +187,12 @@ class ModelRunner:
                 "tp must divide num_kv_heads for head-sharded attention"
             )
             self.params = shard_params(self.mesh, self.params)
+        else:
+            # single chip: fuse qkv / gate-up projections (fewer dispatch
+            # bubbles per layer; TP sharding needs them separate)
+            from deft_tpu.models.loader import fuse_params
+
+            self.params = fuse_params(self.params)
 
         max_pos = min(self.cfg.context_len, engine_config.max_context_len)
         self._rope_tbl = rope_table(

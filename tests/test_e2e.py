@@ -188,6 +188,46 @@ def test_pallas_interpret_e2e_matches_xla():
     assert results["xla"] == results["pallas"]
 
 
+def test_fused_params_match_unfused():
+    """fuse_params (wqkv/wgu single-chip fusion) must be numerically
+    equivalent to the separate projections (fp32: exact up to accumulation
+    order) and roundtrip exactly through unfuse_params."""
+    import jax
+    import jax.numpy as jnp
+
+    from deft_tpu.models.llama import decode_forward
+    from deft_tpu.models.loader import fuse_params, unfuse_params
+
+    runner = make_runner()  # fp32, mesh None -> params arrive fused
+    runner.forward_prefill(PROMPT)
+    tree = runner.tree
+    for i, c in enumerate(tree.branch(tree.root, 2)):
+        c.append_token(30 + i)
+    tree.alloc()
+    plan = runner.build_plan(ForwardMode.TREE_DECODE_FLATTEN)
+    paged = runner._use_paged(ForwardMode.TREE_DECODE_FLATTEN, plan)
+    batch = runner.build_decode_batch(ForwardMode.TREE_DECODE_FLATTEN, plan)
+    attn = runner._attn_fn(ForwardMode.TREE_DECODE_FLATTEN, paged)
+    rope = runner._rope_apply
+
+    def logits_of(params):
+        l, _, _ = decode_forward(runner.cfg, params, rope, runner.k_pool,
+                                 runner.v_pool, batch, attn)
+        return np.asarray(l, np.float64)
+
+    fused = runner.params
+    assert "wqkv" in fused and "wgu" in fused
+    unfused = unfuse_params(fused)
+    assert "wq" in unfused and "wqkv" not in unfused
+    np.testing.assert_allclose(logits_of(fused), logits_of(unfused),
+                               rtol=1e-5, atol=1e-5)
+    # roundtrip is exact
+    refused = fuse_params(unfused)
+    for k in fused:
+        np.testing.assert_array_equal(np.asarray(fused[k]),
+                                      np.asarray(refused[k]))
+
+
 def test_greedy_chain_matches_sync():
     """Device-chained greedy decode (async token backfill) must produce
     exactly the tokens of the fully-synchronous path."""
@@ -386,8 +426,9 @@ def test_int8_weights_match_bf16_generation():
             kernels="xla",
         )
         if wdt == "int8":
-            assert runner.params["wq"].dtype.name == "int8"
-            assert "wq_s" in runner.params
+            # single-chip runners fuse q/k/v -> wqkv (loader.fuse_params)
+            assert runner.params["wqkv"].dtype.name == "int8"
+            assert "wqkv_s" in runner.params
         tree_generate(
             model=runner, mode=ForwardMode.TREE_DECODE_FLATTEN,
             tokenizer=None, prompt_ids=PROMPT,
@@ -416,8 +457,9 @@ def test_int8_pallas_matmul_matches_xla_generation():
             dataclasses.replace(ECFG, weight_dtype=wdt),
             kernels="xla",
         )
-        key = "wq_sp" if wdt == "int8-pallas" else "wq_s"
-        assert key in runner.params and runner.params["wq"].dtype.name == "int8"
+        key = "wqkv_sp" if wdt == "int8-pallas" else "wqkv_s"
+        assert key in runner.params
+        assert runner.params["wqkv"].dtype.name == "int8"
         tree_generate(
             model=runner, mode=ForwardMode.TREE_DECODE_FLATTEN,
             tokenizer=None, prompt_ids=PROMPT,

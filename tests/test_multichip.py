@@ -53,11 +53,18 @@ def test_sharded_step_matches_single_device():
         )
         return logits
 
-    want = jax.jit(step)(runner.params, runner.k_pool, runner.v_pool, batch)
+    # compare against the UNFUSED single-device math: the mesh path splits
+    # fused wqkv/wgu back (shard_params), and bf16 rounding differs between
+    # fused and unfused GEMM blockings (fused==unfused is separately
+    # asserted at fp32 in test_e2e.test_fused_params_match_unfused)
+    from deft_tpu.models.loader import unfuse_params
+
+    ref_params = unfuse_params(runner.params)
+    want = jax.jit(step)(ref_params, runner.k_pool, runner.v_pool, batch)
 
     mesh = make_mesh(8, num_kv_heads=cfg.num_kv_heads)
     params, k_pool, v_pool, sbatch = shard_decode_args(
-        mesh, runner.params, runner.k_pool, runner.v_pool, batch
+        mesh, ref_params, runner.k_pool, runner.v_pool, batch
     )
     with mesh:
         got = jax.jit(step)(params, k_pool, v_pool, sbatch)
