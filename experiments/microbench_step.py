@@ -200,7 +200,26 @@ def main() -> int:
           f"(lm_head+argmax {kinds['greedy'] - kinds['skip']:+.3f}, "
           f"top_k sort {kinds['topk'] - kinds['greedy']:+.3f})")
 
-    # attention + KV-store attribution (compiled per-bucket microbench)
+    # steady-state prefill (TTFT floor: ~2*params*prompt_len FLOPs on MXU)
+    runner.reset_state()
+    prompt = list(np.random.default_rng(1).integers(
+        4, cfg.vocab_size - 4, prompt_len))
+    t0 = time.perf_counter()
+    runner.forward_prefill(prompt)
+    t_pref = (time.perf_counter() - t0) * 1000
+    flops = 2 * prompt_len * (
+        cfg.num_layers * (
+            cfg.hidden_size * (cfg.num_q_heads + 2 * cfg.num_kv_heads)
+            * cfg.head_dim
+            + cfg.num_q_heads * cfg.head_dim * cfg.hidden_size
+            + 3 * cfg.hidden_size * cfg.intermediate_size
+        )
+    )
+    print(f"steady prefill p{prompt_len}: {t_pref:7.1f} ms  "
+          f"({flops / t_pref / 1e9:.0f} GFLOP/s effective, matmuls only)")
+
+    # attention + KV-store attribution (compiled per-bucket microbench;
+    # uses the earlier plan's bucket — no live tree needed)
     store_s, attn_s = runner._measure_attention_bucket(
         mode, plan, sizes, paged
     )
