@@ -108,7 +108,8 @@ def kernel_check() -> str:
         block_len=fplan.block_len, seg_len=fplan.seg_len), R))
     got_s = np.asarray(paged_seq_attention(
         q.reshape(R, Hkv, qpk, D), k_pool, v_pool, jnp.asarray(0, jnp.int32),
-        jnp.asarray(splan.seg_src), jnp.asarray(splan.seg_live),
+        jnp.asarray(splan.seg_src), jnp.asarray(splan.seg_off),
+        jnp.asarray(splan.seg_live),
         jnp.asarray(splan.blk_live), scale=scale,
         block_len=splan.c_pad // (len(splan.blk_live) // splan.l_pad),
         seg_len=splan.seg_len).reshape(R, Hq, D))
@@ -129,9 +130,10 @@ def kernel_check() -> str:
                         np.abs(got_s[qi, h] - want).max() / ref,
                         np.abs(got_f[qi, h] - want).max() / ref)
 
-    # unaligned-DMA seq check: spec-decode trees put leaf KV runs at
-    # arbitrary pool offsets (plan/seq.py tolerates them; the Mosaic DMA
-    # must read from unaligned row starts correctly on real hardware)
+    # offset-segment seq check: spec-decode trees put leaf KV runs at
+    # arbitrary pool offsets; the plan covers them with ALIGNED segments +
+    # in-segment live offsets (plan/seq.py seg_off) — verify the masking
+    # on real hardware
     tree2 = TreeCache(TokenKVPool(8192), ReqToTokenPool(64, 4096))
     tree2.init_prompt(list(range(300)))
     for i, c in enumerate(tree2.branch(tree2.root, 8)):
@@ -148,9 +150,8 @@ def kernel_check() -> str:
         tree2.sync_page_table()
         tree2.alloc()
     splan2 = build_seq_plan(tree2, q_per_kv=qpk, min_token_bucket=256)
-    src_live = splan2.seg_src[splan2.seg_live > 0]
-    if not (splan2.paged and (src_live % splan2.seg_len != 0).any()):
-        return "fail: spec-shape seq plan not paged/unaligned"
+    if not (splan2.paged and (splan2.seg_off > 0).any()):
+        return "fail: spec-shape seq plan not paged/offset"
     S2 = tree2.token_to_kv_pool.size
     k2 = jnp.asarray(rng.standard_normal((1, S2, Hkv * D)), jnp.float32)
     v2 = jnp.asarray(rng.standard_normal((1, S2, Hkv * D)), jnp.float32)
@@ -158,7 +159,8 @@ def kernel_check() -> str:
     q2 = jnp.asarray(rng.standard_normal((R2, Hq, D)), jnp.float32)
     got2 = np.asarray(paged_seq_attention(
         q2.reshape(R2, Hkv, qpk, D), k2, v2, jnp.asarray(0, jnp.int32),
-        jnp.asarray(splan2.seg_src), jnp.asarray(splan2.seg_live),
+        jnp.asarray(splan2.seg_src), jnp.asarray(splan2.seg_off),
+        jnp.asarray(splan2.seg_live),
         jnp.asarray(splan2.blk_live), scale=scale,
         block_len=splan2.c_pad // (len(splan2.blk_live) // R2),
         seg_len=splan2.seg_len).reshape(R2, Hq, D))

@@ -56,6 +56,7 @@ class SeqBatch(NamedTuple):
     # In-kernel paged-read tables (ops/paged_seq_attn.py); None on the
     # XLA-gather fallback:
     seg_src: Optional[jnp.ndarray] = None   # (R * nb * spb,) int32
+    seg_off: Optional[jnp.ndarray] = None   # (R * nb * spb,) int32
     seg_live: Optional[jnp.ndarray] = None  # (R * nb * spb,) int32
     blk_live: Optional[jnp.ndarray] = None  # (R * nb,) int32
 

@@ -39,7 +39,8 @@ from deft_tpu.ops.flatten_attn import _NEG, _interpret
 def _paged_seq_kernel(
     # scalar prefetch
     li_ref,        # (1,) layer index
-    seg_src_ref,   # (R * nb * spb,) pool address of each segment
+    seg_src_ref,   # (R * nb * spb,) ALIGNED pool address of each segment
+    seg_off_ref,   # (R * nb * spb,) live span's leading offset in-segment
     seg_live_ref,  # (R * nb * spb,) live tokens in each segment
     blk_live_ref,  # (R * nb,)
     # inputs
@@ -79,10 +80,10 @@ def _paged_seq_kernel(
     def seg_copies(linear, slot):
         copies = []
         for j in range(spb):
-            # NOTE: no multiple_of hint — segment sources may start at
-            # arbitrary pool rows (plan/seq.py tolerates unaligned runs so
-            # spec-decode trees stay on the in-kernel paged path)
-            src = seg_src_ref[linear * spb + j]
+            # sources are seg-aligned by the plan builder (Mosaic DMA row
+            # offsets must respect sublane tiling); unaligned runs arrive
+            # as an aligned cover with seg_off marking the live span
+            src = pl.multiple_of(seg_src_ref[linear * spb + j], seg_len)
             dst = pl.ds(j * seg_len, seg_len)
             copies.append(pltpu.make_async_copy(
                 k_pool_ref.at[li, pl.ds(src, seg_len), :],
@@ -137,12 +138,15 @@ def _paged_seq_kernel(
         for c in seg_copies(linear, slot):
             c.wait()
         qpk = qpad_ref.shape[1]
-        # per-token live mask from per-segment live counts (pads trail)
+        # per-token live mask: each segment's live span is
+        # [seg_off, seg_off + seg_live) within the segment
         tok = jax.lax.broadcasted_iota(jnp.int32, (qpk, block_len), 1)
         mask = jnp.zeros((qpk, block_len), jnp.bool_)
         for j in range(spb):
+            off = seg_off_ref[linear * spb + j]
             cnt = seg_live_ref[linear * spb + j]
-            mask = mask | ((tok >= j * seg_len) & (tok < j * seg_len + cnt))
+            lo = j * seg_len + off
+            mask = mask | ((tok >= lo) & (tok < lo + cnt))
         for h in range(num_kv_heads):
             g = h // pack
             k2 = kbuf[slot, :, g * gw:(g + 1) * gw]
@@ -185,7 +189,8 @@ def paged_seq_attention(
     k_pool: jnp.ndarray,   # (L, S, Hkv*D)
     v_pool: jnp.ndarray,   # (L, S, Hkv*D)
     li: jnp.ndarray,       # () int32
-    seg_src: jnp.ndarray,  # (R * nb * spb,) int32
+    seg_src: jnp.ndarray,  # (R * nb * spb,) int32 (seg-aligned)
+    seg_off: jnp.ndarray,  # (R * nb * spb,) int32
     seg_live: jnp.ndarray,  # (R * nb * spb,) int32
     blk_live: jnp.ndarray,  # (R * nb,) int32
     *,
@@ -212,7 +217,7 @@ def paged_seq_attention(
         head_dim=D,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(R, nb),
         in_specs=[
             pl.BlockSpec((1, Hkv, qpk, D), lambda r, b, *_: (r, 0, 0, 0)),
@@ -244,6 +249,7 @@ def paged_seq_attention(
     )(
         li.reshape(1).astype(jnp.int32),
         seg_src,
+        seg_off,
         seg_live,
         blk_live,
         qr,
@@ -269,6 +275,7 @@ def paged_seq_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale,
         v_pool,
         li,
         batch.seg_src,
+        batch.seg_off,
         batch.seg_live,
         batch.blk_live,
         scale=scale,

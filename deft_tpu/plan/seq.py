@@ -18,8 +18,11 @@ path is one contiguous pool read.  The paged kernel
 (ops/paged_seq_attn.py) then DMAs the path HBM->VMEM directly — 1x the
 baseline's defining per-leaf KV IO, no XLA gather materialization.
 
-Pads inside a segment always trail its live tokens, so validity is one int
-per segment (``seg_live``) instead of a per-token mask.
+A segment's live tokens are one contiguous span [seg_off, seg_off+seg_live)
+inside it (two ints per segment instead of a per-token mask): segment
+sources are always tile-ALIGNED pool rows — a run starting mid-segment is
+covered by its enclosing aligned segment with the lead-in masked — because
+Mosaic DMA row offsets must respect the sublane tiling.
 """
 
 from __future__ import annotations
@@ -47,8 +50,14 @@ class SeqPlan:
     out_loc: np.ndarray     # (L_pad,) int32
     n_leaves: int
     total_kv: int           # sum of true path lengths (the baseline's KV IO)
-    # Paged-kernel DMA tables; None when not segment-aligned (gather path):
+    # Paged-kernel DMA tables; None when not segment-aligned (gather path).
+    # Every segment source is seg-aligned (Mosaic DMA row offsets must
+    # respect the sublane tiling); a run starting mid-segment is covered by
+    # the enclosing aligned segment with its live span recorded as
+    # (seg_off leading offset, seg_live count) — garbage rows on both sides
+    # are masked in-kernel.
     seg_src: Optional[np.ndarray] = None   # (L_pad * C_pad/seg,) int32
+    seg_off: Optional[np.ndarray] = None   # (L_pad * C_pad/seg,) int32
     seg_live: Optional[np.ndarray] = None  # (L_pad * C_pad/seg,) int32
     blk_live: Optional[np.ndarray] = None  # (L_pad * C_pad/block,) int32
     seg_len: int = 0
@@ -136,12 +145,14 @@ def build_seq_plan(
             for leaf in leaves:
                 padded = 0
                 for start, n in leaf_runs[leaf.id]:
-                    nseg_run = -(-n // seg)
-                    # runs need NOT be seg-aligned: the kernel DMAs from
-                    # arbitrary row starts (spec-decode leaves own 1-token
-                    # runs at arbitrary offsets); only reads past the pool
+                    # runs need NOT be seg-aligned (spec-decode leaves own
+                    # 1-token runs at arbitrary offsets): they are covered
+                    # by the enclosing ALIGNED segments, with the leading
+                    # offset masked in-kernel; only covers past the pool
                     # end are disallowed
-                    if start + nseg_run * seg > pool_size:
+                    off0 = start % seg
+                    nseg_run = -(-(off0 + n) // seg)
+                    if (start - off0) + nseg_run * seg > pool_size:
                         ok = False
                         break
                     padded += nseg_run * seg
@@ -158,14 +169,23 @@ def build_seq_plan(
             c_pad = pad_token_count(max_padded, block_len, min_token_bucket)
             nseg_tot = c_pad // seg
             seg_src = np.zeros((l_pad, nseg_tot), dtype=np.int32)
+            seg_off = np.zeros((l_pad, nseg_tot), dtype=np.int32)
             seg_live = np.zeros((l_pad, nseg_tot), dtype=np.int32)
             for leaf in leaves:
                 q = leaf_to_q[leaf.id]
                 j = 0
                 for start, n in leaf_runs[leaf.id]:
-                    for o in range(0, n, seg):
-                        seg_src[q, j] = start + o
-                        seg_live[q, j] = min(seg, n - o)
+                    off = start % seg
+                    astart = start - off
+                    rem = n
+                    while rem > 0:
+                        cnt = min(seg - off, rem)
+                        seg_src[q, j] = astart
+                        seg_off[q, j] = off
+                        seg_live[q, j] = cnt
+                        astart += seg
+                        rem -= cnt
+                        off = 0
                         j += 1
             spb = block_len // seg  # segments per block
             blk_live = (
@@ -181,6 +201,7 @@ def build_seq_plan(
                 n_leaves=n_leaves,
                 total_kv=total_kv,
                 seg_src=seg_src.reshape(-1),
+                seg_off=seg_off.reshape(-1),
                 seg_live=seg_live.reshape(-1),
                 blk_live=blk_live.reshape(-1),
                 seg_len=seg,

@@ -434,6 +434,7 @@ class ModelRunner:
                     fields = [("q_tokens", L), ("q_pos", L),
                               ("out_loc", L), ("seq_lens", L),
                               ("seg_src", L * nseg_tot),
+                              ("seg_off", L * nseg_tot),
                               ("seg_live", L * nseg_tot),
                               ("blk_live", L * nb)]
                     if select:
@@ -450,6 +451,7 @@ class ModelRunner:
                         paths=jnp.zeros((L, 0), jnp.int32),
                         seq_lens=f["seq_lens"],
                         seg_src=f["seg_src"],
+                        seg_off=f["seg_off"],
                         seg_live=f["seg_live"],
                         blk_live=f["blk_live"],
                     )
@@ -779,7 +781,7 @@ class ModelRunner:
             if self._use_paged(mode, plan):
                 buf = np.concatenate([
                     plan.q_tokens, plan.q_pos, plan.out_loc, plan.seq_lens,
-                    plan.seg_src, plan.seg_live, plan.blk_live,
+                    plan.seg_src, plan.seg_off, plan.seg_live, plan.blk_live,
                 ])
                 nseg_tot = len(plan.seg_src) // plan.l_pad
                 nb = len(plan.blk_live) // plan.l_pad
@@ -813,6 +815,7 @@ class ModelRunner:
                 paths=jnp.asarray(plan.paths),
                 seq_lens=jnp.asarray(plan.seq_lens),
                 seg_src=jnp.asarray(plan.seg_src) if paged else None,
+                seg_off=jnp.asarray(plan.seg_off) if paged else None,
                 seg_live=jnp.asarray(plan.seg_live) if paged else None,
                 blk_live=jnp.asarray(plan.blk_live) if paged else None,
             )

@@ -295,11 +295,14 @@ def test_paged_seq_kernel_vs_oracle(dtype):
     seg = plan.seg_len
     nseg_tot = len(plan.seg_src) // plan.l_pad
     src = plan.seg_src.reshape(plan.l_pad, nseg_tot)
+    offc = plan.seg_off.reshape(plan.l_pad, nseg_tot)
     livec = plan.seg_live.reshape(plan.l_pad, nseg_tot)
+    assert not (src % seg).any(), "segment sources must be seg-aligned"
     for leaf in tree.leaves.values():
         q_i = tree.leaf_to_q[leaf.id]
         got_path = np.concatenate([
-            np.arange(src[q_i, j], src[q_i, j] + livec[q_i, j])
+            np.arange(src[q_i, j] + offc[q_i, j],
+                      src[q_i, j] + offc[q_i, j] + livec[q_i, j])
             for j in range(nseg_tot) if livec[q_i, j]
         ])
         req = tree.leaf_to_req[leaf.id]
@@ -319,6 +322,7 @@ def test_paged_seq_kernel_vs_oracle(dtype):
         k_pool, v_pool,
         jnp.asarray(0, jnp.int32),
         jnp.asarray(plan.seg_src),
+        jnp.asarray(plan.seg_off),
         jnp.asarray(plan.seg_live),
         jnp.asarray(plan.blk_live),
         scale=scale,
@@ -349,8 +353,9 @@ def test_paged_seq_kernel_vs_oracle(dtype):
 def test_paged_seq_kernel_unaligned_spec_decode_shape():
     """Speculative-decoding trees give every leaf 1-token KV runs at
     ARBITRARY (unaligned) pool offsets; the plan must still take the
-    in-kernel paged path (fair baseline, VERDICT round 1 #2) and the kernel
-    must DMA from unaligned row starts correctly."""
+    in-kernel paged path (fair baseline, VERDICT round 1 #2) by covering
+    them with ALIGNED segments + in-segment live offsets (seg_off), and
+    the kernel must mask the lead-in garbage correctly."""
     from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache
     from deft_tpu.ops.paged_seq_attn import paged_seq_attention
     from deft_tpu.plan.seq import build_seq_plan
@@ -378,9 +383,9 @@ def test_paged_seq_kernel_unaligned_spec_decode_shape():
         tree.alloc()
     plan = build_seq_plan(tree, q_per_kv=qpk, min_token_bucket=256)
     assert plan.paged, "spec-decode shape must stay on the paged baseline"
-    # at least one segment source is NOT seg-aligned (the point of the test)
-    src = plan.seg_src[plan.seg_live > 0]
-    assert (src % plan.seg_len != 0).any()
+    # sources stay aligned; unaligned runs appear as nonzero live offsets
+    assert not (plan.seg_src % plan.seg_len).any()
+    assert (plan.seg_off[plan.seg_live > 0] > 0).any()
 
     S = tree.token_to_kv_pool.size
     k_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), jnp.float32)
@@ -391,8 +396,8 @@ def test_paged_seq_kernel_unaligned_spec_decode_shape():
     got = paged_seq_attention(
         q.reshape(R, Hkv, qpk, D), k_pool, v_pool,
         jnp.asarray(0, jnp.int32),
-        jnp.asarray(plan.seg_src), jnp.asarray(plan.seg_live),
-        jnp.asarray(plan.blk_live),
+        jnp.asarray(plan.seg_src), jnp.asarray(plan.seg_off),
+        jnp.asarray(plan.seg_live), jnp.asarray(plan.blk_live),
         scale=scale,
         block_len=plan.c_pad // (len(plan.blk_live) // R),
         seg_len=plan.seg_len,
