@@ -260,16 +260,27 @@ def load_params(
                 bufs["wk"][li] = w.T
             elif sub == "self_attn.v_proj.weight":
                 bufs["wv"][li] = w.T
-            elif sub == "self_attn.q_proj.bias":
-                bufs["bq"][li] = w
-            elif sub == "self_attn.k_proj.bias":
-                bufs["bk"][li] = w
-            elif sub == "self_attn.v_proj.bias":
-                bufs["bv"][li] = w
-            elif sub == "self_attn.q_norm.weight":
-                bufs["ln_q"][li] = w
-            elif sub == "self_attn.k_norm.weight":
-                bufs["ln_k"][li] = w
+            elif sub in ("self_attn.q_proj.bias", "self_attn.k_proj.bias",
+                         "self_attn.v_proj.bias"):
+                key = "b" + sub[len("self_attn.")]
+                if key not in bufs:
+                    raise KeyError(
+                        f"checkpoint has {name} but the parsed config set "
+                        "qkv_bias=False (config.json probably lacks an "
+                        "'architectures' entry naming Qwen2 or an "
+                        "attention_bias flag)"
+                    )
+                bufs[key][li] = w
+            elif sub in ("self_attn.q_norm.weight",
+                         "self_attn.k_norm.weight"):
+                key = "ln_" + sub[len("self_attn.")]
+                if key not in bufs:
+                    raise KeyError(
+                        f"checkpoint has {name} but the parsed config set "
+                        "qk_norm=False (config.json probably lacks an "
+                        "'architectures' entry naming Qwen3)"
+                    )
+                bufs[key][li] = w
             elif sub == "self_attn.o_proj.weight":
                 bufs["wo"][li] = w.T
             elif sub == "mlp.gate_proj.weight":

@@ -49,6 +49,22 @@ def param_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
         "wu_s": s(None, "tp"),
         "wdown_s": s(),
         "lm_head_s": s("tp"),
+        # explicit Pallas-int8 scales (_sp) shard like the XLA-fused ones
+        "wq_sp": s(None, "tp"),
+        "wk_sp": s(None, "tp"),
+        "wv_sp": s(None, "tp"),
+        "wo_sp": s(),
+        "wg_sp": s(None, "tp"),
+        "wu_sp": s(None, "tp"),
+        "wdown_sp": s(),
+        "lm_head_sp": s("tp"),
+        # Qwen2-family qkv biases follow their weight's output (head) axis;
+        # Qwen3 per-head q/k norm weights are (L, head_dim) — replicated
+        "bq": s(None, "tp"),
+        "bk": s(None, "tp"),
+        "bv": s(None, "tp"),
+        "ln_q": s(),
+        "ln_k": s(),
     }
 
 

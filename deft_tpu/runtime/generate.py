@@ -229,9 +229,7 @@ def tree_generate(
             if is_struct:
                 deferred = (
                     DeferredSelect(logits.k)
-                    if not needs_logits and getattr(
-                        branch_controller.branching_function,
-                        "supports_deferred", False)
+                    if not needs_logits and supports_deferred
                     else None
                 )
                 if needs_logits or (pending and deferred is None):

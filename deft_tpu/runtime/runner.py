@@ -969,6 +969,10 @@ class ModelRunner:
         else:
             override_kind = "none"
             override = self._upload(np.zeros((0,), np.int32))
+        if logits_kind == "skip" and self.retain_full_logits:
+            # retention asks for real (R, V) logits every step — honoring it
+            # overrides the lm_head-free fast path (debug/parity harnesses)
+            logits_kind = "topk"
         step = self._decode_step(mode, paged, sizes, override_kind,
                                  logits_kind)
         if self.measure_attention:

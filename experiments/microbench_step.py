@@ -205,7 +205,8 @@ def main() -> int:
     prompt = list(np.random.default_rng(1).integers(
         4, cfg.vocab_size - 4, prompt_len))
     t0 = time.perf_counter()
-    runner.forward_prefill(prompt)
+    pview = runner.forward_prefill(prompt)
+    jax.block_until_ready(pview._vals)
     t_pref = (time.perf_counter() - t0) * 1000
     flops = 2 * prompt_len * (
         cfg.num_layers * (
@@ -216,7 +217,8 @@ def main() -> int:
         )
     )
     print(f"steady prefill p{prompt_len}: {t_pref:7.1f} ms  "
-          f"({flops / t_pref / 1e9:.0f} GFLOP/s effective, matmuls only)")
+          f"({flops / (t_pref / 1e3) / 1e12:.1f} TFLOP/s effective, "
+          f"matmuls only)")
 
     # attention + KV-store attribution (compiled per-bucket microbench;
     # uses the earlier plan's bucket — no live tree needed)

@@ -27,6 +27,24 @@ def test_mesh_factoring():
     assert dict(zip(m2.axis_names, m2.devices.shape))["tp"] == 2
 
 
+@pytest.mark.parametrize("wdt", ["inherit", "int8", "int8-pallas"])
+def test_shard_params_covers_all_model_families(wdt):
+    """param_shardings must have an entry for EVERY param a supported
+    checkpoint can produce — Qwen2 biases, Qwen3 q/k norms, int8 scales
+    (_s and _sp) — or mesh init crashes with a bare KeyError."""
+    import dataclasses
+
+    from deft_tpu.models import PRESETS
+    from deft_tpu.models.loader import random_params
+    from deft_tpu.parallel.sharding import shard_params
+
+    cfg = dataclasses.replace(PRESETS["tiny"], qkv_bias=True, qk_norm=True)
+    params = random_params(cfg, seed=0, weight_dtype=wdt)
+    mesh = make_mesh(8, num_kv_heads=cfg.num_kv_heads)
+    sharded = shard_params(mesh, params)
+    assert set(sharded) == set(params)
+
+
 def test_sharded_step_matches_single_device():
     """The 8-way (dp, sp, tp)-sharded decode step must produce the same
     logits as the unsharded one."""
