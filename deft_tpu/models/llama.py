@@ -220,8 +220,9 @@ def _forward(
         if cfg.qk_norm:  # Qwen3-family: per-head RMSNorm before RoPE
             q = rms_norm(q, lp["ln_q"], cfg.rms_norm_eps)
             k = rms_norm(k, lp["ln_k"], cfg.rms_norm_eps)
-        q = rope_apply(q, positions)
-        k = rope_apply(k, positions)
+        # one rope application over q|k (fewer ops per scanned layer)
+        qk = rope_apply(jnp.concatenate([q, k], axis=1), positions)
+        q, k = qk[:, : cfg.num_q_heads], qk[:, cfg.num_q_heads:]
         kp = kv_store(kp, li, out_loc, k)
         vp = kv_store(vp, li, out_loc, v)
         o = attn(q, k, v, kp, vp, li, batch, scale)
