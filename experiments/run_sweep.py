@@ -40,6 +40,8 @@ def main() -> int:
     ap.add_argument("--prompt-len", type=int, default=None)
     ap.add_argument("--gen-len", type=int, default=None)
     ap.add_argument("--kv-dtype", default="inherit")
+    ap.add_argument("--weight-dtype", default="inherit",
+                    help="int8 fits 8B-class weights on one 16 GB chip")
     ap.add_argument(
         "--dataset", default=None,
         help="real template JSON for reasoning/speculative suites (e.g. "
@@ -132,6 +134,7 @@ def main() -> int:
             max_requests=max(64, 2 * width),
             max_context_len=prompt_len + gen_len + ctx_extra + 64,
             kv_dtype=args.kv_dtype,
+            weight_dtype=args.weight_dtype,
         )
         # top-K must cover the widest branch event (spec-decode replays
         # branch the root into `width` = tree-size children at iter 0)

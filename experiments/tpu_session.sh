@@ -38,4 +38,10 @@ timeout 2400 python experiments/run_sweep.py --suite reasoning --model 3b \
     --dataset /root/reference/dataset/generation/Reasoning/sorting128ToT.json \
     --out "$OUT" 2>&1 | tail -12
 
+echo "== 6. long-context reasoning, 8B int8 (apples-to-apples with the reference's p20000 Llama-3.1-8B row) =="
+timeout 2400 python experiments/run_sweep.py --suite reasoning --model 8b \
+    --modes flatten --prompt-len 16000 --weight-dtype int8 \
+    --dataset /root/reference/dataset/generation/Reasoning/sorting128ToT.json \
+    --out "$OUT" 2>&1 | tail -8
+
 echo "== done =="
