@@ -149,6 +149,28 @@ def test_workload_speculative_decoding():
     assert len(runner.tree.all_finished_seqs) == 8
 
 
+def test_speculative_skip_logits_matches_retained():
+    """Spec-decode replay steps skip the lm_head entirely
+    (logits_kind='skip') when full logits aren't retained; the replayed
+    tree must be identical to the retained run, where retention overrides
+    the skip (runner downgrades to 'topk')."""
+    def run(retain):
+        tpl = ExecuteTree(ExecuteTreeNode(0),
+                          [ExecuteTreeNode(i) for i in range(8)])
+        tpl.accepted_len_list = [2, 1, 3]
+        runner = make_runner(topk_k=16, retain_full_logits=retain)
+        bc = Branch_Controller(workloads.speculative_decoding)
+        tree_generate(
+            runner, ForwardMode.TREE_DECODE_FLATTEN, None, PROMPT,
+            max_seq_len=12 + 32, width=8, depth=0, branch_controller=bc,
+            tree_template=tpl,
+        )
+        return sorted(tuple(s.token_ids)
+                      for s in runner.tree.all_finished_seqs)
+
+    assert run(False) == run(True)
+
+
 def test_workload_beam_search():
     runner = make_runner()
     bc = Branch_Controller(workloads.beam_search)
