@@ -173,3 +173,16 @@ def test_ragged_prefill_forward_matches_sequential(kernels):
         assert (_np.asarray(view.ids[i]) == ids).all()
         _np.testing.assert_allclose(_np.asarray(view.vals[i]), vals,
                                     rtol=2e-4, atol=1e-6)
+
+
+def test_cli_batch_flag():
+    """--batch N drives N requests through the continuous-batching engine
+    end-to-end from the CLI."""
+    from deft_tpu.cli.run import main
+
+    rc = main([
+        "--random-model", "tiny", "--mode", "flatten",
+        "--Branch_controller", "Simple_Tree", "--max_width", "2",
+        "--max_seq_len", "20", "--platform", "cpu", "--batch", "3",
+    ])
+    assert rc == 0
