@@ -108,7 +108,7 @@ class BatchedEngine:
         # when EVERY active request's current iteration is non-structural the
         # step only enqueues — placeholder tokens now, values backfilled from
         # the async fetch at the next structural/admission boundary
-        self._pending: list = []   # (view, {(global_q, 0): (node, ti)})
+        self._pending: list = []   # (view, [(node, ti, global_q, col)])
         self._chain = None         # previous all-greedy step's LogitsView
         self._steps_since_sync = 0
 
@@ -123,14 +123,9 @@ class BatchedEngine:
         self.waiting.extend(reqs)
 
     def _resolve_pending(self) -> None:
-        import numpy as np
+        from deft_tpu.runtime.generate import resolve_backfills
 
-        for view, backfills in self._pending:
-            ids, vals = view.ids, view.vals
-            for (q, col), (node, ti) in backfills.items():
-                node.token_ids[ti] = int(ids[q, col])
-                node.cumulative_logprob += float(np.log(vals[q, col]))
-        self._pending.clear()
+        resolve_backfills(self._pending)
 
     def add_requests(self, reqs: List[Request]) -> None:
         """Admit B requests with ONE ragged prefill forward: every prompt's
@@ -139,6 +134,10 @@ class BatchedEngine:
         its own row of the batched logits."""
         if not reqs:
             return
+        # outstanding placeholder tokens must land before the chain resets:
+        # the next step would otherwise pack placeholder zeros from the host
+        # tree as q_tokens (step()'s own admission path resolves first too)
+        self._resolve_pending()
         self._chain = None  # admission changes the global row layout
         r = self.runner
         for req in reqs:
@@ -158,7 +157,10 @@ class BatchedEngine:
                 execution_graph=req.controller.tree_templates,
             )
             req.iter = 1
-            if req.done:
+            # mirror tree_generate's loop bound (range(1, max_gen)): a
+            # request with max_gen <= 1 is finished after iter 0
+            if req.done or req.iter >= max_gen:
+                req.done = True
                 req.finished_seqs = list(req.tree.all_finished_seqs)
                 req.tree.free()
             else:
@@ -205,12 +207,12 @@ class BatchedEngine:
         offsets = plan.leaf_offsets
 
         if all_greedy:
-            backfills = {}
+            backfills = []
             for tree, off in zip(trees, offsets):
                 for leaf in tree.leaves.values():
                     q = off + tree.leaf_to_q[leaf.id]
                     leaf.append_token(0)
-                    backfills[(q, 0)] = (leaf, len(leaf.token_ids) - 1)
+                    backfills.append((leaf, len(leaf.token_ids) - 1, q, 0))
             view.fetch_async()
             self._pending.append((view, backfills))
             self._chain = view

@@ -169,13 +169,14 @@ def restore(runner, path: str) -> None:
         pos[:P] = positions
         out = np.full(P_pad, DUMP_SLOT, dtype=np.int32)
         out[:P] = locs
-        import jax.numpy as jnp
-
+        # _upload replicates across the mesh when the runner is sharded —
+        # bare jnp.asarray would mix single-device and mesh-sharded jit
+        # inputs and fail at dispatch
         batch = PrefillBatch(
-            tokens=jnp.asarray(tok),
-            positions=jnp.asarray(pos),
-            out_loc=jnp.asarray(out),
-            length=jnp.asarray(P, dtype=jnp.int32),
+            tokens=runner._upload(tok),
+            positions=runner._upload(pos),
+            out_loc=runner._upload(out),
+            length=runner._upload(np.asarray(P, dtype=np.int32)),
         )
         _, _, _, _, runner.k_pool, runner.v_pool = runner._prefill_step()(
             runner.params, runner.k_pool, runner.v_pool, batch

@@ -34,15 +34,32 @@ class DeferredSelect:
 
     def __init__(self, k: int):
         self.k = k
-        self.backfills = {}  # (prev_q, col) -> (node, token_index)
+        self.backfills = []  # (node, token_index, prev_q, col) records
         self.qsrc = {}       # leaf_id -> (prev_q, col)
 
     def append(self, leaf, prev_q: int, col: int) -> None:
         """leaf.append_token(ids[prev_q, col]) — deferred."""
         assert col < self.k, f"column {col} >= step top-K {self.k}"
         leaf.append_token(0)
-        self.backfills[(prev_q, col)] = (leaf, len(leaf.token_ids) - 1)
+        self.backfills.append((leaf, len(leaf.token_ids) - 1, prev_q, col))
         self.qsrc[leaf.id] = (prev_q, col)
+
+
+def resolve_backfills(pending) -> None:
+    """Write async-fetched token ids/logprobs into their placeholder slots.
+    ``pending`` is a list of (LogitsView, [(node, token_index, q, col)])
+    — records, not a (q, col)-keyed dict: two leaves may legitimately select
+    the same (row, column) of one view (e.g. a deferred branch whose
+    children share the parent's top-1).  Shared by tree_generate and
+    BatchedEngine."""
+    import numpy as _np
+
+    for view, fills in pending:
+        ids, vals = view.ids, view.vals
+        for node, ti, q, col in fills:
+            node.token_ids[ti] = int(ids[q, col])
+            node.cumulative_logprob += float(_np.log(vals[q, col]))
+    pending.clear()
 
 
 def tree_generate(
@@ -123,7 +140,7 @@ def tree_generate(
         if logits_free_fn is not None
         else frozenset()
     )
-    pending = []  # (LogitsView, {(q, col): (node, token_index)})
+    pending = []  # (LogitsView, [(node, token_index, q, col)])
     # chain: where the NEXT step's q_tokens come from —
     #   None                      host plan buffer (tree token values)
     #   ("ids", view)             view's greedy ids, identical row order
@@ -133,14 +150,7 @@ def tree_generate(
     chain = None
 
     def resolve_pending():
-        import numpy as _np
-
-        for view, backfills in pending:
-            ids, vals = view.ids, view.vals
-            for (q, col), (node, ti) in backfills.items():
-                node.token_ids[ti] = int(ids[q, col])
-                node.cumulative_logprob += float(_np.log(vals[q, col]))
-        pending.clear()
+        resolve_backfills(pending)
 
     if not stop:
         for it in range(1, max_gen_len):
@@ -265,11 +275,11 @@ def tree_generate(
                 # greedy append: placeholder tokens now, values backfilled
                 # from the async fetch at the next structural iteration
                 tree = model.tree
-                backfills = {}
+                backfills = []
                 for leaf in tree.leaves.values():
                     q = tree.leaf_to_q[leaf.id]
                     leaf.append_token(0)
-                    backfills[(q, 0)] = (leaf, len(leaf.token_ids) - 1)
+                    backfills.append((leaf, len(leaf.token_ids) - 1, q, 0))
                 logits.fetch_async()
                 pending.append((logits, backfills))
                 chain = ("ids", logits)

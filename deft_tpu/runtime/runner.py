@@ -275,14 +275,13 @@ class ModelRunner:
         )
         free = None
         try:
+            # commit the weights first so bytes_in_use counts them exactly
+            # once (subtracting their size as well would double-count and
+            # undersize the pool by the whole weight footprint)
+            jax.block_until_ready(self.params)
             stats = jax.local_devices()[0].memory_stats()
             if stats and "bytes_limit" in stats:
                 free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
-                # weights may not be committed yet
-                free -= sum(
-                    int(np.prod(p.shape)) * p.dtype.itemsize
-                    for p in jax.tree_util.tree_leaves(self.params)
-                )
         except Exception:
             pass
         if free is None:

@@ -60,7 +60,11 @@ def sample_token(
     probs = np.asarray(probs, dtype=np.float64)
     if params.temperature == 0.0:
         return int(ids[0]), float(probs[0])
-    w = probs ** (1.0 / params.temperature)
+    # log-space: probs ** (1/T) underflows to all-zeros at small T (e.g.
+    # 0.2**500 == 0.0), which would make w/w.sum() NaN; subtracting the max
+    # log-weight first keeps the top candidate at weight 1.0 exactly
+    logw = np.log(np.maximum(probs, 1e-300)) / params.temperature
+    w = np.exp(logw - logw.max())
     if params.top_p < 1.0:
         # nucleus over the model distribution (rows are descending-prob)
         keep = np.cumsum(probs) - probs < params.top_p * probs.sum()

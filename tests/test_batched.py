@@ -186,3 +186,27 @@ def test_cli_batch_flag():
         "--max_seq_len", "20", "--platform", "cpu", "--batch", "3",
     ])
     assert rc == 0
+
+
+def test_batched_max_gen_one_stops_after_prefill_branch():
+    """max_seq_len = prompt + 1 means exactly ONE generated token per
+    branch (tree_generate's loop bound range(1, max_gen)); the engine must
+    finish such a request at admission even when the workload itself never
+    signals stop."""
+    def never_stops(model, iter, max_gen_len, width, depth, logits, **kw):
+        tree = model.tree
+        if iter == 0:
+            _, ids = logits.topk(0, width)
+            for c, child in enumerate(tree.branch(tree.root, width)):
+                child.append_token(int(ids[c]))
+        else:  # would append a second token — must never be reached
+            raise AssertionError("engine ran past max_gen")
+        return False
+
+    runner = ModelRunner(PRESETS["tiny"], ECFG, kernels="xla")
+    eng = BatchedEngine(runner)
+    p = PROMPTS[0]
+    req = Request(p, Branch_Controller(never_stops), len(p) + 1, width=2)
+    eng.add_request(req)
+    assert req.done and not eng.active
+    eng.run()  # no-op; must not raise

@@ -73,3 +73,21 @@ def test_sampled_generation_reproducible():
         return sorted(tuple(b.token_ids) for b in runner.tree.all_finished_seqs)
 
     assert run() == run()
+
+
+def test_sample_token_small_temperature_no_nan():
+    """probs ** (1/T) underflows to all-zeros at tiny T; sampling must fall
+    back to (effectively) argmax instead of NaN-crashing in rng.choice."""
+    class _View:
+        k = 8
+
+        def topk(self, row, k):
+            p = np.array([0.2, 0.1, 0.05, 0.04, 0.03, 0.02, 0.01, 0.005])
+            return p[:k], np.arange(k)
+
+    from deft_tpu.runtime.sampling import sample_token
+
+    tok, p = sample_token(_View(), 0,
+                          SamplingParams(temperature=0.002, top_k=8),
+                          np.random.RandomState(0))
+    assert tok == 0 and abs(p - 0.2) < 1e-12
