@@ -157,6 +157,16 @@ class TokenKVPool:
             return out
         aligned = ((self._bump + self.chunk - 1) // self.chunk) * self.chunk
         skip = aligned - self._bump
+        # retire the old span FIRST: its held-back freed slots are real
+        # capacity and must count toward the free check below (otherwise a
+        # near-full pool returns None while holding back reclaimable slots
+        # forever).  The span must also be forgotten — some of its slots go
+        # to _recycled now, so a later in-place reuse would double-hand them.
+        if self._group_freed:
+            self._recycled.extend(self._group_freed)
+            self._free_count += len(self._group_freed)
+            self._group_freed.clear()
+            self._group_span = None
         if self.size - aligned < need_size:
             return None
         if self._free_count < need_size + skip:
@@ -164,12 +174,6 @@ class TokenKVPool:
         if skip:
             self._recycled.extend(range(self._bump, aligned))
             self._bump = aligned
-        # retire the old span: flush its held-back freed slots (they become
-        # free capacity now)
-        if self._group_freed:
-            self._recycled.extend(self._group_freed)
-            self._free_count += len(self._group_freed)
-            self._group_freed.clear()
         out = np.arange(aligned, aligned + need_size, dtype=np.int32)
         self._group_span = [int(aligned), need_size]
         self._bump = aligned + need_size
@@ -216,7 +220,10 @@ class TokenKVPool:
     def decrease_refs(self, indices: np.ndarray) -> None:
         indices = np.asarray(indices, dtype=np.int64)
         np.add.at(self.refs, indices, -1)
-        dead = indices[self.refs[indices] == 0]
+        # unique: a slot appearing twice in one call (multi-ref aliasing)
+        # must be recycled once, not twice (double-recycling hands the slot
+        # to two future owners)
+        dead = np.unique(indices[self.refs[indices] == 0])
         if len(dead):
             assert np.all(self.refs[dead] == 0)
             self._live -= len(dead)

@@ -90,6 +90,7 @@ class TreeNode:
         "cumulative_logprob",
         "node_index_row",
         "was_reset",
+        "prompt_len",
     )
 
     def __init__(self, node_id: int):
@@ -109,6 +110,9 @@ class TreeNode:
         # set by reset_node_KV; alloc() group-allocates flagged empty
         # leaves' slots contiguously (speculative decoding fast path)
         self.was_reset = False
+        # root only: how many leading token_ids are the prompt (tokens past
+        # it were MERGED in, e.g. spec-decode accepts, and count as output)
+        self.prompt_len = 0
 
     # -- token / kv ops ------------------------------------------------------
     def get_len(self) -> int:
@@ -260,6 +264,7 @@ class TreeCache:
         prompt_ids = [int(t) for t in prompt_ids]
         root.token_ids = list(prompt_ids)
         root.positions = list(range(len(prompt_ids)))
+        root.prompt_len = len(prompt_ids)
         self.leaves[root.id] = root
         self.add_ref(root)
 
@@ -387,6 +392,10 @@ class TreeCache:
         cur: Optional[TreeNode] = node
         while cur is not None and cur.ref_count == 0:
             deleted.append(self.nodes.pop(cur.id))
+            # interior nodes can hold an open chunk too (merge_nodes
+            # alloc_for targets): recycle its unused tail or the chunk
+            # leaks until pool.clear()
+            self.token_to_kv_pool.close_owner((self._owner_tag, cur.id))
             if cur.kv_len:
                 self.token_to_kv_pool.free(cur.kv_indices)
             if self.tree_index_pool is not None and cur.node_index_row is not None:
@@ -419,6 +428,9 @@ class TreeCache:
         rows per step, negligible next to the step's KV traffic."""
         for token_id in node_b.token_ids:
             node_a.append_token(token_id)
+        # carry node_b's accumulated logprob so output_branch/PPL accounting
+        # survives the merge (the tokens now live in node_a)
+        node_a.cumulative_logprob += node_b.cumulative_logprob
         if node_b.kv_len:
             src = np.asarray(node_b.kv_indices, dtype=np.int32).copy()
             dst = self.token_to_kv_pool.alloc_for(
@@ -503,8 +515,13 @@ class TreeCache:
 
     # -- outputs -----------------------------------------------------------------
     def output_branch(self, dstnode: TreeNode) -> BranchSequence:
-        """Record a finished branch (generated tokens only; the root/prompt is
-        excluded, matching _find_path_to_node, tree_cache.py:542-549)."""
+        """Record a finished branch (generated tokens only; the PROMPT is
+        excluded, matching _find_path_to_node, tree_cache.py:542-549).
+
+        Delta vs the reference: tokens MERGED into the root (spec-decode
+        accepts, merge_nodes) are generated output and are included —
+        root.token_ids[root.prompt_len:] — where the reference's root-
+        exclusion silently drops them from every branch."""
         path: List[TreeNode] = []
         node: Optional[TreeNode] = dstnode
         while node is not None and node.parent is not None:
@@ -513,6 +530,10 @@ class TreeCache:
         path.reverse()
 
         seq = BranchSequence(len(self.all_finished_seqs))
+        root = self.root
+        if root is not None and len(root.token_ids) > root.prompt_len:
+            seq.append_tokens(root.token_ids[root.prompt_len:])
+            seq.cumulative_logprob += root.cumulative_logprob
         for n in path:
             seq.append_tokens(n.token_ids)
             seq.cumulative_logprob += n.cumulative_logprob

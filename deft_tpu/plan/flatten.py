@@ -115,10 +115,12 @@ def _assemble(
     chunk_len: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """O(runs) assembly from each node's incrementally-maintained pool runs
-    (TreeNode.kv_runs): pass 1 sizes the layout, pass 2 fills preallocated
-    arrays with vectorized slice writes — this is the per-step host hot path
-    (the reference's per-step python DFS + block packing costs ~1-2 ms,
-    SURVEY.md §3.3).
+    (TreeNode.kv_runs): pass 1 sizes the layout (_layout), pass 2 fills
+    preallocated arrays with vectorized slice writes (_fill) — this is the
+    per-step host hot path (the reference's per-step python DFS + block
+    packing costs ~1-2 ms, SURVEY.md §3.3).  Seg-candidate selection calls
+    _layout alone (waste/alignment checks need only the layout), paying the
+    fill once for the chosen candidate.
 
     chunk_len (node_chunk mode, reference MAX_BLOCK_LEN) splits each node's
     runs at chunk_len boundaries and block-pads after every chunk, so no
@@ -134,8 +136,17 @@ def _assemble(
     decoding seg-aligned: with group-allocated leaf slots
     (TokenKVPool.alloc_group) the w single-token leaves collapse into one
     w-token run instead of w segments padded seg_len-to-1."""
-    # groups: (extents, seg_pad) with extents = [(ps, pn, lo, hi), ...]
-    # pool-contiguous in order; extents is None for node-align block pads
+    groups, total = _layout(order, lo_arr, hi_arr, block_len, node_aligned,
+                            seg_len, chunk_len)
+    return _fill(groups, total, seg_len)
+
+
+def _layout(order, lo_arr, hi_arr, block_len, node_aligned, seg_len,
+            chunk_len: Optional[int] = None):
+    """Pass 1 of _assemble: group the DFS extents and size the layout.
+    Returns (groups, total) where groups = [(extents, pad)] with extents a
+    list of pool-CONTIGUOUS (ps, pn, lo, hi) pieces (None for node-align
+    block pads)."""
     groups: List[Tuple[Optional[List[Tuple[int, int, int, int]]], int]] = []
     total = 0
     cur: List[Tuple[int, int, int, int]] = []
@@ -181,7 +192,12 @@ def _assemble(
                 groups.append((None, padb))
                 total += padb
     flush()
+    return groups, total
 
+
+def _fill(groups, total, seg_len) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pass 2 of _assemble: materialize (kv_idx, tok_lo, tok_hi) from the
+    layout with vectorized slice writes."""
     kv = np.empty(total, dtype=np.int32)
     lo_a = np.empty(total, dtype=np.int32)
     hi_a = np.empty(total, dtype=np.int32)
@@ -222,6 +238,7 @@ def build_flatten_plan(
     chunk_len: Optional[int] = None,
     seg_len=(128, 32),
     pow2_bucket: bool = True,
+    granularity: int = 512,
 ) -> FlattenPlan:
     """Build the flatten plan for the current tree state.
 
@@ -262,21 +279,29 @@ def build_flatten_plan(
             # e.g. CLI --block_len 64 with default candidates (128, 32):
             # skip non-dividing candidates, fall back to gather if none fit
             continue
-        kv_idx, tok_lo, tok_hi = _assemble(
+        # layout only — the O(tokens) array fill runs once, for the chosen
+        # candidate (or the gather fallback), not per rejected candidate
+        groups, total = _layout(
             order, lo_arr, hi_arr, block_len, node_aligned, cand, chunk_len
         )
-        ok = len(kv_idx) <= _SEG_WASTE_LIMIT * max(live_tokens, 1)
-        if ok and len(kv_idx):
-            starts = kv_idx[::cand][: len(kv_idx) // cand]
-            # in-bounds AND tile-aligned (Mosaic: DMA row offsets must be
-            # divisible by the sublane tiling; chunk alignment guarantees
-            # it except for recycled-single fallbacks)
-            ok = bool(
-                np.all(starts + cand <= pool_size)
-                and np.all(starts % cand == 0)
-            )
+        ok = total <= _SEG_WASTE_LIMIT * max(live_tokens, 1)
+        if ok:
+            # every non-pad group is ONE pool-contiguous run whose segments
+            # read [base, base + n + pad): the base must be tile-aligned
+            # (Mosaic: DMA row offsets must respect the sublane tiling;
+            # chunk alignment guarantees it except for recycled-single
+            # fallbacks) and the padded cover must stay in-bounds
+            for extents, pad in groups:
+                if extents is None:
+                    continue
+                base = extents[0][0]
+                n = sum(pn for _, pn, _, _ in extents)
+                if base % cand or base + n + pad > pool_size:
+                    ok = False
+                    break
         if ok:
             seg = cand
+            kv_idx, tok_lo, tok_hi = _fill(groups, total, cand)
             break
     if not seg:
         kv_idx, tok_lo, tok_hi = _assemble(
@@ -285,7 +310,7 @@ def build_flatten_plan(
 
     n_tokens = int(kv_idx.shape[0])
     t_pad = pad_token_count(n_tokens, block_len, min_token_bucket,
-                            pow2=pow2_bucket)
+                            pow2=pow2_bucket, granularity=granularity)
     pad = t_pad - n_tokens
     if pad:
         # tail pads read the reserved scratch area [1, 1+seg) so every

@@ -18,7 +18,7 @@ import numpy as np
 
 from deft_tpu.core.tree import TreeCache
 from deft_tpu.plan.flatten import FlattenPlan, _EMPTY_LO, build_flatten_plan
-from deft_tpu.plan.padding import next_pow2, pad_token_count
+from deft_tpu.plan.padding import pad_leaf_count, pad_token_count
 
 
 def build_multi_flatten_plan(
@@ -43,6 +43,8 @@ def build_multi_flatten_plan(
             min_token_bucket=block_len,  # tight per-tree; pad globally below
             seg_len=cand,
             pow2_bucket=False,
+            granularity=block_len,  # block-granularity (default 512 would
+            # inflate every small tree ~2-4x with dead blocks)
         ) for t in trees]
         if cand is None or all(p.paged for p in plans):
             break
@@ -93,7 +95,7 @@ def build_multi_flatten_plan(
     blk_hi = tok_hi.reshape(nb, block_len).max(axis=1)
 
     # -- query side: stack with global numbering -----------------------------
-    l_pad = max(next_pow2(max(n_leaves, 1)), 16 // max(q_per_kv, 1), 8)
+    l_pad = pad_leaf_count(n_leaves, q_per_kv)
     q_tokens = np.zeros(l_pad, dtype=np.int32)
     q_pos = np.zeros(l_pad, dtype=np.int32)
     out_loc = np.zeros(l_pad, dtype=np.int32)

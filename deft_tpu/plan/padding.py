@@ -26,17 +26,21 @@ def next_pow2(n: int) -> int:
 
 def pad_token_count(n: int, block_len: int = 128, min_bucket: int = 1024,
                     pow2: bool = False, granularity: int = 512) -> int:
-    """Bucket a token count: multiple of ``block_len``, floored at
-    ``min_bucket``; then powers of two (pow2=True) or multiples of
-    ``granularity`` (pow2=False)."""
+    """Bucket a token count: floored at ``min_bucket``, then powers of two
+    (pow2=True) or multiples of ``granularity`` (pow2=False); the result is
+    ALWAYS a multiple of ``block_len`` (plans reshape to (nb, block_len) —
+    a min_bucket or granularity that isn't block-aligned must not break
+    that)."""
     n = max(n, 1)
     n = ((n + block_len - 1) // block_len) * block_len
     if n <= min_bucket:
-        return min_bucket
-    if pow2:
-        return next_pow2(n)
-    g = max(granularity, block_len)
-    return ((n + g - 1) // g) * g
+        out = min_bucket
+    elif pow2:
+        out = next_pow2(n)
+    else:
+        g = max(granularity, block_len)
+        out = ((n + g - 1) // g) * g
+    return ((out + block_len - 1) // block_len) * block_len
 
 
 def pad_leaf_count(n_leaves: int, q_per_kv: int, min_rows: int = 16) -> int:

@@ -30,6 +30,8 @@ def tree_snapshot(tree: TreeCache) -> Dict:
             "cumulative_logprob": n.cumulative_logprob,
             # a leaf's newest token has no KV slot until the next alloc()
             "kv_len": n.kv_len,
+            # root only: prompt/merged-token boundary (output accounting)
+            "prompt_len": n.prompt_len,
         })
     return {
         "nodes": nodes,
@@ -91,6 +93,9 @@ def restore(runner, path: str) -> None:
         tree.root.append_token(int(t))
     tree.root.position_offset = root_rec["position_offset"]
     tree.root.cumulative_logprob = root_rec["cumulative_logprob"]
+    # init_prompt set prompt_len to the restored token count, which may
+    # include merged (accepted) tokens — restore the true boundary
+    tree.root.prompt_len = int(root_rec.get("prompt_len", root_kv))
     id_map = {root_rec["id"]: tree.root}
     for rec in order[1:]:
         parent = id_map[rec["parent"]]

@@ -129,7 +129,14 @@ def test_tree_size64_replays_e2e():
     )
     seqs = runner.tree.all_finished_seqs
     assert len(seqs) == rec.node_num
-    # accepted tokens are squeezed into the ROOT by merge_nodes; every leaf
-    # ends each step holding exactly its own single speculative token
-    assert all(len(s.token_ids) == 1 for s in seqs)
+    # accepted tokens are squeezed into the ROOT by merge_nodes and COUNT
+    # as generated output (output_branch includes
+    # root.token_ids[prompt_len:]); each leaf additionally holds exactly
+    # its own single speculative token.  The mock replays accepts from the
+    # leaf list in id order and leaves keep their iter-0 tokens, so every
+    # branch sees the same accepted prefix.
+    # accepts[0] is never consumed (iter 0 is the prefill branch; the loop
+    # replays accepts[1:] and outputs at iter == len(accepts))
+    accepted_total = sum(min(a, rec.node_num) for a in accepts[1:])
+    assert all(len(s.token_ids) == accepted_total + 1 for s in seqs)
     assert pm.generated_len > 0
