@@ -35,9 +35,11 @@ def dense_tree_attention(
     ) * scale
     leaf = jnp.arange(R, dtype=jnp.int32)
     mask = (tok_lo[None, :] <= leaf[:, None]) & (leaf[:, None] < tok_hi[None, :])
-    s = jnp.where(mask[:, None, :], s, _NEG)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    m = jnp.max(jnp.where(mask[:, None, :], s, _NEG), axis=-1, keepdims=True)
+    # zero masked entries AFTER the exp (not exp(_NEG - _NEG) == 1): a
+    # fully-masked (padded-leaf) row then has l == 0 and yields 0, matching
+    # the Pallas kernels' convention exactly
+    p = jnp.where(mask[:, None, :], jnp.exp(s - m), 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
     p = p / jnp.where(l == 0.0, 1.0, l)
     return jnp.einsum("rht,thd->rhd", p, vx.astype(jnp.float32)).astype(q.dtype)
@@ -91,9 +93,10 @@ def dense_ragged_causal_attention(
         & (seg[:, None] == seg[None, :])
         & (seg[:, None] >= 0)
     )
-    s = jnp.where(mask[:, None, :], s, _NEG)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    m = jnp.max(jnp.where(mask[:, None, :], s, _NEG), axis=-1, keepdims=True)
+    # fully-masked (pad) rows yield 0, matching the kernels (see
+    # dense_tree_attention)
+    p = jnp.where(mask[:, None, :], jnp.exp(s - m), 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
     p = p / jnp.where(l == 0.0, 1.0, l)
     return jnp.einsum("nht,thd->nhd", p, vx.astype(jnp.float32)).astype(q.dtype)

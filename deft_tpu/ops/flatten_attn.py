@@ -40,6 +40,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def head_pack(head_dim: int, num_kv_heads: int) -> int:
+    """Heads packed per 128-lane group in the paged kernels: the largest
+    divisor of num_kv_heads that fits 128 lanes (a non-divisor pack would
+    make the last group's lane slice overrun the Hkv*D pool row, e.g.
+    Hkv=3, D=64)."""
+    pack = max(1, min(128 // head_dim, num_kv_heads))
+    while num_kv_heads % pack:
+        pack -= 1
+    return pack
+
+
 def fold_q(q: jnp.ndarray, num_kv_heads: int) -> jnp.ndarray:
     """(R, Hq, D) -> (Hkv, R*qpk, D); row r*qpk+g is query head
     h_kv*qpk+g of leaf r (standard GQA grouping)."""

@@ -31,9 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from deft_tpu.ops.flatten_attn import _interpret
 
 
 def _pick_block(dim: int, candidates=(512, 256, 128)) -> int:
@@ -78,6 +76,10 @@ def int8_matmul(
     _, I = w.shape
     bi = min(block_i, _pick_block(I) or I)
     bh = min(block_h, _pick_block(H) or H)
+    # the grid floor-divides: non-dividing tiles would silently leave
+    # output columns unwritten / weight rows unread (eligible() pre-checks
+    # the runtime path, but direct callers must fail loudly)
+    assert I % bi == 0 and H % bh == 0, (I, bi, H, bh)
     nh = H // bh
     grid = (I // bi, nh)
     out = pl.pallas_call(

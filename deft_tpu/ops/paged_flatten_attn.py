@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from deft_tpu.ops.flatten_attn import _NEG, _interpret, fold_q, unfold_o
+from deft_tpu.ops.flatten_attn import (_NEG, _interpret, fold_q,
+                                        head_pack, unfold_o)
 
 
 def _paged_kernel(
@@ -79,9 +80,9 @@ def _paged_kernel(
     li = li_ref[0]
     nseg = block_len // seg_len
     D = head_dim
-    # heads per lane group: head_dim slots packed into (up to) 128 lanes;
-    # gw < 128 only for toy models whose whole pool row is narrower
-    pack = min(128 // D, num_kv_heads)
+    # heads per lane group: head_dim slots packed into (up to) 128 lanes
+    # (largest divisor of num_kv_heads — see flatten_attn.head_pack)
+    pack = head_pack(D, num_kv_heads)
     gw = pack * D
 
     def seg_copies(bb, slot):
@@ -198,7 +199,7 @@ def paged_flatten_attention(
 ) -> jnp.ndarray:
     Hkv, Rq, D = qf.shape
     assert 128 % D == 0, "head packing requires head_dim dividing 128"
-    gw = min(128 // D, Hkv) * D
+    gw = head_pack(D, Hkv) * D
     T = tok_lo.shape[0]
     nb = T // block_len
     assert nb * block_len == T

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from deft_tpu.ops.flatten_attn import _NEG, _interpret, fold_q, unfold_o
+from deft_tpu.ops.flatten_attn import (_NEG, _interpret, fold_q,
+                                        head_pack, unfold_o)
 
 
 def _paged_q_kernel(
@@ -45,7 +46,8 @@ def _paged_q_kernel(
     nseg = block_len // seg_len
     Hkv = num_kv_heads
     D = head_dim
-    pack = 128 // D
+    pack = head_pack(D, Hkv)
+    gw = pack * D
 
     def seg_copies(bb, slot):
         copies = []
@@ -109,7 +111,7 @@ def _paged_q_kernel(
         mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
         for h in range(num_kv_heads):
             g = h // pack
-            k2 = kbuf[slot, :, g * 128:(g + 1) * 128].astype(jnp.float32)
+            k2 = kbuf[slot, :, g * gw:(g + 1) * gw].astype(jnp.float32)
             ks_row = ksbuf[slot, h:h + 1, :]  # (1, BLOCK) lane vector
             s = jax.lax.dot_general(
                 qpad_ref[h], k2, (((1,), (1,)), ((), ())),
@@ -123,14 +125,14 @@ def _paged_q_kernel(
             l_new = l_ref[h, :, :1] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
             )
-            v2 = vbuf[slot, :, g * 128:(g + 1) * 128].astype(jnp.float32)
+            v2 = vbuf[slot, :, g * gw:(g + 1) * gw].astype(jnp.float32)
             vs_row = vsbuf[slot, h:h + 1, :]
             acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
                 p * vs_row, v2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m_ref[h] = jnp.broadcast_to(m_new, (rq, 128))
-            l_ref[h] = jnp.broadcast_to(l_new, (rq, 128))
+            m_ref[h] = jnp.broadcast_to(m_new, (rq, gw))
+            l_ref[h] = jnp.broadcast_to(l_new, (rq, gw))
 
     @pl.when(b == num_blocks - 1)
     def _finish():
@@ -153,8 +155,10 @@ def paged_flatten_attention_q(
 ):
     Hkv, Rq, D = qf.shape
     assert 128 % D == 0
+    gw = head_pack(D, Hkv) * D
     T = tok_lo.shape[0]
     nb = T // block_len
+    assert nb * block_len == T, (T, block_len)
     kernel = functools.partial(
         _paged_q_kernel, scale=scale, qpk=qpk,
         block_len=block_len, seg_len=seg_len, num_blocks=nb,
@@ -179,10 +183,10 @@ def paged_flatten_attention_q(
             pltpu.VMEM((2, Hkv, block_len), jnp.float32),
             pltpu.VMEM((2, Hkv, block_len), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4, block_len // seg_len)),
-            pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
-            pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
-            pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
-            pltpu.VMEM((Hkv, Rq, 128), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
         ],
     )
     return pl.pallas_call(

@@ -12,8 +12,9 @@ kernel reads the paged pools directly:
 - Per-leaf DMA segment tables (plan/seq.py): a leaf's root-to-leaf path is a
   short list of pool-contiguous runs (chunked allocator, TokenKVPool); each
   run padded to ``seg_len`` makes every seg_len-token span of the padded
-  path ONE contiguous HBM read.  Trailing in-segment pads are masked via a
-  per-segment live count (pads always trail a segment's live tokens).
+  path ONE contiguous HBM read.  A segment's live tokens are the span
+  [seg_off, seg_off + seg_live) inside it (unaligned runs are covered by
+  their enclosing ALIGNED segment with the lead-in masked).
 - Grid (R leaves, path blocks); flash state per KV head in VMEM scratch
   carries across a leaf's blocks; double-buffered DMAs overlap the next
   block's reads with compute.
@@ -33,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from deft_tpu.ops.flatten_attn import _NEG, _interpret
+from deft_tpu.ops.flatten_attn import _NEG, _interpret, head_pack
 
 
 def _paged_seq_kernel(
@@ -71,9 +72,9 @@ def _paged_seq_kernel(
     li = li_ref[0]
     spb = block_len // seg_len
     D = head_dim
-    # heads per lane group: head_dim-sized slots packed into (up to) 128
-    # lanes; gw < 128 only for toy models whose whole pool row is narrower
-    pack = min(128 // D, num_kv_heads)
+    # heads per lane group (largest divisor of num_kv_heads fitting 128
+    # lanes — see flatten_attn.head_pack)
+    pack = head_pack(D, num_kv_heads)
     gw = pack * D
     nb = num_blocks
 
@@ -205,7 +206,7 @@ def paged_seq_attention(
     spb = block_len // seg_len
     assert seg_src.shape == (R * nb * spb,), (seg_src.shape, R, nb, spb)
 
-    gw = min(128 // D, Hkv) * D
+    gw = head_pack(D, Hkv) * D
     kernel = functools.partial(
         _paged_seq_kernel,
         scale=scale,

@@ -17,13 +17,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from deft_tpu.ops.flatten_attn import fold_q, unfold_o
-
-_NEG = -1e30
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from deft_tpu.ops.flatten_attn import _NEG, _interpret, fold_q, unfold_o
 
 
 def _prefill_kernel(

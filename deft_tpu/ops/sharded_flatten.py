@@ -99,6 +99,9 @@ def flatten_attention_partial(
     Hkv, Rq, D = qf.shape
     T = kt.shape[1]
     nb = T // block_len
+    # a non-multiple local span would silently drop the tail KV tokens from
+    # the softmax (exactness invariant) — fail loudly like flatten_attention
+    assert nb * block_len == T, (T, block_len)
     kernel = functools.partial(
         _partial_kernel, scale=scale, qpk=qpk,
         block_len=block_len, num_blocks=nb,

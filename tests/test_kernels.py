@@ -480,3 +480,60 @@ def test_int8_matmul_kernel_vs_reference(R, H, I):
         return
     err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
     assert err < 2e-6, err
+
+
+def test_head_pack_divisor_and_odd_kv_heads_kernel():
+    """head_pack must return a divisor of num_kv_heads (a non-divisor pack
+    overruns the last lane group's slice); the paged flatten kernel must be
+    numerically correct for an odd KV-head count with head_dim < 128."""
+    from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache
+    from deft_tpu.ops.flatten_attn import fold_q, head_pack, unfold_o
+    from deft_tpu.ops.paged_flatten_attn import paged_flatten_attention
+    from deft_tpu.plan import build_flatten_plan
+
+    assert head_pack(64, 3) == 1       # 128//64=2 does not divide 3
+    assert head_pack(64, 2) == 2
+    assert head_pack(32, 6) == 3       # 128//32=4 -> largest divisor is 3
+    assert head_pack(128, 8) == 1
+    assert head_pack(32, 8) == 4
+
+    rng = np.random.default_rng(3)
+    Hq, Hkv, D = 6, 3, 64
+    qpk = Hq // Hkv
+    tree = TreeCache(TokenKVPool(8192), ReqToTokenPool(64, 2048))
+    tree.init_prompt(list(range(200)))
+    for i, c in enumerate(tree.branch(tree.root, 4)):
+        c.append_token(50 + i)
+    for _ in range(20):
+        tree.alloc()
+        for leaf in list(tree.leaves.values()):
+            leaf.append_token(int(rng.integers(1, 400)))
+    tree.alloc()
+    plan = build_flatten_plan(tree, q_per_kv=qpk, min_token_bucket=256)
+    assert plan.paged
+    S = tree.token_to_kv_pool.size
+    k_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), jnp.float32)
+    v_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), jnp.float32)
+    R = plan.l_pad
+    q = jnp.asarray(rng.standard_normal((R, Hq, D)), jnp.float32)
+    scale = D**-0.5
+    got = np.asarray(unfold_o(paged_flatten_attention(
+        fold_q(q, Hkv), k_pool, v_pool, jnp.asarray(0, jnp.int32),
+        jnp.asarray(plan.seg_src), jnp.asarray(plan.tok_lo),
+        jnp.asarray(plan.tok_hi), jnp.asarray(plan.blk_lo),
+        jnp.asarray(plan.blk_hi), scale=scale, qpk=qpk,
+        block_len=plan.block_len, seg_len=plan.seg_len), R))
+    qn = np.asarray(q, np.float64)
+    kp = np.asarray(k_pool[0], np.float64).reshape(S, Hkv, D)
+    vp = np.asarray(v_pool[0], np.float64).reshape(S, Hkv, D)
+    for leaf in tree.leaves.values():
+        qi = tree.leaf_to_q[leaf.id]
+        req = tree.leaf_to_req[leaf.id]
+        n = leaf.positions[-1] + 1
+        path = tree.req_to_token_pool.req_to_token[req, :n]
+        for h in range(Hq):
+            s = (qn[qi, h] @ kp[path, h // qpk].T) * scale
+            p = np.exp(s - s.max())
+            want = (p / p.sum()) @ vp[path, h // qpk]
+            err = np.abs(got[qi, h] - want).max()
+            assert err / max(np.abs(want).max(), 1e-9) < 2e-5, (qi, h, err)
