@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import zlib
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -101,7 +102,13 @@ class _IdTokenizer:
         self.vocab_size = vocab_size
 
     def encode(self, text: str):
-        return [int(t) % self.vocab_size for t in text.split()]
+        # numeric tokens map directly; anything else (real dataset prompts
+        # under a random-init model) hashes stably into the vocab
+        return [
+            int(t) % self.vocab_size if t.lstrip("-").isdigit()
+            else (zlib.crc32(t.encode()) % (self.vocab_size - 4)) + 4
+            for t in text.split()
+        ]
 
     def decode(self, ids, **kw):
         return " ".join(str(int(t)) for t in ids)
@@ -252,7 +259,8 @@ def main(argv=None) -> int:
     runner, tokenizer = _load_model_and_tokenizer(args)
     prompt_ids = _make_prompt(args, tokenizer, template)
     if template is not None and template.accepted_len_list is not None:
-        generate_accepted_len_list(args.max_seq_len - len(prompt_ids), template)
+        generate_accepted_len_list(args.max_seq_len - len(prompt_ids),
+                                   template, seed=args.seed)
 
     if args.batch > 1:
         import time as _time

@@ -239,7 +239,10 @@ def beam_search(model, iter, max_gen_len, width, depth, logits,
     for idx, leaf in enumerate(leaves):
         sel = [(t, lp) for (_, i, t, lp) in top if i == idx]
         if not sel:
-            tree.cut(leaf)
+            # record pruned tokens so generated_len counts the work the
+            # decode steps actually did (TPOT comparability with the
+            # template workloads, which also record)
+            tree.cut(leaf, record_deleted=True)
         elif len(sel) == 1:
             leaf.append_token(sel[0][0], logprob=sel[0][1])
         else:

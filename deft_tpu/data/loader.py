@@ -134,11 +134,17 @@ def load_prompts(path: str) -> List[ExecuteTree]:
     return trees
 
 
-def generate_accepted_len_list(max_gen_len: int, tree: ExecuteTree) -> None:
+def generate_accepted_len_list(max_gen_len: int, tree: ExecuteTree,
+                               seed: int = 0) -> None:
     """Pad/trim the accept schedule to sum to max_gen_len (reference
-    data_loader.py:200-235)."""
+    data_loader.py:200-235).  Seeded (reproducible runs) and bounded: an
+    all-zero recorded schedule would otherwise pad zeros forever."""
     assert tree.accepted_len_list
     m1, m2 = max(tree.accepted_len_list), min(tree.accepted_len_list)
+    if m1 == 0:
+        # degenerate record: nothing was ever accepted; keep it as-is
+        return
+    rng = random.Random(seed)
     out: List[int] = []
     s = 0
     for length in tree.accepted_len_list:
@@ -148,7 +154,7 @@ def generate_accepted_len_list(max_gen_len: int, tree: ExecuteTree) -> None:
         else:
             break
     while s < max_gen_len:
-        r = random.randint(m2, m1)
+        r = rng.randint(max(m2, 1), m1)
         r = min(r, max_gen_len - s)
         out.append(r)
         s += r

@@ -30,7 +30,8 @@ def synth_tot_tree(
     prompt: Optional[str] = None,
 ) -> ExecuteTree:
     """Random multi-step reasoning schedule: branch/prune events on a growing
-    tree, one structural event per iteration."""
+    tree, one structural event per iteration.  width < 2 degenerates to a
+    single chain (no branch events) instead of crashing randint(2, 1)."""
     rng = random.Random(seed)
     root = ExecuteTreeNode(0, start_offset=0)
     nodes = [root]
@@ -48,7 +49,7 @@ def synth_tot_tree(
             victim = rng.choice(open_leaves[1:])
             victim.end_offset = t
             open_leaves.remove(victim)
-        elif len(open_leaves) + width - 1 <= max_leaves:
+        elif width >= 2 and len(open_leaves) + width - 1 <= max_leaves:
             parent = rng.choice(open_leaves)
             parent.end_offset = t
             open_leaves.remove(parent)

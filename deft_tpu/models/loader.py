@@ -297,6 +297,11 @@ def load_params(
             raise KeyError(f"unmapped weight {name}")
 
     if not seen_lm_head:
-        assert cfg.tie_word_embeddings or True
+        if not cfg.tie_word_embeddings:
+            raise ValueError(
+                f"checkpoint at {path} has no lm_head.weight but the config "
+                "does not tie word embeddings — refusing to silently tie "
+                "(the model would produce wrong logits)"
+            )
         bufs["lm_head"][:] = bufs["embed"].T
     return _finalize(bufs, dtype, weight_dtype)

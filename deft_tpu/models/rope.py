@@ -94,6 +94,7 @@ def rope_table(
     max_pos: int,
     theta: float = 10000.0,
     scaling: Optional[Dict[str, Any]] = None,
+    orig_max_pos: Optional[int] = None,
 ) -> jnp.ndarray:
     """(max_pos, head_dim) fp32 table: [cos | sin] halves, HF layout
     (cos/sin each repeated over the two rotated halves).
@@ -111,10 +112,16 @@ def rope_table(
         elif rtype == "linear":
             inv_freq = inv_freq / scaling["factor"]
         elif rtype == "dynamic":
-            # NTK-by-parts: rescale the base for the full table length
+            # NTK: rescale the base for the full table length.  The
+            # PRE-scaling max matters: HF dynamic configs carry it as
+            # max_position_embeddings itself (context_len multiplies it by
+            # factor) — defaulting to the already-scaled max_pos would
+            # collapse base to theta (an unscaled table)
             factor = float(scaling["factor"])
-            orig_max = int(scaling.get("original_max_position_embeddings",
-                                       max_pos))
+            orig_max = int(scaling.get(
+                "original_max_position_embeddings",
+                orig_max_pos if orig_max_pos else max_pos,
+            ))
             seq_len = max(max_pos, orig_max)
             base = theta * (
                 factor * seq_len / orig_max - (factor - 1)

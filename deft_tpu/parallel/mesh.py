@@ -28,7 +28,8 @@ def _factor(n: int, num_kv_heads: int) -> Tuple[int, int, int]:
     allows (TP attention is embarrassingly parallel over kv heads — the
     reference kernel's grid axis 0), then sp, then dp."""
     tp = 1
-    while tp * 2 <= n and num_kv_heads % (tp * 2) == 0 and tp < 8:
+    while (tp * 2 <= n and n % (tp * 2) == 0
+           and num_kv_heads % (tp * 2) == 0 and tp < 8):
         tp *= 2
     rest = n // tp
     sp = 1

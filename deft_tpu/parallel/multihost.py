@@ -59,9 +59,19 @@ def init_runtime(
     already = getattr(jax.distributed, "is_initialized", None)
     if callable(already) and already():
         return jax.process_count() > 1
-    explicit = coordinator_address is not None or process_id is not None
-    auto = os.environ.get("JAX_COORDINATOR_ADDRESS") or explicit
-    if not auto and jax.process_count() <= 1 and num_processes in (None, 1):
+    explicit = (coordinator_address is not None or process_id is not None
+                or (num_processes or 1) > 1)
+    # NOTE: do NOT probe jax.process_count() here — it initializes the
+    # LOCAL backend, which both breaks TPU-pod auto-detection (initialize
+    # must run before backend init) and makes the subsequent initialize()
+    # raise.  Detect launcher config from the environment only.
+    auto = explicit or any(os.environ.get(v) for v in (
+        "JAX_COORDINATOR_ADDRESS",      # generic jax launcher
+        "TPU_WORKER_HOSTNAMES",         # Cloud TPU pod metadata
+        "MEGASCALE_COORDINATOR_ADDRESS",
+        "SLURM_JOB_NUM_NODES",
+    ))
+    if not auto:
         # nothing to coordinate and no launcher config present: stay local
         # (initialize() would block waiting for peers on a dev box)
         return False

@@ -102,6 +102,9 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
             tok_hi=s("sp"),
             blk_lo=s(),
             blk_hi=s(),
+            # paged DMA segment table: replicated (the Pallas shard_map path
+            # re-derives per-shard tables; the GSPMD path ignores it)
+            seg_src=s() if batch.seg_src is not None else None,
         )
     if name == "SeqBatch":
         return type(batch)(
@@ -110,6 +113,11 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
             out_loc=s("dp"),
             paths=s("dp", "sp"),
             seq_lens=s("dp"),
+            # paged in-kernel read tables: replicated when present
+            seg_src=s() if batch.seg_src is not None else None,
+            seg_off=s() if batch.seg_off is not None else None,
+            seg_live=s() if batch.seg_live is not None else None,
+            blk_live=s() if batch.blk_live is not None else None,
         )
     if name == "PrefillBatch":
         return type(batch)(

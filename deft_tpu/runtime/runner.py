@@ -196,7 +196,9 @@ class ModelRunner:
 
         max_pos = min(self.cfg.context_len, engine_config.max_context_len)
         self._rope_tbl = rope_table(
-            self.cfg.head_dim, max_pos, self.cfg.rope_theta, self.cfg.rope_scaling
+            self.cfg.head_dim, max_pos, self.cfg.rope_theta,
+            self.cfg.rope_scaling,
+            orig_max_pos=self.cfg.max_position_embeddings,
         )
         self._rope_apply = lambda x, pos: apply_rope(x, pos, self._rope_tbl)
 
