@@ -103,12 +103,16 @@ class _IdTokenizer:
 
     def encode(self, text: str):
         # numeric tokens map directly; anything else (real dataset prompts
-        # under a random-init model) hashes stably into the vocab
-        return [
-            int(t) % self.vocab_size if t.lstrip("-").isdigit()
-            else (zlib.crc32(t.encode()) % (self.vocab_size - 4)) + 4
-            for t in text.split()
-        ]
+        # under a random-init model) hashes stably into the vocab.
+        # isdecimal (not isdigit) so unicode digits like "²" fall through to
+        # the hash instead of crashing int()
+        def tok(t: str) -> int:
+            body = t[1:] if t.startswith("-") else t
+            if body.isdecimal():
+                return int(t) % self.vocab_size
+            return (zlib.crc32(t.encode()) % (self.vocab_size - 4)) + 4
+
+        return [tok(t) for t in text.split()]
 
     def decode(self, ids, **kw):
         return " ".join(str(int(t)) for t in ids)

@@ -63,7 +63,57 @@ def _param_shapes(cfg: LlamaConfig) -> Dict[str, Any]:
 
 # Stacked matmul weights eligible for weight-only int8 (everything except
 # embeddings and norms; embed is a row gather whose dtype doesn't affect IO).
-QUANT_WEIGHTS = ("wq", "wk", "wv", "wo", "wg", "wu", "wdown", "lm_head")
+# Fused names included: per-output-column int8 scales concatenate exactly,
+# so quantize(concat) == concat(quantize) column-for-column.
+QUANT_WEIGHTS = ("wq", "wk", "wv", "wo", "wg", "wu", "wdown", "lm_head",
+                 "wqkv", "wgu")
+
+# (members, fused name) along the output axis; biases fuse the same way.
+_FUSE_GROUPS = ((("wq", "wk", "wv"), "wqkv"), (("wg", "wu"), "wgu"))
+
+
+def _fuse_host(bufs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fuse q/k/v -> wqkv and gate/up -> wgu on HOST numpy, before any device
+    transfer — fusing on device (fuse_params) transiently doubles the largest
+    group's HBM footprint (~3.8 GB for 8B int8 wg+wu), which can OOM init on
+    a 16 GB chip that fits the steady-state model."""
+    p = dict(bufs)
+    for group, out in _FUSE_GROUPS:
+        if all(g in p for g in group):
+            p[out] = np.concatenate([p[g] for g in group], axis=-1)
+            for g in group:
+                del p[g]
+    if all(b in p for b in ("bq", "bk", "bv")):
+        p["bqkv"] = np.concatenate([p["bq"], p["bk"], p["bv"]], axis=-1)
+        for b in ("bq", "bk", "bv"):
+            del p[b]
+    return p
+
+
+def _fused_shapes(shapes: Dict[str, Any]) -> Dict[str, Any]:
+    """Shape-dict analog of _fuse_host (on-device random init generates the
+    fused tensors directly rather than concatenating in HBM)."""
+    out: Dict[str, Any] = {}
+    emitted = set()
+    member_of = {g: fused for group, fused in _FUSE_GROUPS for g in group}
+    member_of |= {b: "bqkv" for b in ("bq", "bk", "bv")}
+    groups = {fused: group for group, fused in _FUSE_GROUPS}
+    groups["bqkv"] = ("bq", "bk", "bv")
+    for name, shape in shapes.items():
+        fused = member_of.get(name)
+        if fused is None:
+            out[name] = shape
+            continue
+        if fused in emitted:
+            continue
+        members = groups[fused]
+        if not all(m in shapes for m in members):
+            out[name] = shape
+            continue
+        width = sum(shapes[m][-1] for m in members)
+        out[fused] = shapes[name][:-1] + (width,)
+        emitted.add(fused)
+    return out
 
 
 def fuse_params(params: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -131,10 +181,14 @@ def _quantize_int8(arr: np.ndarray):
     return q, np.squeeze(s, axis=-2).astype(np.float32)
 
 
-def _finalize(bufs: Dict[str, np.ndarray], dtype, weight_dtype: str):
+def _finalize(bufs: Dict[str, np.ndarray], dtype, weight_dtype: str,
+              fuse: bool = False):
     """Host numpy -> device pytree, quantizing matmul weights to int8 when
     asked (quantization happens on HOST so an 8B model never materializes
-    bf16 weights in HBM — that transient alone would OOM a 16 GB chip)."""
+    bf16 weights in HBM — that transient alone would OOM a 16 GB chip).
+    fuse=True applies _fuse_host first (single-chip runners)."""
+    if fuse:
+        bufs = _fuse_host(bufs)
     params: Dict[str, jnp.ndarray] = {}
     for name, arr in bufs.items():
         if weight_dtype in ("int8", "int8-pallas") and name in QUANT_WEIGHTS:
@@ -150,6 +204,7 @@ def _finalize(bufs: Dict[str, np.ndarray], dtype, weight_dtype: str):
 def random_params(
     cfg: LlamaConfig, seed: int = 0, dtype: jnp.dtype = jnp.bfloat16,
     weight_dtype: str = "inherit", on_device: bool = None,
+    fuse: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Random-init params with sane scales (tests / benchmarks; the
     environment has no network egress for HF downloads).
@@ -173,7 +228,7 @@ def random_params(
                 arr = rng.standard_normal(size=shape, dtype=np.float32)
                 arr *= 1.0 / np.sqrt(fan_in)
                 bufs[name] = arr
-        return _finalize(bufs, dtype, weight_dtype)
+        return _finalize(bufs, dtype, weight_dtype, fuse=fuse)
 
     def gen(sub, shape, fan_in, quant):
         arr = jax.random.normal(sub, shape, jnp.float32) * (fan_in ** -0.5)
@@ -187,6 +242,13 @@ def random_params(
 
     gen = jax.jit(gen, static_argnums=(1, 2, 3))
     key = jax.random.PRNGKey(seed)
+    if fuse:
+        # generate fused tensors directly: concatenating on device would
+        # transiently double the largest group's HBM footprint (same
+        # rationale as _fuse_host; RNG stream differs from the unfused
+        # layout, which only matters for cross-layout weight equality —
+        # benches compare modes within one layout)
+        shapes = _fused_shapes(shapes)
     params: Dict[str, jnp.ndarray] = {}
     for name, shape in shapes.items():
         if name.startswith("ln"):
@@ -228,7 +290,7 @@ def _iter_hf_weights(path: str):
 
 def load_params(
     path: str, cfg: LlamaConfig, dtype: jnp.dtype = jnp.bfloat16,
-    weight_dtype: str = "inherit",
+    weight_dtype: str = "inherit", fuse: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Load a local HF Llama checkpoint into the stacked pytree layout."""
     E, D, L = cfg.hidden_size, cfg.head_dim, cfg.num_layers
@@ -304,4 +366,4 @@ def load_params(
                 "(the model would produce wrong logits)"
             )
         bufs["lm_head"][:] = bufs["embed"].T
-    return _finalize(bufs, dtype, weight_dtype)
+    return _finalize(bufs, dtype, weight_dtype, fuse=fuse)

@@ -65,12 +65,19 @@ def init_runtime(
     # LOCAL backend, which both breaks TPU-pod auto-detection (initialize
     # must run before backend init) and makes the subsequent initialize()
     # raise.  Detect launcher config from the environment only.
+    def _slurm_multi_node() -> bool:
+        # single-node allocations (sbatch without srun) must stay local:
+        # jax's SlurmCluster detection needs srun step vars and >1 nodes
+        try:
+            return int(os.environ.get("SLURM_JOB_NUM_NODES", "1")) > 1
+        except ValueError:
+            return False
+
     auto = explicit or any(os.environ.get(v) for v in (
         "JAX_COORDINATOR_ADDRESS",      # generic jax launcher
         "TPU_WORKER_HOSTNAMES",         # Cloud TPU pod metadata
         "MEGASCALE_COORDINATOR_ADDRESS",
-        "SLURM_JOB_NUM_NODES",
-    ))
+    )) or _slurm_multi_node()
     if not auto:
         # nothing to coordinate and no launcher config present: stay local
         # (initialize() would block waiting for peers on a dev box)
@@ -85,6 +92,14 @@ def init_runtime(
     except RuntimeError:
         # backend already started by the launcher — treat as initialized
         pass
+    except KeyError as e:
+        # cluster auto-detection found a launcher fingerprint but the step
+        # env is incomplete (e.g. sbatch without srun): surface what to fix
+        raise RuntimeError(
+            f"jax.distributed.initialize could not read launcher env {e}; "
+            "pass coordinator_address/num_processes/process_id explicitly "
+            "or launch via srun"
+        ) from e
     return jax.process_count() > 1
 
 

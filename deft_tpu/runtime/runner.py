@@ -169,17 +169,22 @@ class ModelRunner:
         self.dtype = jnp.bfloat16 if engine_config.dtype == "bfloat16" else jnp.float32
 
         wdt = engine_config.weight_dtype
+        # single chip fuses qkv / gate-up projections (fewer dispatch
+        # bubbles per layer); fusion happens on host / at generation time
+        # so init never holds original + fused copies in HBM.  TP sharding
+        # needs per-projection tensors, so the mesh path stays unfused.
+        fuse = self.mesh is None
         if params is not None:
             self.params = params
         elif model_path is not None:
             logger.info("loading weights from %s (weights=%s)",
                         model_path, wdt)
             self.params = load_params(model_path, model_config, self.dtype,
-                                      weight_dtype=wdt)
+                                      weight_dtype=wdt, fuse=fuse)
         else:
             logger.info("random-init params (seed=%d, weights=%s)", seed, wdt)
             self.params = random_params(model_config, seed, self.dtype,
-                                        weight_dtype=wdt)
+                                        weight_dtype=wdt, fuse=fuse)
         if self.mesh is not None:
             from deft_tpu.parallel.sharding import shard_params
 
@@ -188,8 +193,8 @@ class ModelRunner:
             )
             self.params = shard_params(self.mesh, self.params)
         else:
-            # single chip: fuse qkv / gate-up projections (fewer dispatch
-            # bubbles per layer; TP sharding needs them separate)
+            # injected params (tests / checkpoint restore) may arrive
+            # unfused; fuse_params is a no-op on already-fused pytrees
             from deft_tpu.models.loader import fuse_params
 
             self.params = fuse_params(self.params)
