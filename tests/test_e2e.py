@@ -250,6 +250,46 @@ def test_fused_params_match_unfused():
                                       np.asarray(refused[k]))
 
 
+def test_host_fuse_path_matches_device_fuse():
+    """random_params(fuse=True) (host/_finalize-time fusion — avoids the
+    transient original+fused HBM copy at init) must produce bit-identical
+    params to post-hoc fuse_params on the unfused pytree, for bf16 and for
+    int8 weights (per-output-column scales concatenate exactly)."""
+    import dataclasses
+
+    from deft_tpu.models import PRESETS
+    from deft_tpu.models.loader import fuse_params, random_params
+
+    for cfg, wdt in (
+        (PRESETS["tiny"], "inherit"),
+        (PRESETS["tiny"], "int8"),
+        (dataclasses.replace(PRESETS["tiny"], qkv_bias=True), "inherit"),
+    ):
+        a = random_params(cfg, seed=3, weight_dtype=wdt, fuse=True)
+        b = fuse_params(random_params(cfg, seed=3, weight_dtype=wdt))
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=f"{k} ({wdt})"
+            )
+
+
+def test_id_tokenizer_handles_text_and_odd_digits():
+    """The CLI fallback tokenizer must (a) map plain numeric tokens to
+    themselves, (b) hash text (real dataset prompts under random-init
+    models) stably into the vocab, and (c) not crash on tokens where
+    str.isdigit() holds but int() fails (unicode digits, '--5')."""
+    from deft_tpu.cli.run import _IdTokenizer
+
+    tok = _IdTokenizer(512)
+    assert tok.encode("7 42 -3") == [7, 42, -3 % 512]
+    ids = tok.encode("sort these numbers: 12 ² --5 7,8")
+    assert ids == tok.encode("sort these numbers: 12 ² --5 7,8")
+    assert all(0 <= i < 512 for i in ids)
+    assert ids[4] != ids[5]  # distinct odd tokens hash apart
+    assert tok.decode([1, 2]) == "1 2"
+
+
 def test_greedy_chain_matches_sync():
     """Device-chained greedy decode (async token backfill) must produce
     exactly the tokens of the fully-synchronous path."""
