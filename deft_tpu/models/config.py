@@ -29,6 +29,13 @@ class LlamaConfig:
     # Qwen3-family attention: per-head RMSNorm on q and k after projection,
     # before RoPE (transformers modeling_qwen3.Qwen3Attention q_norm/k_norm)
     qk_norm: bool = False
+    # MLP activation: "silu" (Llama/Mistral/Qwen) or "gelu_pytorch_tanh" /
+    # "gelu" (Gemma-family GeGLU)
+    hidden_act: str = "silu"
+    # Gemma-family: embeddings scaled by sqrt(hidden_size) at input, and
+    # RMSNorm computes x_norm * (1 + w) in fp32 before the output cast
+    # (transformers modeling_gemma GemmaModel.forward / GemmaRMSNorm)
+    gemma_norm: bool = False
 
     @property
     def q_per_kv(self) -> int:
@@ -63,6 +70,16 @@ class LlamaConfig:
                 "Mistral checkpoints with an active sliding_window are not "
                 "supported; windowless (null) Mistral configs load fine"
             )
+        if any(("Gemma2" in a or "Gemma3" in a) for a in archs):
+            raise NotImplementedError(
+                "Gemma2/Gemma3 are not supported (logit softcapping and "
+                "alternating sliding-window layers); Gemma-1 loads fine"
+            )
+        is_gemma = any("Gemma" in a for a in archs)
+        # Gemma configs carry the activation as hidden_activation (newer) or
+        # hidden_act (legacy); everything Llama-shaped defaults to silu
+        hidden_act = (cfg.get("hidden_activation") or
+                      cfg.get("hidden_act") or "silu")
         return LlamaConfig(
             vocab_size=cfg["vocab_size"],
             hidden_size=hidden,
@@ -75,7 +92,9 @@ class LlamaConfig:
             rope_theta=cfg.get("rope_theta", 10000.0),
             rope_scaling=cfg.get("rope_scaling"),
             max_position_embeddings=cfg.get("max_position_embeddings", 4096),
-            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            # Gemma always ties lm_head to the embedding (its checkpoints
+            # carry no lm_head.weight even when config.json omits the flag)
+            tie_word_embeddings=cfg.get("tie_word_embeddings", is_gemma),
             # Llama-family configs carry an explicit attention_bias flag;
             # Qwen2 configs carry none (bias is hardcoded in the modeling
             # code), so the architecture name decides the default
@@ -84,6 +103,8 @@ class LlamaConfig:
             ),
             # Qwen3 hardcodes q_norm/k_norm in the modeling code, no flag
             qk_norm=any("Qwen3" in a for a in archs),
+            hidden_act=hidden_act,
+            gemma_norm=is_gemma,
         )
 
     @staticmethod

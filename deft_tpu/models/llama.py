@@ -1,7 +1,8 @@
 """Llama-family model executor (pure-function forward over a pytree).
-Covers Llama/TinyLlama/Mistral-shaped checkpoints, Qwen2-family (qkv-bias)
-and Qwen3-family (per-head q/k RMSNorm) ones — verified against
-transformers' implementations in tests/test_hf_parity.py.
+Covers Llama/TinyLlama/Mistral-shaped checkpoints, Qwen2-family (qkv-bias),
+Qwen3-family (per-head q/k RMSNorm) and Gemma-1 (GeGLU, sqrt(hidden)-scaled
+embeddings, (1+w) RMSNorm) ones — verified against transformers'
+implementations in tests/test_hf_parity.py.
 
 Parity surface: /root/reference/DeFT/deft/models/llama2.py (LlamaMLP :24-48,
 LlamaAttention :51-113, LlamaDecoderLayer :116-177, LlamaModel :180-222) and
@@ -162,6 +163,27 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
+def gemma_rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Gemma RMSNorm: (1 + w) scaling, multiplied in fp32 BEFORE the output
+    cast (transformers modeling_gemma.GemmaRMSNorm — the cast order differs
+    from Llama's and matters in bf16)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    nrm = xf * jax.lax.rsqrt(var + eps)
+    return (nrm * (1.0 + w.astype(jnp.float32))).astype(x.dtype)
+
+
+def _act_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """MLP gate activation by HF name (fp32 in, fp32 out)."""
+    if name == "silu":
+        return jax.nn.silu
+    if name in ("gelu_pytorch_tanh", "gelu_new"):  # Gemma GeGLU
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    raise NotImplementedError(f"hidden_act {name!r}")
+
+
 # An attention impl consumes
 #   (q, k_new, v_new, k_pool, v_pool, layer_idx, batch, scale)
 # and returns (R, Hq, D).  Decode impls gather KV from the pool at
@@ -183,6 +205,12 @@ def _forward(
     batch,
 ):
     x = params["embed"][tokens]
+    if cfg.gemma_norm:
+        # Gemma scales embeddings by sqrt(hidden) rounded to the model dtype
+        # (transformers GemmaModel.forward normalizer tensor)
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+    norm = gemma_rms_norm if cfg.gemma_norm else rms_norm
+    act = _act_fn(cfg.hidden_act)
     scale = cfg.head_dim ** -0.5
     n = x.shape[0]
     D = cfg.head_dim
@@ -200,7 +228,7 @@ def _forward(
     def body(carry, xs):
         x, kp, vp = carry
         lp, li = xs
-        h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+        h = norm(x, lp["ln1"], cfg.rms_norm_eps)
         if "wqkv" in lp:  # fused single-chip path (loader.fuse_params)
             qkv = mm(h, lp, "wqkv")
             if cfg.qkv_bias:  # Qwen2-family
@@ -227,7 +255,7 @@ def _forward(
         vp = kv_store(vp, li, out_loc, v)
         o = attn(q, k, v, kp, vp, li, batch, scale)
         x = x + mm(o.reshape(x.shape[0], -1).astype(x.dtype), lp, "wo")
-        h = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+        h = norm(x, lp["ln2"], cfg.rms_norm_eps)
         if "wgu" in lp:
             gu = mm(h, lp, "wgu")
             g, u = gu[:, :cfg.intermediate_size], gu[:, cfg.intermediate_size:]
@@ -235,7 +263,7 @@ def _forward(
             g = mm(h, lp, "wg")
             u = mm(h, lp, "wu")
         x = x + mm(
-            jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u,
+            act(g.astype(jnp.float32)).astype(x.dtype) * u,
             lp, "wdown",
         )
         return (x, kp, vp), None
@@ -245,7 +273,7 @@ def _forward(
         (x, k_pool, v_pool),
         (layer_params, jnp.arange(cfg.num_layers, dtype=jnp.int32)),
     )
-    x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)
+    x = norm(x, params["ln_f"], cfg.rms_norm_eps)
     return x, k_pool, v_pool
 
 

@@ -56,17 +56,25 @@ def _make_hf(family):
             rope_theta=1e6, use_sliding_window=False, **_TINY
         )
         cls = transformers.Qwen2ForCausalLM
-    else:  # qwen3: per-head q/k RMSNorm, no qkv bias, explicit head_dim
+    elif family == "qwen3":  # per-head q/k RMSNorm, no bias, explicit head_dim
         cfg = transformers.Qwen3Config(
             rope_theta=1e6, use_sliding_window=False, attention_bias=False,
             head_dim=16, **_TINY
         )
         cls = transformers.Qwen3ForCausalLM
+    else:  # gemma-1: GeGLU, sqrt(hidden)-scaled embeddings, (1+w) RMSNorm,
+        # tied lm_head (exercises the tie path in the loader)
+        kw = dict(_TINY)
+        kw["tie_word_embeddings"] = True
+        cfg = transformers.GemmaConfig(
+            rope_theta=10000.0, attention_bias=False, head_dim=16, **kw
+        )
+        cls = transformers.GemmaForCausalLM
     torch.manual_seed(0)
     return cls(cfg).eval()
 
 
-@pytest.fixture(scope="module", params=["llama", "qwen2", "qwen3"])
+@pytest.fixture(scope="module", params=["llama", "qwen2", "qwen3", "gemma"])
 def hf_model(request, tmp_path_factory):
     """Tiny random HF checkpoint saved as safetensors + its live module."""
     model = _make_hf(request.param)
@@ -107,6 +115,10 @@ def test_config_parse_matches_hf(hf_model):
     assert cfg.qkv_bias == isinstance(model, transformers.Qwen2ForCausalLM)
     # qk_norm mirrors the architecture: hardcoded q/k norms in HF's Qwen3
     assert cfg.qk_norm == isinstance(model, transformers.Qwen3ForCausalLM)
+    is_gemma = isinstance(model, transformers.GemmaForCausalLM)
+    assert cfg.gemma_norm == is_gemma
+    assert (cfg.hidden_act == "gelu_pytorch_tanh") == is_gemma
+    assert cfg.tie_word_embeddings == is_gemma
 
 
 def test_prefill_distribution_matches_hf(hf_model):
