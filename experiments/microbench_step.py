@@ -33,7 +33,7 @@ def matmul_slope_bench(cfg, weights: str) -> None:
     x0 = jax.random.normal(key, (R, H), jnp.bfloat16)
 
     def mk(shape):
-        if weights == "int8":
+        if weights in ("int8", "int8-pallas"):
             w = jax.random.randint(key, shape, -127, 127, jnp.int8)
             s = jax.random.uniform(key, (shape[1],), jnp.float32)
             return (w, s)
@@ -43,8 +43,13 @@ def matmul_slope_bench(cfg, weights: str) -> None:
     Ws = [mk(s) for s in ((H, (Hq + 2 * Hkv) * D), ((Hq * D), H),
                           (H, I), (H, I), (I, H))]
 
+    if weights == "int8-pallas":
+        from deft_tpu.ops import int8_matmul as i8mm
+
     def mm(x, wsc):
         w, s = wsc
+        if weights == "int8-pallas" and i8mm.eligible(x, w):
+            return i8mm.int8_matmul(x, w, s).astype(jnp.bfloat16)
         y = x @ w.astype(jnp.bfloat16) if w.dtype == jnp.int8 else x @ w
         if s is not None:
             y = y * s.astype(jnp.bfloat16)
@@ -72,7 +77,7 @@ def matmul_slope_bench(cfg, weights: str) -> None:
 
     K1, K2 = 10, 60
     per = (timed(K2) - timed(K1)) / (K2 - K1)
-    elem = 1 if weights == "int8" else 2
+    elem = 1 if weights in ("int8", "int8-pallas") else 2
     nbytes = sum(w.size * elem for w, _ in Ws)
     total = per * cfg.num_layers
     print(f"matmul stack ({weights:5s}) : {per:7.3f} ms/layer -> "
@@ -93,8 +98,12 @@ def main() -> int:
 
     cfg = PRESETS[model]
     matmul_slope_bench(cfg, "bf16")
-    if wq == "int8":
+    if wq in ("int8", "int8-pallas"):
+        # time BOTH int8 flavors: XLA fused dequant vs the explicit Pallas
+        # dequant-in-matmul kernel (ops/int8_matmul.py) — the faster one
+        # should carry the 8B bench (ROADMAP pending-TPU item)
         matmul_slope_bench(cfg, "int8")
+        matmul_slope_bench(cfg, "int8-pallas")
     ecfg = EngineConfig(
         kv_pool_slots=prompt_len + width * (steps + 8 + 256) + 2048,
         max_requests=max(64, 2 * width),

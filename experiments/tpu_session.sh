@@ -22,7 +22,7 @@ echo "== 2. step decomposition: 3B bf16 (logits-kind attribution) =="
 timeout 900 python experiments/microbench_step.py 50 4000 3b \
     2>&1 | tee "$OUT/microbench_3b.txt"
 
-echo "== 3. step decomposition: 8B int8 =="
+echo "== 3. step decomposition: 8B int8 (also times the int8-pallas matmul kernel vs XLA fused dequant) =="
 timeout 900 python experiments/microbench_step.py 50 4000 8b int8 \
     2>&1 | tee "$OUT/microbench_8b_int8.txt"
 
