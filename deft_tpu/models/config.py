@@ -36,6 +36,10 @@ class LlamaConfig:
     # RMSNorm computes x_norm * (1 + w) in fp32 before the output cast
     # (transformers modeling_gemma GemmaModel.forward / GemmaRMSNorm)
     gemma_norm: bool = False
+    # Mixtral-family sparse MoE: num_experts > 0 replaces the dense MLP with
+    # a top-k routed expert mixture (transformers MixtralSparseMoeBlock)
+    num_experts: int = 0
+    experts_per_tok: int = 2
 
     @property
     def q_per_kv(self) -> int:
@@ -65,10 +69,11 @@ class LlamaConfig:
                 "sliding-window attention is not supported (tree attention "
                 "over full shared prefixes is the point of this engine)"
             )
-        if any("Mistral" in a for a in archs) and cfg.get("sliding_window"):
+        if (any("Mistral" in a or "Mixtral" in a for a in archs)
+                and cfg.get("sliding_window")):
             raise NotImplementedError(
-                "Mistral checkpoints with an active sliding_window are not "
-                "supported; windowless (null) Mistral configs load fine"
+                "Mistral/Mixtral checkpoints with an active sliding_window "
+                "are not supported; windowless (null) configs load fine"
             )
         if any(("Gemma2" in a or "Gemma3" in a) for a in archs):
             raise NotImplementedError(
@@ -87,7 +92,8 @@ class LlamaConfig:
             num_layers=cfg["num_hidden_layers"],
             num_q_heads=n_q,
             num_kv_heads=cfg.get("num_key_value_heads", n_q),
-            head_dim=cfg.get("head_dim", hidden // n_q),
+            # `or`: some configs (Mixtral) carry an explicit null head_dim
+            head_dim=cfg.get("head_dim") or hidden // n_q,
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
             rope_theta=cfg.get("rope_theta", 10000.0),
             rope_scaling=cfg.get("rope_scaling"),
@@ -105,6 +111,9 @@ class LlamaConfig:
             qk_norm=any("Qwen3" in a for a in archs),
             hidden_act=hidden_act,
             gemma_norm=is_gemma,
+            # Mixtral carries num_local_experts/num_experts_per_tok
+            num_experts=cfg.get("num_local_experts", 0),
+            experts_per_tok=cfg.get("num_experts_per_tok", 2),
         )
 
     @staticmethod

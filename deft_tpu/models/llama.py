@@ -1,8 +1,8 @@
 """Llama-family model executor (pure-function forward over a pytree).
 Covers Llama/TinyLlama/Mistral-shaped checkpoints, Qwen2-family (qkv-bias),
-Qwen3-family (per-head q/k RMSNorm) and Gemma-1 (GeGLU, sqrt(hidden)-scaled
-embeddings, (1+w) RMSNorm) ones — verified against transformers'
-implementations in tests/test_hf_parity.py.
+Qwen3-family (per-head q/k RMSNorm), Gemma-1 (GeGLU, sqrt(hidden)-scaled
+embeddings, (1+w) RMSNorm) and Mixtral (sparse MoE) ones — verified against
+transformers' implementations in tests/test_hf_parity.py.
 
 Parity surface: /root/reference/DeFT/deft/models/llama2.py (LlamaMLP :24-48,
 LlamaAttention :51-113, LlamaDecoderLayer :116-177, LlamaModel :180-222) and
@@ -184,6 +184,45 @@ def _act_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     raise NotImplementedError(f"hidden_act {name!r}")
 
 
+def _moe_mlp(cfg: LlamaConfig, lp: Dict[str, jnp.ndarray], h: jnp.ndarray,
+             act) -> jnp.ndarray:
+    """Mixtral-family sparse MoE block (transformers MixtralSparseMoeBlock):
+    softmax router, top-k experts with renormalized weights.
+
+    TPU-first: executed DENSE over the stacked expert tensors
+    (wg/wu/wdown (NE, E, I)-shaped) — at decode widths (R leaves x top-2 of
+    8 experts) nearly every expert is hit each step, so streaming all expert
+    weights is already the IO floor, and the extra (NE/k)x FLOPs are free at
+    R << model dims (decode is bandwidth-bound).  Routing weights are exact:
+    unselected experts contribute with weight 0."""
+    NE, K = cfg.num_experts, cfg.experts_per_tok
+    logits = (h @ lp["wrt"].astype(h.dtype)).astype(jnp.float32)  # (R, NE)
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, K)
+    mask = jnp.sum(jax.nn.one_hot(top_i, NE, dtype=probs.dtype), axis=1)
+    rw = probs * mask                                  # (R, NE) sparse
+    rw = rw / jnp.sum(rw, axis=-1, keepdims=True)      # renormalize top-k
+
+    def emm(x, name, eq):
+        """Per-expert matmul with the same int8 handling as mm() (the
+        Pallas-int8 kernel has no expert-batched variant; _sp scales use
+        the XLA fused-dequant expression)."""
+        w = lp[name]
+        y = jnp.einsum(eq, x, w.astype(x.dtype))
+        s = lp.get(name + "_s", lp.get(name + "_sp"))
+        if s is not None:
+            y = (y.astype(jnp.float32) * s[:, None, :]).astype(x.dtype)
+        return y
+
+    g = emm(h, "wg", "re,neo->nro")                    # (NE, R, I)
+    u = emm(h, "wu", "re,neo->nro")
+    z = act(g.astype(jnp.float32)).astype(h.dtype) * u
+    o = emm(z, "wdown", "nri,nie->nre")                # (NE, R, E)
+    out = jnp.einsum("nre,rn->re", o.astype(jnp.float32),
+                     rw.astype(jnp.float32))
+    return out.astype(h.dtype)
+
+
 # An attention impl consumes
 #   (q, k_new, v_new, k_pool, v_pool, layer_idx, batch, scale)
 # and returns (R, Hq, D).  Decode impls gather KV from the pool at
@@ -219,8 +258,8 @@ def _forward(
     layer_keys += ["wgu"] if "wgu" in params else ["wg", "wu"]
     layer_keys += [k + suf for k in list(layer_keys) for suf in ("_s", "_sp")
                    if k + suf in params]
-    layer_keys += [k for k in ("bq", "bk", "bv", "bqkv", "ln_q", "ln_k")
-                   if k in params]
+    layer_keys += [k for k in ("bq", "bk", "bv", "bqkv", "ln_q", "ln_k",
+                               "wrt") if k in params]
     layer_params = {k: params[k] for k in layer_keys}
     nq_d = cfg.num_q_heads * D
     nkv_d = cfg.num_kv_heads * D
@@ -256,6 +295,9 @@ def _forward(
         o = attn(q, k, v, kp, vp, li, batch, scale)
         x = x + mm(o.reshape(x.shape[0], -1).astype(x.dtype), lp, "wo")
         h = norm(x, lp["ln2"], cfg.rms_norm_eps)
+        if cfg.num_experts > 0:  # Mixtral-family sparse MoE
+            x = x + _moe_mlp(cfg, lp, h, act)
+            return (x, kp, vp), None
         if "wgu" in lp:
             gu = mm(h, lp, "wgu")
             g, u = gu[:, :cfg.intermediate_size], gu[:, cfg.intermediate_size:]

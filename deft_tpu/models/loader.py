@@ -27,6 +27,16 @@ def _param_shapes(cfg: LlamaConfig) -> Dict[str, Any]:
     D = cfg.head_dim
     L = cfg.num_layers
     I = cfg.intermediate_size
+    NE = cfg.num_experts
+    mlp = (
+        # Mixtral-family sparse MoE: stacked expert tensors (the scan body
+        # streams all experts — at decode widths every expert is hit anyway,
+        # so dense streaming is the IO-optimal TPU layout) + router
+        {"wrt": (L, E, NE), "wg": (L, NE, E, I), "wu": (L, NE, E, I),
+         "wdown": (L, NE, I, E)}
+        if NE > 0
+        else {"wg": (L, E, I), "wu": (L, E, I), "wdown": (L, I, E)}
+    )
     return {
         "embed": (cfg.vocab_size, E),
         "ln1": (L, E),
@@ -40,9 +50,7 @@ def _param_shapes(cfg: LlamaConfig) -> Dict[str, Any]:
         "wv": (L, E, cfg.num_kv_heads * D),
         "wo": (L, cfg.num_q_heads * D, E),
         "ln2": (L, E),
-        "wg": (L, E, I),
-        "wu": (L, E, I),
-        "wdown": (L, I, E),
+        **mlp,
         "ln_f": (E,),
         "lm_head": (E, cfg.vocab_size),
     } | (
@@ -79,7 +87,9 @@ def _fuse_host(bufs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     a 16 GB chip that fits the steady-state model."""
     p = dict(bufs)
     for group, out in _FUSE_GROUPS:
-        if all(g in p for g in group):
+        # MoE expert tensors (L, NE, E, I) stay unfused: the expert einsum
+        # path streams them as-is
+        if all(g in p for g in group) and p[group[0]].ndim == 3:
             p[out] = np.concatenate([p[g] for g in group], axis=-1)
             for g in group:
                 del p[g]
@@ -107,7 +117,8 @@ def _fused_shapes(shapes: Dict[str, Any]) -> Dict[str, Any]:
         if fused in emitted:
             continue
         members = groups[fused]
-        if not all(m in shapes for m in members):
+        # MoE expert tensors (4-D) stay unfused, matching _fuse_host
+        if not all(m in shapes for m in members) or len(shape) == 4:
             out[name] = shape
             continue
         width = sum(shapes[m][-1] for m in members)
@@ -128,6 +139,8 @@ def fuse_params(params: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     done at weight-load time."""
     p = dict(params)
     for group, out in ((("wq", "wk", "wv"), "wqkv"), (("wg", "wu"), "wgu")):
+        if group[0] in p and p[group[0]].ndim == 4:
+            continue  # MoE expert tensors stay unfused (see _fuse_host)
         for suf in ("", "_s", "_sp"):
             keys = [g + suf for g in group]
             if all(k in p for k in keys):
@@ -351,6 +364,13 @@ def load_params(
                 bufs["wu"][li] = w.T
             elif sub == "mlp.down_proj.weight":
                 bufs["wdown"][li] = w.T
+            elif sub == "block_sparse_moe.gate.weight":  # Mixtral router
+                bufs["wrt"][li] = w.T
+            elif sub.startswith("block_sparse_moe.experts."):
+                # Mixtral experts: w1=gate, w3=up, w2=down
+                _, _, ei, wn, _ = sub.split(".")
+                dst = {"w1": "wg", "w3": "wu", "w2": "wdown"}[wn]
+                bufs[dst][li, int(ei)] = w.T
             elif "rotary_emb" in sub:
                 pass  # tables are recomputed
             else:

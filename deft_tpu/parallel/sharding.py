@@ -65,7 +65,26 @@ def param_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
         "bv": s(None, "tp"),
         "ln_q": s(),
         "ln_k": s(),
+        # Mixtral router (L, E, NE): tiny, replicated
+        "wrt": s(),
     }
+
+
+# Names whose tensors gain a leading (num_experts) axis under MoE configs.
+_EXPERT_NAMES = frozenset(
+    w + suf for w in ("wg", "wu", "wdown") for suf in ("", "_s", "_sp")
+)
+
+
+def _widen_for_experts(name: str, spec: P, ndim: int) -> P:
+    """MoE expert tensors carry a leading (num_experts) axis on top of the
+    dense-MLP layout the table above describes — replicate that axis (after
+    the stacked-layer axis) and keep the Megatron column/row sharding of the
+    inner matmul dims (tp splits every expert's intermediate dim, the same
+    cut as dense wg/wu)."""
+    if name in _EXPERT_NAMES and ndim == len(spec) + 1 and len(spec) > 0:
+        return P(spec[0], None, *spec[1:])
+    return spec
 
 
 def shard_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
@@ -76,7 +95,12 @@ def shard_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
 
     params = unfuse_params(params)
     ps = param_shardings(mesh)
-    return {k: jax.device_put(v, ps[k]) for k, v in params.items()}
+    return {
+        k: jax.device_put(
+            v, NamedSharding(mesh, _widen_for_experts(k, ps[k].spec, v.ndim))
+        )
+        for k, v in params.items()
+    }
 
 
 def pool_sharding(mesh: Mesh) -> NamedSharding:

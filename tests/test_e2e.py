@@ -532,3 +532,36 @@ def test_int8_pallas_matmul_matches_xla_generation():
             tuple(b.token_ids) for b in runner.tree.all_finished_seqs
         )
     assert runs["int8"] == runs["int8-pallas"]
+
+
+def test_moe_generation_cross_mode_and_int8():
+    """Mixtral-family sparse MoE through the full engine: flatten and seq
+    modes must generate identical tokens (routing is part of the forward,
+    attention exactness is unchanged), and int8 expert weights must complete
+    the protocol."""
+    import dataclasses
+
+    moe_cfg = dataclasses.replace(PRESETS["tiny"], num_experts=4,
+                                  experts_per_tok=2)
+
+    def run(mode, wdt="inherit"):
+        runner = ModelRunner(
+            moe_cfg, dataclasses.replace(ECFG, weight_dtype=wdt),
+            kernels="xla", retain_full_logits=True,
+        )
+        if wdt == "int8":
+            assert runner.params["wg"].dtype.name == "int8"
+            assert runner.params["wg_s"].shape == (
+                moe_cfg.num_layers, 4, moe_cfg.intermediate_size)
+        tree_generate(
+            model=runner, mode=mode, tokenizer=None, prompt_ids=PROMPT,
+            max_seq_len=len(PROMPT) + 10, width=2, depth=1,
+            branch_controller=Branch_Controller(workloads.simple_tree),
+        )
+        return sorted(tuple(b.token_ids) for b in runner.tree.all_finished_seqs)
+
+    flat = run(ForwardMode.TREE_DECODE_FLATTEN)
+    assert len(flat) == 2 and all(len(t) > 5 for t in flat)
+    assert flat == run(ForwardMode.DECODE)
+    i8 = run(ForwardMode.TREE_DECODE_FLATTEN, "int8")
+    assert [len(t) for t in i8] == [len(t) for t in flat]

@@ -62,19 +62,26 @@ def _make_hf(family):
             head_dim=16, **_TINY
         )
         cls = transformers.Qwen3ForCausalLM
-    else:  # gemma-1: GeGLU, sqrt(hidden)-scaled embeddings, (1+w) RMSNorm,
-        # tied lm_head (exercises the tie path in the loader)
+    elif family == "gemma":  # GeGLU, sqrt(hidden)-scaled embeddings,
+        # (1+w) RMSNorm, tied lm_head (exercises the tie path in the loader)
         kw = dict(_TINY)
         kw["tie_word_embeddings"] = True
         cfg = transformers.GemmaConfig(
             rope_theta=10000.0, attention_bias=False, head_dim=16, **kw
         )
         cls = transformers.GemmaForCausalLM
+    else:  # mixtral: sparse MoE (softmax router, top-2 of 4 experts)
+        cfg = transformers.MixtralConfig(
+            rope_theta=1e6, sliding_window=None, attention_bias=False,
+            num_local_experts=4, num_experts_per_tok=2, **_TINY
+        )
+        cls = transformers.MixtralForCausalLM
     torch.manual_seed(0)
     return cls(cfg).eval()
 
 
-@pytest.fixture(scope="module", params=["llama", "qwen2", "qwen3", "gemma"])
+@pytest.fixture(scope="module",
+                params=["llama", "qwen2", "qwen3", "gemma", "mixtral"])
 def hf_model(request, tmp_path_factory):
     """Tiny random HF checkpoint saved as safetensors + its live module."""
     model = _make_hf(request.param)
@@ -119,6 +126,8 @@ def test_config_parse_matches_hf(hf_model):
     assert cfg.gemma_norm == is_gemma
     assert (cfg.hidden_act == "gelu_pytorch_tanh") == is_gemma
     assert cfg.tie_word_embeddings == is_gemma
+    is_moe = isinstance(model, transformers.MixtralForCausalLM)
+    assert (cfg.num_experts == 4 and cfg.experts_per_tok == 2) == is_moe
 
 
 def test_prefill_distribution_matches_hf(hf_model):

@@ -43,6 +43,14 @@ def test_shard_params_covers_all_model_families(wdt):
     mesh = make_mesh(8, num_kv_heads=cfg.num_kv_heads)
     sharded = shard_params(mesh, params)
     assert set(sharded) == set(params)
+    # MoE (Mixtral-family): expert tensors carry a leading expert axis and
+    # a router appears; the specs must widen, not KeyError
+    moe = dataclasses.replace(PRESETS["tiny"], num_experts=4)
+    params = random_params(moe, seed=0, weight_dtype=wdt)
+    sharded = shard_params(mesh, params)
+    assert set(sharded) == set(params)
+    assert sharded["wg"].shape == (moe.num_layers, 4, moe.hidden_size,
+                                   moe.intermediate_size)
 
 
 def test_sharded_step_matches_single_device():
@@ -179,6 +187,40 @@ def test_sharded_engine_generation_matches_single_device():
     # sequential baseline mode under the mesh (GSPMD path)
     got_seq = gen(mesh, "pallas", mode=ForwardMode.DECODE)
     assert got_seq == want
+
+
+def test_sharded_moe_generation_matches_single_device():
+    """Mixtral-family MoE under the mesh: the stacked expert einsums are
+    GSPMD-partitioned over tp (every expert's intermediate dim sharded) and
+    must generate token-identically to the single-device MoE engine."""
+    import dataclasses
+
+    from deft_tpu.config import EngineConfig
+    from deft_tpu.control import Branch_Controller, workloads
+    from deft_tpu.models import PRESETS
+    from deft_tpu.runtime import ForwardMode, ModelRunner, tree_generate
+
+    moe_cfg = dataclasses.replace(PRESETS["tiny"], num_experts=4,
+                                  experts_per_tok=2)
+    ecfg = EngineConfig(
+        kv_pool_slots=1024, max_requests=16, max_context_len=128,
+        min_token_bucket=128, dtype="float32",
+    )
+    prompt = list(range(7, 27))
+
+    def gen(mesh):
+        runner = ModelRunner(moe_cfg, ecfg, kernels="xla", seed=3, mesh=mesh)
+        tree_generate(
+            runner, ForwardMode.TREE_DECODE_FLATTEN, None, prompt,
+            max_seq_len=32, width=3, depth=0,
+            branch_controller=Branch_Controller(workloads.simple_tree),
+        )
+        return [tuple(s.token_ids) for s in runner.tree.all_finished_seqs]
+
+    want = gen(None)
+    assert len(want) == 3
+    got = gen(make_mesh(8, num_kv_heads=moe_cfg.num_kv_heads))
+    assert got == want
 
 
 def test_sharded_deferred_replay_matches_single_device():
