@@ -55,7 +55,8 @@ class LlamaConfig:
             rtype = self.rope_scaling.get(
                 "rope_type", self.rope_scaling.get("type", "")
             )
-            if rtype not in ("llama3", "yarn"):
+            # llama3/yarn/longrope configs already carry the scaled max
+            if rtype not in ("llama3", "yarn", "longrope"):
                 ctx = int(ctx * self.rope_scaling["factor"])
         return ctx
 
@@ -64,16 +65,25 @@ class LlamaConfig:
         hidden = cfg["hidden_size"]
         n_q = cfg["num_attention_heads"]
         archs = cfg.get("architectures") or []
+        max_pos = cfg.get("max_position_embeddings", 4096)
         if cfg.get("use_sliding_window"):
+            # Qwen2-style opt-in flag
             raise NotImplementedError(
                 "sliding-window attention is not supported (tree attention "
                 "over full shared prefixes is the point of this engine)"
             )
-        if (any("Mistral" in a or "Mixtral" in a for a in archs)
-                and cfg.get("sliding_window")):
+        win = cfg.get("sliding_window")
+        if (win and win < max_pos
+                and "use_sliding_window" not in cfg):
+            # ANY family carrying an active window (Mistral v0.1, Phi-3
+            # 4k, ...): loading it would silently compute full attention
+            # where the trained model masks.  A window >= max positions
+            # (Phi-3 128k ships 262144) never masks — allowed.  Families
+            # with the opt-in flag present (Qwen2) are governed by it alone.
             raise NotImplementedError(
-                "Mistral/Mixtral checkpoints with an active sliding_window "
-                "are not supported; windowless (null) configs load fine"
+                f"checkpoint has an active sliding_window={win} < "
+                f"max_position_embeddings={max_pos}; windowless (null) "
+                "configs load fine"
             )
         if any(("Gemma2" in a or "Gemma3" in a) for a in archs):
             raise NotImplementedError(
@@ -85,6 +95,17 @@ class LlamaConfig:
         # hidden_act (legacy); everything Llama-shaped defaults to silu
         hidden_act = (cfg.get("hidden_activation") or
                       cfg.get("hidden_act") or "silu")
+        rope_scaling = cfg.get("rope_scaling")
+        if rope_scaling and cfg.get("original_max_position_embeddings"):
+            # Phi-3 keeps the pre-scaling max at the TOP level of
+            # config.json; rope_table reads it from the scaling dict
+            rope_scaling = dict(rope_scaling)
+            rope_scaling.setdefault(
+                "original_max_position_embeddings",
+                cfg["original_max_position_embeddings"],
+            )
+        if float(cfg.get("partial_rotary_factor", 1.0)) != 1.0:
+            raise NotImplementedError("partial rotary embeddings")
         return LlamaConfig(
             vocab_size=cfg["vocab_size"],
             hidden_size=hidden,
@@ -96,8 +117,8 @@ class LlamaConfig:
             head_dim=cfg.get("head_dim") or hidden // n_q,
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
             rope_theta=cfg.get("rope_theta", 10000.0),
-            rope_scaling=cfg.get("rope_scaling"),
-            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            rope_scaling=rope_scaling,
+            max_position_embeddings=max_pos,
             # Gemma always ties lm_head to the embedding (its checkpoints
             # carry no lm_head.weight even when config.json omits the flag)
             tie_word_embeddings=cfg.get("tie_word_embeddings", is_gemma),

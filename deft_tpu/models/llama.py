@@ -1,8 +1,9 @@
 """Llama-family model executor (pure-function forward over a pytree).
 Covers Llama/TinyLlama/Mistral-shaped checkpoints, Qwen2-family (qkv-bias),
 Qwen3-family (per-head q/k RMSNorm), Gemma-1 (GeGLU, sqrt(hidden)-scaled
-embeddings, (1+w) RMSNorm) and Mixtral (sparse MoE) ones — verified against
-transformers' implementations in tests/test_hf_parity.py.
+embeddings, (1+w) RMSNorm), Mixtral (sparse MoE) and Phi-3 (fused-qkv
+checkpoints, LongRoPE) ones — verified against transformers'
+implementations in tests/test_hf_parity.py.
 
 Parity surface: /root/reference/DeFT/deft/models/llama2.py (LlamaMLP :24-48,
 LlamaAttention :51-113, LlamaDecoderLayer :116-177, LlamaModel :180-222) and

@@ -356,6 +356,15 @@ def load_params(
                         "'architectures' entry naming Qwen3)"
                     )
                 bufs[key][li] = w
+            elif sub == "self_attn.qkv_proj.weight":
+                # Phi-3 ships q|k|v fused along the output axis — the same
+                # order as this repo's wqkv fusion; split into the stacked
+                # bufs (re-fused by _fuse_host on single-chip loads)
+                wt = w.T
+                qd, kvd = nq * D, nkv * D
+                bufs["wq"][li] = wt[:, :qd]
+                bufs["wk"][li] = wt[:, qd:qd + kvd]
+                bufs["wv"][li] = wt[:, qd + kvd:]
             elif sub == "self_attn.o_proj.weight":
                 bufs["wo"][li] = w.T
             elif sub == "mlp.gate_proj.weight":
@@ -364,6 +373,11 @@ def load_params(
                 bufs["wu"][li] = w.T
             elif sub == "mlp.down_proj.weight":
                 bufs["wdown"][li] = w.T
+            elif sub == "mlp.gate_up_proj.weight":  # Phi-3 fused gate|up
+                wt = w.T
+                I = cfg.intermediate_size
+                bufs["wg"][li] = wt[:, :I]
+                bufs["wu"][li] = wt[:, I:]
             elif sub == "block_sparse_moe.gate.weight":  # Mixtral router
                 bufs["wrt"][li] = w.T
             elif sub.startswith("block_sparse_moe.experts."):

@@ -133,6 +133,27 @@ def rope_table(
             inv_freq, mscale = _yarn_scale_freqs(
                 inv_freq, scaling, theta, head_dim
             )
+        elif rtype == "longrope":
+            # Phi-3 LongRoPE (transformers _compute_longrope_parameters):
+            # per-dim frequency rescale + attention factor on cos/sin.  HF
+            # switches short->long factors by the RUNTIME sequence length;
+            # an engine table is static, so the regime is chosen by the
+            # table length max_pos (requests beyond orig_max are why one
+            # configures a longer table).  attention_factor follows the
+            # CONFIG ratio (applied in both regimes, like HF).
+            orig_max = int(scaling.get("original_max_position_embeddings")
+                           or orig_max_pos or max_pos)
+            ext = (scaling["long_factor"] if max_pos > orig_max
+                   else scaling["short_factor"])
+            inv_freq = inv_freq / np.asarray(ext, dtype=np.float64)
+            af = scaling.get("attention_factor")
+            if af is None:
+                factor = scaling.get("factor")
+                if orig_max_pos and orig_max:
+                    factor = orig_max_pos / orig_max
+                af = (math.sqrt(1 + math.log(factor) / math.log(orig_max))
+                      if factor and factor > 1.0 else 1.0)
+            mscale = float(af)
         elif rtype in ("default", "", None):
             pass
         else:

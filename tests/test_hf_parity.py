@@ -70,18 +70,33 @@ def _make_hf(family):
             rope_theta=10000.0, attention_bias=False, head_dim=16, **kw
         )
         cls = transformers.GemmaForCausalLM
-    else:  # mixtral: sparse MoE (softmax router, top-2 of 4 experts)
+    elif family == "mixtral":  # sparse MoE (softmax router, top-2 of 4)
         cfg = transformers.MixtralConfig(
             rope_theta=1e6, sliding_window=None, attention_bias=False,
             num_local_experts=4, num_experts_per_tok=2, **_TINY
         )
         cls = transformers.MixtralForCausalLM
+    else:  # phi3: fused qkv/gate_up checkpoint layout + LongRoPE scaling
+        # (distinct short/long factors so the regime choice matters; the
+        # engine table and the HF run both sit in the short regime here)
+        cfg = transformers.Phi3Config(
+            rope_theta=10000.0, sliding_window=None, pad_token_id=0,
+            original_max_position_embeddings=256,
+            rope_scaling={
+                "type": "longrope",
+                "short_factor": [1.0 + 0.25 * i for i in range(8)],
+                "long_factor": [4.0 + 0.5 * i for i in range(8)],
+            },
+            **_TINY,
+        )
+        cls = transformers.Phi3ForCausalLM
     torch.manual_seed(0)
     return cls(cfg).eval()
 
 
 @pytest.fixture(scope="module",
-                params=["llama", "qwen2", "qwen3", "gemma", "mixtral"])
+                params=["llama", "qwen2", "qwen3", "gemma", "mixtral",
+                        "phi3"])
 def hf_model(request, tmp_path_factory):
     """Tiny random HF checkpoint saved as safetensors + its live module."""
     model = _make_hf(request.param)

@@ -80,3 +80,70 @@ def test_scaling_matches_transformers(rtype, scaling):
     # attention factor folded into the table magnitude
     mag = np.sqrt(got_sin**2 + got_cos**2)
     np.testing.assert_allclose(mag, want_attn, rtol=1e-5)
+
+
+def test_longrope_matches_transformers_both_regimes():
+    """Phi-3 LongRoPE: short factors when the table covers <= the original
+    max, long factors beyond, attention factor from the config ratio — all
+    vs transformers' _compute_longrope_parameters."""
+    head_dim, theta = 64, 10000.0
+    half = head_dim // 2
+    scaling = {
+        "type": "longrope",
+        "short_factor": [1.0 + 0.25 * i for i in range(half)],
+        "long_factor": [4.0 + 0.5 * i for i in range(half)],
+        "original_max_position_embeddings": 4096,
+    }
+    cfg = _Cfg(head_dim, theta, 4096, scaling)
+    cfg.max_position_embeddings = 16384  # config.json scaled max
+    cfg.original_max_position_embeddings = 4096
+    fn = tf_rope.ROPE_INIT_FUNCTIONS["longrope"]
+    for max_pos in (4096, 16384):  # short regime / long regime
+        want_freq, want_attn = fn(cfg, device="cpu", seq_len=max_pos)
+        want_freq = np.asarray(want_freq, dtype=np.float64)
+        table = np.asarray(
+            rope_table(head_dim, max_pos, theta, scaling,
+                       orig_max_pos=16384)
+        )
+        got_sin = np.asarray(table[1, half:], dtype=np.float64)
+        got_cos = np.asarray(table[1, :half], dtype=np.float64)
+        got_angle = np.arctan2(got_sin, got_cos)
+        np.testing.assert_allclose(got_angle, want_freq, rtol=1e-5,
+                                   atol=1e-6, err_msg=str(max_pos))
+        mag = np.sqrt(got_sin**2 + got_cos**2)
+        np.testing.assert_allclose(mag, float(want_attn), rtol=1e-5)
+
+
+def test_sliding_window_rejection_is_generic():
+    """ANY config with an active window (< max positions) must be rejected
+    — loading one would silently compute full attention where the trained
+    model masks (Phi-3-mini-4k ships sliding_window=2047).  A window >=
+    max positions never masks and loads; Qwen2's explicit opt-out flag
+    wins over its vestigial sliding_window value."""
+    from deft_tpu.models.config import LlamaConfig
+
+    base = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=2, num_attention_heads=4,
+                max_position_embeddings=4096)
+    with pytest.raises(NotImplementedError):
+        LlamaConfig.from_hf_config(
+            base | {"architectures": ["Phi3ForCausalLM"],
+                    "sliding_window": 2047})
+    with pytest.raises(NotImplementedError):
+        LlamaConfig.from_hf_config(
+            base | {"architectures": ["MistralForCausalLM"],
+                    "sliding_window": 2048})
+    # window >= max positions: no token is ever masked
+    cfg = LlamaConfig.from_hf_config(
+        base | {"architectures": ["Phi3ForCausalLM"],
+                "sliding_window": 262144})
+    assert cfg.hidden_size == 64
+    # Qwen2: governed by use_sliding_window alone
+    cfg = LlamaConfig.from_hf_config(
+        base | {"architectures": ["Qwen2ForCausalLM"],
+                "use_sliding_window": False, "sliding_window": 2048})
+    assert cfg.qkv_bias
+    with pytest.raises(NotImplementedError):
+        LlamaConfig.from_hf_config(
+            base | {"architectures": ["Qwen2ForCausalLM"],
+                    "use_sliding_window": True, "sliding_window": 2048})
