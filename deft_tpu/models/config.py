@@ -91,10 +91,11 @@ class LlamaConfig:
                 "alternating sliding-window layers); Gemma-1 loads fine"
             )
         is_gemma = any("Gemma" in a for a in archs)
-        # Gemma configs carry the activation as hidden_activation (newer) or
-        # hidden_act (legacy); everything Llama-shaped defaults to silu
-        hidden_act = (cfg.get("hidden_activation") or
-                      cfg.get("hidden_act") or "silu")
+        # Activation key precedence matches live transformers (4.57):
+        # GemmaMLP reads config.hidden_act ONLY (hidden_activation is a
+        # dead legacy key there), so hidden_act wins when both are present
+        hidden_act = (cfg.get("hidden_act") or
+                      cfg.get("hidden_activation") or "silu")
         rope_scaling = cfg.get("rope_scaling")
         if rope_scaling and cfg.get("original_max_position_embeddings"):
             # Phi-3 keeps the pre-scaling max at the TOP level of

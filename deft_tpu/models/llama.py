@@ -199,7 +199,7 @@ def _moe_mlp(cfg: LlamaConfig, lp: Dict[str, jnp.ndarray], h: jnp.ndarray,
     NE, K = cfg.num_experts, cfg.experts_per_tok
     logits = (h @ lp["wrt"].astype(h.dtype)).astype(jnp.float32)  # (R, NE)
     probs = jax.nn.softmax(logits, axis=-1)
-    top_w, top_i = jax.lax.top_k(probs, K)
+    _, top_i = jax.lax.top_k(probs, K)
     mask = jnp.sum(jax.nn.one_hot(top_i, NE, dtype=probs.dtype), axis=1)
     rw = probs * mask                                  # (R, NE) sparse
     rw = rw / jnp.sum(rw, axis=-1, keepdims=True)      # renormalize top-k

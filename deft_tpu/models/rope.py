@@ -136,20 +136,28 @@ def rope_table(
         elif rtype == "longrope":
             # Phi-3 LongRoPE (transformers _compute_longrope_parameters):
             # per-dim frequency rescale + attention factor on cos/sin.  HF
-            # switches short->long factors by the RUNTIME sequence length;
-            # an engine table is static, so the regime is chosen by the
-            # table length max_pos (requests beyond orig_max are why one
-            # configures a longer table).  attention_factor follows the
-            # CONFIG ratio (applied in both regimes, like HF).
-            orig_max = int(scaling.get("original_max_position_embeddings")
-                           or orig_max_pos or max_pos)
-            ext = (scaling["long_factor"] if max_pos > orig_max
-                   else scaling["short_factor"])
-            inv_freq = inv_freq / np.asarray(ext, dtype=np.float64)
+            # switches short->long factors by the RUNTIME sequence length,
+            # which with a KV cache means tokens WRITTEN while seq <=
+            # orig_max keep their short-factor rope forever; a static
+            # engine table reproduces exactly that incremental-decode
+            # behavior by choosing factors PER POSITION (short below
+            # orig_max, long at/after it — the vLLM Phi3LongRoPE layout).
+            # attention_factor follows the CONFIG max ratio and applies to
+            # the whole table, as in HF.
+            orig_in_cfg = scaling.get("original_max_position_embeddings")
+            orig_max = int(orig_in_cfg or orig_max_pos or max_pos)
+            inv_s = inv_freq / np.asarray(scaling["short_factor"],
+                                          dtype=np.float64)
+            inv_l = inv_freq / np.asarray(scaling["long_factor"],
+                                          dtype=np.float64)
+            is_long = (np.arange(max_pos) >= orig_max)[:, None]
+            inv_freq = np.where(is_long, inv_l[None, :], inv_s[None, :])
             af = scaling.get("attention_factor")
             if af is None:
+                # HF overrides any explicit factor with the config-max
+                # ratio ONLY when the config carries the original max
                 factor = scaling.get("factor")
-                if orig_max_pos and orig_max:
+                if orig_in_cfg and orig_max_pos:
                     factor = orig_max_pos / orig_max
                 af = (math.sqrt(1 + math.log(factor) / math.log(orig_max))
                       if factor and factor > 1.0 else 1.0)
@@ -159,7 +167,9 @@ def rope_table(
         else:
             raise NotImplementedError(f"rope scaling {rtype!r}")
     pos = np.arange(max_pos, dtype=np.float64)
-    freqs = np.outer(pos, inv_freq)  # (max_pos, half)
+    # longrope produces per-position frequencies (max_pos, half)
+    freqs = (pos[:, None] * inv_freq if inv_freq.ndim == 2
+             else np.outer(pos, inv_freq))
     table = np.concatenate([np.cos(freqs), np.sin(freqs)], axis=-1) * mscale
     return jnp.asarray(table, dtype=jnp.float32)
 

@@ -82,36 +82,50 @@ def test_scaling_matches_transformers(rtype, scaling):
     np.testing.assert_allclose(mag, want_attn, rtol=1e-5)
 
 
-def test_longrope_matches_transformers_both_regimes():
-    """Phi-3 LongRoPE: short factors when the table covers <= the original
-    max, long factors beyond, attention factor from the config ratio — all
-    vs transformers' _compute_longrope_parameters."""
-    head_dim, theta = 64, 10000.0
+def test_longrope_matches_transformers_per_position():
+    """Phi-3 LongRoPE: positions below original_max use short factors,
+    positions at/after it use long factors — exactly what an HF
+    incremental decode produces (tokens written while seq <= orig keep
+    their short-factor rope in the KV cache); attention factor from the
+    config max ratio applies to every row.  Ground truth: transformers'
+    _compute_longrope_parameters evaluated in each regime."""
+    head_dim, theta, orig = 64, 10000.0, 4096
     half = head_dim // 2
     scaling = {
         "type": "longrope",
         "short_factor": [1.0 + 0.25 * i for i in range(half)],
         "long_factor": [4.0 + 0.5 * i for i in range(half)],
-        "original_max_position_embeddings": 4096,
+        "original_max_position_embeddings": orig,
     }
-    cfg = _Cfg(head_dim, theta, 4096, scaling)
+    cfg = _Cfg(head_dim, theta, orig, scaling)
     cfg.max_position_embeddings = 16384  # config.json scaled max
-    cfg.original_max_position_embeddings = 4096
+    cfg.original_max_position_embeddings = orig
     fn = tf_rope.ROPE_INIT_FUNCTIONS["longrope"]
-    for max_pos in (4096, 16384):  # short regime / long regime
-        want_freq, want_attn = fn(cfg, device="cpu", seq_len=max_pos)
-        want_freq = np.asarray(want_freq, dtype=np.float64)
-        table = np.asarray(
-            rope_table(head_dim, max_pos, theta, scaling,
-                       orig_max_pos=16384)
-        )
-        got_sin = np.asarray(table[1, half:], dtype=np.float64)
-        got_cos = np.asarray(table[1, :half], dtype=np.float64)
-        got_angle = np.arctan2(got_sin, got_cos)
-        np.testing.assert_allclose(got_angle, want_freq, rtol=1e-5,
-                                   atol=1e-6, err_msg=str(max_pos))
-        mag = np.sqrt(got_sin**2 + got_cos**2)
-        np.testing.assert_allclose(mag, float(want_attn), rtol=1e-5)
+    short_freq, attn = fn(cfg, device="cpu", seq_len=orig)
+    long_freq, attn_l = fn(cfg, device="cpu", seq_len=orig + 1)
+    assert float(attn) == float(attn_l) > 1.0  # af is regime-independent
+    short_freq = np.asarray(short_freq, dtype=np.float64)
+    long_freq = np.asarray(long_freq, dtype=np.float64)
+
+    table = np.asarray(rope_table(head_dim, orig + 64, theta, scaling,
+                                  orig_max_pos=16384), dtype=np.float64)
+
+    def expect(p, freq):
+        ang = p * freq
+        return np.concatenate([np.cos(ang), np.sin(ang)]) * float(attn)
+
+    # fp32 table vs fp64 expectation: cos/sin of angles ~p*freq lose ~1e-3
+    # absolute precision at p~4k — tolerance reflects the cast, not drift
+    for p in (1, 100, orig - 1):  # short-factor rows
+        np.testing.assert_allclose(table[p], expect(p, short_freq),
+                                   rtol=0, atol=1e-3, err_msg=str(p))
+    for p in (orig, orig + 63):  # long-factor rows
+        np.testing.assert_allclose(table[p], expect(p, long_freq),
+                                   rtol=0, atol=1e-3, err_msg=str(p))
+    # a table that never exceeds orig is pure short-factor
+    t_short = np.asarray(rope_table(head_dim, orig, theta, scaling,
+                                    orig_max_pos=16384), dtype=np.float64)
+    np.testing.assert_allclose(t_short, table[:orig], rtol=0, atol=0)
 
 
 def test_sliding_window_rejection_is_generic():
