@@ -244,14 +244,25 @@ def random_params(
         return _finalize(bufs, dtype, weight_dtype, fuse=fuse)
 
     def gen(sub, shape, fan_in, quant):
-        arr = jax.random.normal(sub, shape, jnp.float32) * (fan_in ** -0.5)
-        if not quant:
-            return (arr.astype(dtype),)
-        s = jnp.maximum(
-            jnp.max(jnp.abs(arr), axis=-2, keepdims=True) / 127.0, 1e-8
-        )
-        q = jnp.clip(jnp.round(arr / s), -127, 127).astype(jnp.int8)
-        return q, jnp.squeeze(s, axis=-2)
+        def one(k, shp):
+            arr = jax.random.normal(k, shp, jnp.float32) * (fan_in ** -0.5)
+            if not quant:
+                return (arr.astype(dtype),)
+            s = jnp.maximum(
+                jnp.max(jnp.abs(arr), axis=-2, keepdims=True) / 127.0, 1e-8
+            )
+            q = jnp.clip(jnp.round(arr / s), -127, 127).astype(jnp.int8)
+            return q, jnp.squeeze(s, axis=-2)
+
+        if len(shape) >= 3:
+            # Stacked-layer tensor: generate layer-by-layer inside lax.map
+            # so the fp32 transient is ONE layer, not the whole stack — a
+            # fused 8B gate_up stack is (32, 4096, 28672) fp32 = 15 GB,
+            # which RESOURCE_EXHAUSTs a 16 GB v5e before quantization.
+            # Per-layer quant scales are unchanged (axis -2 is per layer).
+            keys = jax.random.split(sub, shape[0])
+            return jax.lax.map(lambda k: one(k, shape[1:]), keys)
+        return one(sub, shape)
 
     gen = jax.jit(gen, static_argnums=(1, 2, 3))
     key = jax.random.PRNGKey(seed)

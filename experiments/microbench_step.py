@@ -83,6 +83,15 @@ def matmul_slope_bench(cfg, weights: str) -> None:
     print(f"matmul stack ({weights:5s}) : {per:7.3f} ms/layer -> "
           f"{nbytes / per / 1e6:.0f} GB/s ({weights} bytes); "
           f"x{cfg.num_layers} layers = {total:.2f} ms/step weight floor")
+    # Free the bench buffers NOW: three stack benches leave ~1 GB of dead
+    # device arrays behind otherwise, and the 8B-int8 runner built right
+    # after needs every byte of a 16 GB v5e (observed RESOURCE_EXHAUSTED
+    # when this was left to GC timing).
+    for w, s in Ws:
+        w.delete()
+        if s is not None:
+            s.delete()
+    x0.delete()
 
 
 def main() -> int:
