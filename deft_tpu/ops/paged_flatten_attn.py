@@ -57,17 +57,12 @@ def _paged_kernel(
     v_pool_ref,   # ANY  (L, S, Hkv*D)
     lo_ref,       # VMEM (1, BLOCK)
     hi_ref,       # VMEM (1, BLOCK)
-    # outputs
-    o_ref,        # VMEM (Hkv, Rq, D)
-    # scratch
-    kbuf,         # VMEM (2, BLOCK, Hkv*D) pool dtype
-    vbuf,         # VMEM (2, BLOCK, Hkv*D)
-    sem,          # DMA sems (2, 2, nseg)
-    qpad_ref,     # VMEM (Hkv, Rq, 128) — lane-slotted queries
-    acc_ref,      # VMEM (Hkv, Rq, 128) f32 (pair-major accumulators)
-    m_ref,        # VMEM (Hkv, Rq, 128) f32
-    l_ref,        # VMEM (Hkv, Rq, 128) f32
-    *,
+    # outputs + scratch (see unpacking below):
+    #   partial=False: o_ref (Hkv, Rq, D)
+    #   partial=True:  acc_out, m_out, l_out — each (Hkv, Rq, D) f32,
+    #                  the UNNORMALIZED flash state for the cross-chip
+    #                  LSE merge (parallel/engine.py)
+    *refs,
     scale: float,
     qpk: int,
     block_len: int,
@@ -75,7 +70,22 @@ def _paged_kernel(
     num_blocks: int,
     num_kv_heads: int,
     head_dim: int,
+    partial: bool = False,
 ):
+    if partial:
+        acc_out, m_out, l_out = refs[:3]
+        refs = refs[3:]
+    else:
+        o_ref = refs[0]
+        refs = refs[1:]
+    (kbuf,       # VMEM (2, BLOCK, Hkv*D) pool dtype
+     vbuf,       # VMEM (2, BLOCK, Hkv*D)
+     sem,        # DMA sems (2, 2, nseg)
+     qpad_ref,   # VMEM (Hkv, Rq, gw) — lane-slotted queries
+     acc_ref,    # VMEM (Hkv, Rq, gw) f32 (pair-major accumulators)
+     m_ref,      # VMEM (Hkv, Rq, gw) f32
+     l_ref,      # VMEM (Hkv, Rq, gw) f32
+     ) = refs
     b = pl.program_id(0)
     li = li_ref[0]
     nseg = block_len // seg_len
@@ -171,11 +181,85 @@ def _paged_kernel(
     def _finish():
         for h in range(num_kv_heads):
             i = h % pack
-            l = l_ref[h, :, :1]
-            o_ref[h] = (
-                acc_ref[h, :, i * D:(i + 1) * D]
-                / jnp.where(l == 0.0, 1.0, l)
-            ).astype(o_ref.dtype)
+            if partial:
+                # unnormalized (acc, m, l) for the sp-axis LSE merge; m/l
+                # are lane-broadcast so any aligned D-slice carries them
+                acc_out[h] = acc_ref[h, :, i * D:(i + 1) * D]
+                m_out[h] = m_ref[h, :, i * D:(i + 1) * D]
+                l_out[h] = l_ref[h, :, i * D:(i + 1) * D]
+            else:
+                l = l_ref[h, :, :1]
+                o_ref[h] = (
+                    acc_ref[h, :, i * D:(i + 1) * D]
+                    / jnp.where(l == 0.0, 1.0, l)
+                ).astype(o_ref.dtype)
+
+
+def _paged_call(qf, k_pool, v_pool, li, seg_src, tok_lo, tok_hi, blk_lo,
+                blk_hi, *, scale, qpk, block_len, seg_len, partial):
+    Hkv, Rq, D = qf.shape
+    assert 128 % D == 0, "head packing requires head_dim dividing 128"
+    gw = head_pack(D, Hkv) * D
+    T = tok_lo.shape[0]
+    nb = T // block_len
+    assert nb * block_len == T
+
+    kernel = functools.partial(
+        _paged_kernel,
+        scale=scale,
+        qpk=qpk,
+        block_len=block_len,
+        seg_len=seg_len,
+        num_blocks=nb,
+        num_kv_heads=Hkv,
+        head_dim=D,
+        partial=partial,
+    )
+    out_spec = pl.BlockSpec((Hkv, Rq, D), lambda b, *_: (0, 0, 0))
+    fstate = jax.ShapeDtypeStruct((Hkv, Rq, D), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((Hkv, Rq, D), lambda b, *_: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
+            pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
+        ],
+        out_specs=(out_spec, out_spec, out_spec) if partial else out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
+            pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, block_len // seg_len)),
+            pltpu.VMEM((Hkv, Rq, gw), qf.dtype),
+            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(fstate, fstate, fstate) if partial
+        else jax.ShapeDtypeStruct((Hkv, Rq, D), qf.dtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * Hkv * Rq * T * 128,
+            bytes_accessed=2 * Hkv * T * D * k_pool.dtype.itemsize,
+            transcendentals=Hkv * Rq * T,
+        ),
+    )(
+        li.reshape(1).astype(jnp.int32),
+        seg_src,
+        blk_lo,
+        blk_hi,
+        qf,
+        k_pool,
+        v_pool,
+        tok_lo.reshape(1, T),
+        tok_hi.reshape(1, T),
+    )
 
 
 @functools.partial(
@@ -197,66 +281,31 @@ def paged_flatten_attention(
     block_len: int,
     seg_len: int,
 ) -> jnp.ndarray:
-    Hkv, Rq, D = qf.shape
-    assert 128 % D == 0, "head packing requires head_dim dividing 128"
-    gw = head_pack(D, Hkv) * D
-    T = tok_lo.shape[0]
-    nb = T // block_len
-    assert nb * block_len == T
+    return _paged_call(
+        qf, k_pool, v_pool, li, seg_src, tok_lo, tok_hi, blk_lo, blk_hi,
+        scale=scale, qpk=qpk, block_len=block_len, seg_len=seg_len,
+        partial=False,
+    )
 
-    kernel = functools.partial(
-        _paged_kernel,
-        scale=scale,
-        qpk=qpk,
-        block_len=block_len,
-        seg_len=seg_len,
-        num_blocks=nb,
-        num_kv_heads=Hkv,
-        head_dim=D,
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "qpk", "block_len", "seg_len")
+)
+def paged_flatten_attention_partial(
+    qf, k_pool, v_pool, li, seg_src, tok_lo, tok_hi, blk_lo, blk_hi,
+    *, scale, qpk, block_len, seg_len,
+):
+    """Per-chip pass over a LOCAL span of flattened blocks, returning the
+    unnormalized flash state (acc, m, l) — each (Hkv, Rq, D) f32, m/l
+    lane-broadcast — for the cross-chip LSE merge over the sp axis
+    (parallel/engine.py).  KV is still DMA'd in-kernel from the paged pool,
+    so the flagship exactly-once KV IO property holds per shard and, with
+    sp-disjoint block spans, globally (VERDICT r2 item 1)."""
+    return _paged_call(
+        qf, k_pool, v_pool, li, seg_src, tok_lo, tok_hi, blk_lo, blk_hi,
+        scale=scale, qpk=qpk, block_len=block_len, seg_len=seg_len,
+        partial=True,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((Hkv, Rq, D), lambda b, *_: (0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
-            pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
-        ],
-        out_specs=pl.BlockSpec((Hkv, Rq, D), lambda b, *_: (0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
-            pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, block_len // seg_len)),
-            pltpu.VMEM((Hkv, Rq, gw), qf.dtype),
-            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
-            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
-            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Hkv, Rq, D), qf.dtype),
-        interpret=_interpret(),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * Hkv * Rq * T * 128,
-            bytes_accessed=2 * Hkv * T * D * k_pool.dtype.itemsize,
-            transcendentals=Hkv * Rq * T,
-        ),
-    )(
-        li.reshape(1).astype(jnp.int32),
-        seg_src,
-        blk_lo,
-        blk_hi,
-        qf,
-        k_pool,
-        v_pool,
-        tok_lo.reshape(1, T),
-        tok_hi.reshape(1, T),
-    )
-    return out
 
 
 def paged_flatten_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale):

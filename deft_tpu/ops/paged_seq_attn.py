@@ -48,17 +48,11 @@ def _paged_seq_kernel(
     q_ref,         # VMEM (1, Hkv, qpk, D)
     k_pool_ref,    # ANY  (L, S, Hkv*D)
     v_pool_ref,    # ANY  (L, S, Hkv*D)
-    # outputs
-    o_ref,         # VMEM (1, Hkv, qpk, D)
-    # scratch
-    kbuf,          # VMEM (2, BLOCK, Hkv*D)
-    vbuf,          # VMEM (2, BLOCK, Hkv*D)
-    sem,           # DMA sems (2, 2, spb)
-    qpad_ref,      # VMEM (Hkv, qpk, 128) lane-slotted queries
-    acc_ref,       # VMEM (Hkv, qpk, 128) f32
-    m_ref,         # VMEM (Hkv, qpk, 128) f32
-    l_ref,         # VMEM (Hkv, qpk, 128) f32
-    *,
+    # outputs + scratch (unpacked below):
+    #   partial=False: o_ref (1, Hkv, qpk, D)
+    #   partial=True:  acc_out, m_out, l_out — (1, Hkv, qpk, D) f32
+    #                  unnormalized flash state for the sp LSE merge
+    *refs,
     scale: float,
     block_len: int,
     seg_len: int,
@@ -66,7 +60,22 @@ def _paged_seq_kernel(
     num_leaves: int,
     num_kv_heads: int,
     head_dim: int,
+    partial: bool = False,
 ):
+    if partial:
+        acc_out, m_out, l_out = refs[:3]
+        refs = refs[3:]
+    else:
+        o_ref = refs[0]
+        refs = refs[1:]
+    (kbuf,       # VMEM (2, BLOCK, Hkv*D)
+     vbuf,       # VMEM (2, BLOCK, Hkv*D)
+     sem,        # DMA sems (2, 2, spb)
+     qpad_ref,   # VMEM (Hkv, qpk, gw) lane-slotted queries
+     acc_ref,    # VMEM (Hkv, qpk, gw) f32
+     m_ref,      # VMEM (Hkv, qpk, gw) f32
+     l_ref,      # VMEM (Hkv, qpk, gw) f32
+     ) = refs
     r = pl.program_id(0)
     b = pl.program_id(1)
     li = li_ref[0]
@@ -175,11 +184,82 @@ def _paged_seq_kernel(
     def _finish():
         for h in range(num_kv_heads):
             i = h % pack
-            l = l_ref[h, :, :1]
-            o_ref[0, h] = (
-                acc_ref[h, :, i * D:(i + 1) * D]
-                / jnp.where(l == 0.0, 1.0, l)
-            ).astype(o_ref.dtype)
+            if partial:
+                acc_out[0, h] = acc_ref[h, :, i * D:(i + 1) * D]
+                m_out[0, h] = m_ref[h, :, i * D:(i + 1) * D]
+                l_out[0, h] = l_ref[h, :, i * D:(i + 1) * D]
+            else:
+                l = l_ref[h, :, :1]
+                o_ref[0, h] = (
+                    acc_ref[h, :, i * D:(i + 1) * D]
+                    / jnp.where(l == 0.0, 1.0, l)
+                ).astype(o_ref.dtype)
+
+
+def _paged_seq_call(qr, k_pool, v_pool, li, seg_src, seg_off, seg_live,
+                    blk_live, *, scale, block_len, seg_len, partial):
+    R, Hkv, qpk, D = qr.shape
+    assert 128 % D == 0, "head packing requires head_dim dividing 128"
+    nb = int(blk_live.shape[0]) // R
+    assert nb * R == int(blk_live.shape[0])
+    spb = block_len // seg_len
+    assert seg_src.shape == (R * nb * spb,), (seg_src.shape, R, nb, spb)
+
+    gw = head_pack(D, Hkv) * D
+    kernel = functools.partial(
+        _paged_seq_kernel,
+        scale=scale,
+        block_len=block_len,
+        seg_len=seg_len,
+        num_blocks=nb,
+        num_leaves=R,
+        num_kv_heads=Hkv,
+        head_dim=D,
+        partial=partial,
+    )
+    out_spec = pl.BlockSpec((1, Hkv, qpk, D), lambda r, b, *_: (r, 0, 0, 0))
+    fstate = jax.ShapeDtypeStruct((R, Hkv, qpk, D), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(R, nb),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, qpk, D), lambda r, b, *_: (r, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(out_spec, out_spec, out_spec) if partial else out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
+            pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, spb)),
+            pltpu.VMEM((Hkv, qpk, gw), qr.dtype),
+            pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
+            pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
+            pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(fstate, fstate, fstate) if partial
+        else jax.ShapeDtypeStruct((R, Hkv, qpk, D), qr.dtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * R * Hkv * qpk * nb * block_len * 128,
+            bytes_accessed=2 * R * nb * block_len * Hkv * D
+            * k_pool.dtype.itemsize,
+            transcendentals=R * Hkv * qpk * nb * block_len,
+        ),
+    )(
+        li.reshape(1).astype(jnp.int32),
+        seg_src,
+        seg_off,
+        seg_live,
+        blk_live,
+        qr,
+        k_pool,
+        v_pool,
+    )
 
 
 @functools.partial(
@@ -199,65 +279,28 @@ def paged_seq_attention(
     block_len: int,
     seg_len: int,
 ) -> jnp.ndarray:
-    R, Hkv, qpk, D = qr.shape
-    assert 128 % D == 0, "head packing requires head_dim dividing 128"
-    nb = int(blk_live.shape[0]) // R
-    assert nb * R == int(blk_live.shape[0])
-    spb = block_len // seg_len
-    assert seg_src.shape == (R * nb * spb,), (seg_src.shape, R, nb, spb)
+    return _paged_seq_call(
+        qr, k_pool, v_pool, li, seg_src, seg_off, seg_live, blk_live,
+        scale=scale, block_len=block_len, seg_len=seg_len, partial=False,
+    )
 
-    gw = head_pack(D, Hkv) * D
-    kernel = functools.partial(
-        _paged_seq_kernel,
-        scale=scale,
-        block_len=block_len,
-        seg_len=seg_len,
-        num_blocks=nb,
-        num_leaves=R,
-        num_kv_heads=Hkv,
-        head_dim=D,
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_len", "seg_len")
+)
+def paged_seq_attention_partial(
+    qr, k_pool, v_pool, li, seg_src, seg_off, seg_live, blk_live,
+    *, scale, block_len, seg_len,
+):
+    """Per-chip pass over a LOCAL span of each leaf's path blocks, returning
+    unnormalized (acc, m, l) — each (R, Hkv, qpk, D) f32 — for the sp-axis
+    LSE merge (parallel/seq_engine.py).  Keeps the baseline fair under a
+    mesh: every chip still reads its KV span in-kernel from the paged pool
+    (reference semantics token_attention.py:80-150), no XLA gather."""
+    return _paged_seq_call(
+        qr, k_pool, v_pool, li, seg_src, seg_off, seg_live, blk_live,
+        scale=scale, block_len=block_len, seg_len=seg_len, partial=True,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(R, nb),
-        in_specs=[
-            pl.BlockSpec((1, Hkv, qpk, D), lambda r, b, *_: (r, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, Hkv, qpk, D), lambda r, b, *_: (r, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
-            pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, spb)),
-            pltpu.VMEM((Hkv, qpk, gw), qr.dtype),
-            pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
-            pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
-            pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((R, Hkv, qpk, D), qr.dtype),
-        interpret=_interpret(),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * R * Hkv * qpk * nb * block_len * 128,
-            bytes_accessed=2 * R * nb * block_len * Hkv * D
-            * k_pool.dtype.itemsize,
-            transcendentals=R * Hkv * qpk * nb * block_len,
-        ),
-    )(
-        li.reshape(1).astype(jnp.int32),
-        seg_src,
-        seg_off,
-        seg_live,
-        blk_live,
-        qr,
-        k_pool,
-        v_pool,
-    )
-    return out
 
 
 def paged_seq_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale,

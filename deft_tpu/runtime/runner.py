@@ -255,12 +255,10 @@ class ModelRunner:
         # and the cached estimate is charged per iteration).  Auto: on for
         # real TPU, off for CPU/interpret (compile cost dominates tests).
         if measure_attention is None:
-            measure_attention = (
-                jax.default_backend() == "tpu" and self.mesh is None
-            )
-        assert not (measure_attention and self.mesh is not None), (
-            "attention microbench timing is single-device"
-        )
+            # mesh runs are measurable too: the microbench jits the SAME
+            # sharded attention (shard_map + collectives) from this single
+            # process, so per-step wall time is still well-defined
+            measure_attention = jax.default_backend() == "tpu"
         self.measure_attention = measure_attention
         self._attn_bench_cache: Dict[tuple, tuple] = {}
         # (mem_s, comp_s) estimate for the last decode step's bucket
@@ -307,9 +305,13 @@ class ModelRunner:
         kind = mode.plan_kind
         if self.mesh is not None:
             # Mesh path: tree modes run the Pallas partial kernel per chip
-            # under shard_map + cross-chip LSE merge; seq / medusa / int8-KV
-            # fall back to XLA attention, which GSPMD partitions over the
-            # same shardings (proven equal in tests/test_multichip.py).
+            # under shard_map + cross-chip LSE merge — the in-kernel DMA
+            # paged kernel when the plan is segment-aligned (exactly-once KV
+            # IO across the mesh), the XLA-gather partial kernel otherwise.
+            # The seq baseline gets the same treatment (sharded paged partial
+            # + LSE merge); medusa / int8-KV fall back to XLA attention,
+            # which GSPMD partitions over the same shardings (proven equal
+            # in tests/test_multichip.py).
             if (
                 kind != "seq"
                 and mode is not ForwardMode.UNPAGED_MEDUSA
@@ -318,7 +320,11 @@ class ModelRunner:
             ):
                 from deft_tpu.parallel.engine import make_sharded_tree_attn
 
-                return make_sharded_tree_attn(self.mesh)
+                return make_sharded_tree_attn(self.mesh, paged=paged)
+            if kind == "seq" and paged:
+                from deft_tpu.parallel.seq_engine import make_sharded_seq_attn
+
+                return make_sharded_seq_attn(self.mesh)
             return {
                 "flatten": attn_impls.flatten_attn_xla,
                 "node": attn_impls.flatten_attn_xla,
@@ -418,8 +424,8 @@ class ModelRunner:
             attn = functools.partial(
                 attn, block_len=sizes[3], seg_len=sizes[4]
             )
-        key = (f"decode/{mode.plan_kind}/{attn_name}/{sizes}/{override_kind}"
-               f"/{logits_kind}")
+        key = (f"decode/{mode.plan_kind}/{attn_name}/{paged}/{sizes}"
+               f"/{override_kind}/{logits_kind}")
         if key not in self._jit_cache:
             cfg, rope, K = self.cfg, self._rope_apply, self.topk_k
             retain = self.retain_full_logits
@@ -705,10 +711,10 @@ class ModelRunner:
             return build_tree_index_plan(self.tree, **kw)
         if kind == "seq":
             # in-kernel paged reads need a Pallas backend, bf16 pools, and
-            # head packing (128 % D == 0) — same gates as _use_paged
+            # head packing (128 % D == 0) — same gates as _use_paged;
+            # meshes run the same kernel per chip (parallel/seq_engine.py)
             want_paged = (
                 self.kernels != "xla"
-                and self.mesh is None
                 and not self.kv_quantized
                 and 128 % self.cfg.head_dim == 0
             )
@@ -717,11 +723,12 @@ class ModelRunner:
 
     def _use_paged(self, mode: ForwardMode, plan) -> bool:
         """Paged kernel eligibility: seg-aligned plan, Pallas backend, and a
-        lane-aligned per-head row (head_dim % 128 == 0; smaller head dims
+        lane-aligned per-head row (128 % head_dim == 0; other head dims
         would force per-head VMEM relayouts that dominate the kernel).
-        The DMA kernels are single-chip; under a mesh the shard_map gather
-        path runs instead (parallel/engine.py)."""
-        if self.mesh is not None:
+        Under a mesh the same DMA kernels run per chip inside shard_map
+        over sp-local segment tables (parallel/engine.py, seq_engine.py) —
+        int8-KV stays single-chip (no sharded quant partial yet)."""
+        if self.mesh is not None and self.kv_quantized:
             return False
         if isinstance(plan, SeqPlan):
             return (
@@ -811,32 +818,35 @@ class ModelRunner:
 
     def build_decode_batch(self, mode: ForwardMode, plan):
         """Materialize a DecodeBatch/SeqBatch of device arrays (debug /
-        external-harness surface; the hot path uses the packed buffer)."""
+        external-harness surface; the hot path uses the packed buffer).
+        Arrays land mesh-replicated under a mesh (mixing single-device and
+        sharded jit inputs errors — the attention microbench jits these)."""
+        up = self._upload
         if isinstance(plan, SeqPlan):
             paged = self._use_paged(mode, plan)
             return SeqBatch(
-                q_tokens=jnp.asarray(plan.q_tokens),
-                q_pos=jnp.asarray(plan.q_pos),
-                out_loc=jnp.asarray(plan.out_loc),
-                paths=jnp.asarray(plan.paths),
-                seq_lens=jnp.asarray(plan.seq_lens),
-                seg_src=jnp.asarray(plan.seg_src) if paged else None,
-                seg_off=jnp.asarray(plan.seg_off) if paged else None,
-                seg_live=jnp.asarray(plan.seg_live) if paged else None,
-                blk_live=jnp.asarray(plan.blk_live) if paged else None,
+                q_tokens=up(plan.q_tokens),
+                q_pos=up(plan.q_pos),
+                out_loc=up(plan.out_loc),
+                paths=up(plan.paths),
+                seq_lens=up(plan.seq_lens),
+                seg_src=up(plan.seg_src) if paged else None,
+                seg_off=up(plan.seg_off) if paged else None,
+                seg_live=up(plan.seg_live) if paged else None,
+                blk_live=up(plan.blk_live) if paged else None,
             )
         paged = self._use_paged(mode, plan)
         return DecodeBatch(
-            q_tokens=jnp.asarray(plan.q_tokens),
-            q_pos=jnp.asarray(plan.q_pos),
-            out_loc=jnp.asarray(plan.out_loc),
-            kv_idx=jnp.zeros((1,), jnp.int32) if paged
-            else jnp.asarray(plan.kv_idx),
-            tok_lo=jnp.asarray(plan.tok_lo),
-            tok_hi=jnp.asarray(plan.tok_hi),
-            blk_lo=jnp.asarray(plan.blk_lo),
-            blk_hi=jnp.asarray(plan.blk_hi),
-            seg_src=jnp.asarray(plan.seg_src) if paged else None,
+            q_tokens=up(plan.q_tokens),
+            q_pos=up(plan.q_pos),
+            out_loc=up(plan.out_loc),
+            kv_idx=up(np.zeros((1,), np.int32)) if paged
+            else up(plan.kv_idx),
+            tok_lo=up(plan.tok_lo),
+            tok_hi=up(plan.tok_hi),
+            blk_lo=up(plan.blk_lo),
+            blk_hi=up(plan.blk_hi),
+            seg_src=up(plan.seg_src) if paged else None,
         )
 
     def _measure_attention_bucket(self, mode: ForwardMode, plan,
@@ -869,13 +879,15 @@ class ModelRunner:
         R = int(batch.q_tokens.shape[0])
         scale = cfg.head_dim ** -0.5
         Hq, Hkv, D = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
-        mk = lambda *shape: (jnp.arange(  # noqa: E731 deterministic filler
-            int(np.prod(shape)), dtype=jnp.float32
-        ).reshape(shape) % 7 / 7.0).astype(self.dtype)
+        np_dtype = np.float32 if self.dtype == jnp.float32 else jnp.bfloat16
+        mk = lambda *shape: self._upload(  # noqa: E731 deterministic filler
+            (np.arange(int(np.prod(shape)), dtype=np.float64)
+             .reshape(shape) % 7 / 7.0).astype(np_dtype)
+        )
         q = mk(R, Hq, D)
         k_new = mk(R, Hkv, D)
         v_new = mk(R, Hkv, D)
-        lis = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        lis = self._upload(np.arange(cfg.num_layers, dtype=np.int32))
 
         REPS_LO, REPS_HI = 4, 36
 
@@ -899,7 +911,7 @@ class ModelRunner:
 
             return jax.lax.fori_loop(0, reps, outer, jnp.float32(0.0))
 
-        dump_loc = jnp.zeros((R,), jnp.int32)  # all rows -> DUMP scratch
+        dump_loc = self._upload(np.zeros((R,), np.int32))  # -> DUMP scratch
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def store_reps(kp, vp, k_new, v_new, reps):

@@ -189,6 +189,52 @@ def test_sharded_engine_generation_matches_single_device():
     assert got_seq == want
 
 
+@pytest.mark.parametrize("mode_name", ["TREE_DECODE_FLATTEN", "DECODE"])
+@pytest.mark.parametrize("shape", [None, (2, 2, 2)])
+def test_sharded_paged_dma_kernel_matches_single_device(mode_name, shape):
+    """The in-kernel DMA paged kernels must run PER CHIP under the mesh
+    (flatten via parallel/engine.py paged branch, seq via
+    parallel/seq_engine.py) and match single-device logits — the
+    exactly-once-KV-IO flagship property generalized multi-chip (VERDICT r2
+    item 1).  shape=(2,2,2) exercises dp>1 (leaf-window shifted block skip).
+    A long prompt keeps the seg-alignment waste under the plan's limit so
+    the plan is genuinely paged — asserted, not assumed."""
+    import numpy as np
+
+    from deft_tpu.config import EngineConfig
+    from deft_tpu.models import PRESETS
+    from deft_tpu.runtime import ForwardMode, ModelRunner
+
+    mode = ForwardMode[mode_name]
+    ecfg = EngineConfig(
+        kv_pool_slots=4096, max_requests=16, max_context_len=1024,
+        min_token_bucket=128, dtype="float32",
+    )
+
+    def run(mesh, kernels):
+        runner = ModelRunner(PRESETS["tiny"], ecfg, kernels=kernels, seed=0,
+                             mesh=mesh)
+        tree = runner.tree
+        tree.init_prompt([7 + (i % 97) for i in range(400)])
+        for i, c in enumerate(tree.branch(tree.root, 5)):
+            c.append_token(100 + i)
+        tree.alloc()
+        plan = runner.build_plan(mode)
+        paged = runner._use_paged(mode, plan)
+        view, _ = runner.forward_tree_decode(mode, plan)
+        return paged, np.asarray(view.ids[:5]), np.asarray(view.vals[:5])
+
+    _, ids1, vals1 = run(None, "xla")
+    mesh = make_mesh(8, num_kv_heads=PRESETS["tiny"].num_kv_heads,
+                     shape=shape)
+    if shape == (2, 2, 2):
+        assert mesh.shape["dp"] == 2
+    paged, ids2, vals2 = run(mesh, "pallas")
+    assert paged, "plan must be segment-aligned in this scenario"
+    np.testing.assert_array_equal(ids1, ids2)
+    np.testing.assert_allclose(vals1, vals2, rtol=1e-4, atol=1e-6)
+
+
 def test_sharded_moe_generation_matches_single_device():
     """Mixtral-family MoE under the mesh: the stacked expert einsums are
     GSPMD-partitioned over tp (every expert's intermediate dim sharded) and
