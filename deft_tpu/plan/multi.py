@@ -16,9 +16,11 @@ from typing import List, Sequence
 
 import numpy as np
 
+from deft_tpu.core.kv_pool import DUMP_SLOT
 from deft_tpu.core.tree import TreeCache
 from deft_tpu.plan.flatten import FlattenPlan, _EMPTY_LO, build_flatten_plan
 from deft_tpu.plan.padding import pad_leaf_count, pad_token_count
+from deft_tpu.plan.seq import SeqPlan, build_seq_plan
 
 
 def build_multi_flatten_plan(
@@ -120,6 +122,111 @@ def build_multi_flatten_plan(
         seg_src=seg_src,
         seg_len=seg,
         paged=paged,
+    )
+    plan.leaf_offsets = leaf_offsets  # type: ignore[attr-defined]
+    return plan
+
+
+def build_multi_seq_plan(
+    trees: Sequence[TreeCache],
+    q_per_kv: int,
+    block_len: int = 128,
+    min_token_bucket: int = 1024,
+    seg_len=(128, 32),
+    want_paged: bool = True,
+) -> SeqPlan:
+    """Batched sequential-baseline plan: every tree's leaves stack into one
+    global row set (numbering identical to build_multi_flatten_plan's, so
+    BatchedEngine row windows work unchanged).  The seq baseline is per-leaf
+    by construction — rows from different trees are independent — so
+    batching is pure row concatenation; only the per-leaf path length
+    (c_pad) and DMA segment length must be unified across trees."""
+    assert trees
+    candidates = (seg_len,) if isinstance(seg_len, int) else tuple(seg_len)
+    if not want_paged:
+        candidates = ()
+    plans: List[SeqPlan] = []
+    for cand in candidates + (None,):
+        plans = [build_seq_plan(
+            t, q_per_kv,
+            block_len=block_len,
+            min_token_bucket=block_len,  # tight per-tree; unified below
+            seg_len=cand if cand is not None else (),
+            want_paged=cand is not None,
+        ) for t in trees]
+        if cand is None or all(p.paged for p in plans):
+            break
+    paged = all(p.paged for p in plans)
+    seg = plans[0].seg_len if paged else 0
+
+    leaf_offsets = []
+    off = 0
+    for p in plans:
+        leaf_offsets.append(off)
+        off += p.n_leaves
+    n_leaves = off
+    l_pad = pad_leaf_count(n_leaves, q_per_kv)
+    c_pad = pad_token_count(max(p.c_pad for p in plans), block_len,
+                            min_token_bucket)
+
+    q_tokens = np.zeros(l_pad, dtype=np.int32)
+    q_pos = np.zeros(l_pad, dtype=np.int32)
+    out_loc = np.full(l_pad, DUMP_SLOT, dtype=np.int32)
+    seq_lens = np.zeros(l_pad, dtype=np.int32)
+    for p, o in zip(plans, leaf_offsets):
+        n = p.n_leaves
+        q_tokens[o:o + n] = p.q_tokens[:n]
+        q_pos[o:o + n] = p.q_pos[:n]
+        out_loc[o:o + n] = p.out_loc[:n]
+        seq_lens[o:o + n] = p.seq_lens[:n]
+    total_kv = sum(p.total_kv for p in plans)
+
+    if paged:
+        nseg_tot = c_pad // seg
+        nb = c_pad // block_len
+        seg_src = np.zeros((l_pad, nseg_tot), dtype=np.int32)
+        seg_off = np.zeros((l_pad, nseg_tot), dtype=np.int32)
+        seg_live = np.zeros((l_pad, nseg_tot), dtype=np.int32)
+        blk_live = np.zeros((l_pad, nb), dtype=np.int32)
+        for p, o in zip(plans, leaf_offsets):
+            n = p.n_leaves
+            w = p.c_pad // seg
+            seg_src[o:o + n, :w] = p.seg_src.reshape(p.l_pad, w)[:n]
+            seg_off[o:o + n, :w] = p.seg_off.reshape(p.l_pad, w)[:n]
+            seg_live[o:o + n, :w] = p.seg_live.reshape(p.l_pad, w)[:n]
+            wb = p.c_pad // block_len
+            blk_live[o:o + n, :wb] = p.blk_live.reshape(p.l_pad, wb)[:n]
+        plan = SeqPlan(
+            paths=np.empty((l_pad, 0), dtype=np.int32),
+            seq_lens=seq_lens,
+            q_tokens=q_tokens,
+            q_pos=q_pos,
+            out_loc=out_loc,
+            n_leaves=n_leaves,
+            total_kv=total_kv,
+            seg_src=seg_src.reshape(-1),
+            seg_off=seg_off.reshape(-1),
+            seg_live=seg_live.reshape(-1),
+            blk_live=blk_live.reshape(-1),
+            seg_len=seg,
+            paged=True,
+            _c_pad=c_pad,
+        )
+        plan.leaf_offsets = leaf_offsets  # type: ignore[attr-defined]
+        return plan
+
+    paths = np.full((l_pad, c_pad), DUMP_SLOT, dtype=np.int32)
+    for p, o in zip(plans, leaf_offsets):
+        n = p.n_leaves
+        paths[o:o + n, :p.c_pad] = p.paths[:n]
+    plan = SeqPlan(
+        paths=paths,
+        seq_lens=seq_lens,
+        q_tokens=q_tokens,
+        q_pos=q_pos,
+        out_loc=out_loc,
+        n_leaves=n_leaves,
+        total_kv=total_kv,
     )
     plan.leaf_offsets = leaf_offsets  # type: ignore[attr-defined]
     return plan

@@ -15,7 +15,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 from deft_tpu.core.tree import TreeCache
-from deft_tpu.plan.multi import build_multi_flatten_plan
+from deft_tpu.plan.multi import build_multi_flatten_plan, build_multi_seq_plan
 from deft_tpu.runtime.modes import ForwardMode
 from deft_tpu.runtime.runner import LogitsView, ModelRunner
 
@@ -98,8 +98,8 @@ class BatchedEngine:
 
     def __init__(self, runner: ModelRunner,
                  mode: ForwardMode = ForwardMode.TREE_DECODE_FLATTEN):
-        assert mode.plan_kind in ("flatten", "node"), \
-            "batched decoding uses the flatten-family plans"
+        assert mode.plan_kind in ("flatten", "node", "seq"), \
+            "batched decoding uses the flatten-family or seq plans"
         self.runner = runner
         self.mode = mode
         self.active: List[Request] = []
@@ -190,10 +190,23 @@ class BatchedEngine:
             r.apply_kv_copies(t)  # per-tree merge compactions (spec decode)
             t.alloc()
         a = r.ecfg.attention
-        plan = build_multi_flatten_plan(
-            trees, q_per_kv=r.cfg.q_per_kv, block_len=a.block_len,
-            min_token_bucket=r.ecfg.min_token_bucket,
-        )
+        if self.mode.plan_kind == "seq":
+            # the seq baseline batches by pure row concatenation (per-leaf
+            # independence) — enables batched flatten-vs-seq comparisons
+            want_paged = (
+                r.kernels != "xla" and not r.kv_quantized
+                and 128 % r.cfg.head_dim == 0
+            )
+            plan = build_multi_seq_plan(
+                trees, q_per_kv=r.cfg.q_per_kv, block_len=a.block_len,
+                min_token_bucket=r.ecfg.min_token_bucket,
+                want_paged=want_paged,
+            )
+        else:
+            plan = build_multi_flatten_plan(
+                trees, q_per_kv=r.cfg.q_per_kv, block_len=a.block_len,
+                min_token_bucket=r.ecfg.min_token_bucket,
+            )
         override = (
             self._chain.greedy_ids_device if self._chain is not None else None
         )

