@@ -47,6 +47,7 @@ PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", 4000))
 GEN_LEN = int(os.environ.get("BENCH_GEN_LEN", 64))
 MODEL = os.environ.get("BENCH_MODEL", "3b")
 WEIGHT_DTYPE = os.environ.get("BENCH_WQ", "inherit")
+KV_DTYPE = os.environ.get("BENCH_KV", "inherit")
 MODE_TIMEOUT_S = int(os.environ.get("BENCH_MODE_TIMEOUT_S", 420))
 INIT_TIMEOUT_S = int(os.environ.get("BENCH_INIT_TIMEOUT_S", 150))
 DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", 1200))
@@ -172,15 +173,42 @@ def kernel_check() -> str:
     vp2 = np.asarray(v2[0], np.float64).reshape(S2, Hkv, D)
     worst = max(worst, oracle_err(tree2, np.asarray(q2, np.float64),
                                   kp2, vp2, (got2,)))
+
+    # int8-KV paged kernel (ops/paged_quant.py) on real hardware: quantize
+    # the same pools per (token, head), run the dequant-in-kernel path, and
+    # compare against the oracle over the DEQUANTIZED values — isolating
+    # kernel correctness from quantization error (VERDICT r2 missing 2)
+    from deft_tpu.ops.paged_quant import paged_flatten_attention_q
+
+    def quantize(pool):
+        x = np.asarray(pool[0], np.float64).reshape(S, Hkv, D)
+        s = np.maximum(np.abs(x).max(axis=-1) / 127.0, 1e-8)  # (S, Hkv)
+        qv = np.clip(np.round(x / s[..., None]), -127, 127)
+        return (jnp.asarray(qv.reshape(S, Hkv * D)[None], jnp.int8),
+                jnp.asarray(s.T[None], jnp.float32),  # (1, Hkv, S)
+                qv * s[..., None])                    # dequantized fp64
+
+    k_q, k_s, kp_dq = quantize(k_pool)
+    v_q, v_s, vp_dq = quantize(v_pool)
+    got_q = np.asarray(unfold_o(paged_flatten_attention_q(
+        fold_q(q, Hkv), k_q, v_q, k_s, v_s, jnp.asarray(0, jnp.int32),
+        jnp.asarray(fplan.seg_src), jnp.asarray(fplan.tok_lo),
+        jnp.asarray(fplan.tok_hi), jnp.asarray(fplan.blk_lo),
+        jnp.asarray(fplan.blk_hi), scale=scale, qpk=qpk,
+        block_len=fplan.block_len, seg_len=fplan.seg_len), R))
+    worst_q = oracle_err(tree, qn, kp_dq, vp_dq, (got_q,))
+
     # TPU MXU multiplies fp32 operands through bf16 passes at default
     # precision, so ~5e-3 relative error vs a float64 oracle is the
     # hardware's fp32-matmul characteristic, not a kernel defect (interpret
     # mode on CPU, with true fp32 dots, lands < 2e-5 — tests/test_kernels).
-    return (f"ok (rel_err={worst:.1e})" if worst < 2e-2
-            else f"fail: rel_err={worst:.2e}")
+    return (f"ok (rel_err={worst:.1e}, int8kv_rel_err={worst_q:.1e})"
+            if worst < 2e-2 and worst_q < 2e-2
+            else f"fail: rel_err={worst:.2e}, int8kv={worst_q:.2e}")
 
 
-def run_mode(mode_name: str, model: str = None, weights: str = None) -> dict:
+def run_mode(mode_name: str, model: str = None, weights: str = None,
+             kv: str = None) -> dict:
     from deft_tpu.config import EngineConfig
     from deft_tpu.control import Branch_Controller, workloads
     from deft_tpu.models import PRESETS
@@ -189,6 +217,7 @@ def run_mode(mode_name: str, model: str = None, weights: str = None) -> dict:
 
     model = model or MODEL
     weights = weights or WEIGHT_DTYPE
+    kv = kv or KV_DTYPE
     cfg = PRESETS[model]
     # chunked allocator reserves up to 2 chunks (128 slots) per leaf
     slots = PROMPT_LEN + WIDTH * (GEN_LEN + 8 + 256) + 1024
@@ -197,6 +226,7 @@ def run_mode(mode_name: str, model: str = None, weights: str = None) -> dict:
         max_requests=max(64, 2 * WIDTH),
         max_context_len=PROMPT_LEN + GEN_LEN + 64,
         weight_dtype=weights,
+        kv_dtype=kv,
     )
     runner = ModelRunner(cfg, ecfg, kernels="auto", seed=0)
     rng = np.random.default_rng(0)
@@ -234,10 +264,13 @@ def run_mode(mode_name: str, model: str = None, weights: str = None) -> dict:
         "e2e_ms": float(pm.e2e_latency),
         "ttft_ms": float(pm.TTFT),
         "attn_latency_ms": float(pm.attention_latency),
+        # attention latency is the per-bucket compiled-microbench ESTIMATE
+        # charged per iteration, not a per-step measurement
+        "attn_is_estimate": bool(pm.attn_is_estimate),
     }
 
 
-def _spawn_child(phase: str, timeout_s: float, model, weights):
+def _spawn_child(phase: str, timeout_s: float, model, weights, kv=None):
     """One watchdogged child attempt.  Returns (status, result_dict, err):
     status 'ok' | 'init-wedge' | 'fail'.  The child prints `#backend-up`
     to stderr the moment jax backend init completes; if that heartbeat
@@ -253,6 +286,8 @@ def _spawn_child(phase: str, timeout_s: float, model, weights):
         env["BENCH_CHILD_MODEL"] = model
     if weights:
         env["BENCH_CHILD_WQ"] = weights
+    if kv:
+        env["BENCH_CHILD_KV"] = kv
     with tempfile.TemporaryFile("w+") as outf, \
             tempfile.TemporaryFile("w+") as errf:
         proc = subprocess.Popen(
@@ -296,7 +331,8 @@ def _spawn_child(phase: str, timeout_s: float, model, weights):
 
 
 def run_child(phase: str, timeout_s: float, model: str = None,
-              weights: str = None, max_wedges: int = None) -> dict:
+              weights: str = None, max_wedges: int = None,
+              kv: str = None) -> dict:
     """Run one phase in a watchdogged child process, retrying on wedge.
     Init wedges are killed after INIT_TIMEOUT_S and retried as long as the
     deadline allows (they are transport flakes, not code failures) up to
@@ -308,7 +344,8 @@ def run_child(phase: str, timeout_s: float, model: str = None,
     while True:
         if _left() < 30:
             raise RuntimeError(f"deadline exhausted before {phase}: {last_err}")
-        status, result, err = _spawn_child(phase, timeout_s, model, weights)
+        status, result, err = _spawn_child(phase, timeout_s, model, weights,
+                                           kv)
         if status == "ok":
             return result
         last_err = err
@@ -341,6 +378,7 @@ def main() -> int:
             phase,
             model=os.environ.get("BENCH_CHILD_MODEL"),
             weights=os.environ.get("BENCH_CHILD_WQ"),
+            kv=os.environ.get("BENCH_CHILD_KV"),
         )))
         return 0
 
@@ -392,6 +430,7 @@ def main() -> int:
             "tpot_flatten_ms": round(flat_r["tpot_ms"], 4),
             "tpot_seq_ms": round(seq_r["tpot_ms"], 4),
             "attn_speedup": round(asp, 4) if asp else None,
+            "attn_is_estimate": bool(flat_r.get("attn_is_estimate")),
             "kv_io_reduction": round(
                 1 - flat_r["kv_io_bytes"] / seq_r["kv_io_bytes"], 4
             ) if seq_r["kv_io_bytes"] else None,
@@ -418,6 +457,30 @@ def main() -> int:
             print(f"# 8b wall {time.time()-_T0:.0f}s  TPOT speedup "
                   f"{sp8:.3f}x  ({seq8['tpot_ms']:.3f} -> "
                   f"{flat8['tpot_ms']:.3f} ms/tok)", file=sys.stderr)
+            # int8-KV flatten TPOT (measured, not asserted: halved KV IO via
+            # the dequant-in-kernel paged_quant path) — printed BEFORE the
+            # 8B headline so the driver's last-line parse stays the headline
+            if _left() > 300:
+                try:
+                    flat8kv = run_child("flatten", MODE_TIMEOUT_S, "8b",
+                                        "int8", kv="int8")
+                    print(f"# 8b int8-KV flatten: {flat8kv}", file=sys.stderr)
+                    print(json.dumps({
+                        "metric": "tpot_flatten_int8kv_ms",
+                        "value": round(flat8kv["tpot_ms"], 4),
+                        "unit": "ms/token",
+                        "vs_baseline": None,
+                        "kernel_check": kc,
+                        "attn_is_estimate": bool(
+                            flat8kv.get("attn_is_estimate")),
+                        "kv_io_bytes": flat8kv["kv_io_bytes"],
+                        "model": "8b", "weights": "int8", "kv": "int8",
+                        "width": WIDTH, "prompt_len": PROMPT_LEN,
+                        "gen_len": GEN_LEN,
+                    }))
+                    sys.stdout.flush()
+                except RuntimeError as e:
+                    print(f"# 8b int8-KV pass skipped: {e}", file=sys.stderr)
             print(json.dumps(headline(flat8, seq8, "8b", "int8", sp8)))
         except RuntimeError as e:
             print(f"# 8b pass skipped: {e}", file=sys.stderr)

@@ -306,6 +306,8 @@ def tree_generate(
                 (attn_est[0] * 1000, attn_est[1] * 1000) if attn_est else
                 (GlobalTimer.get("attn_mem"), GlobalTimer.get("attn_comp"))
             )
+            if attn_est:
+                perf_metrics.attn_is_estimate = True
             perf_metrics.update(
                 iter_time=iter_cost,
                 prepare=GlobalTimer.get("prepare"),
