@@ -224,6 +224,86 @@ def _moe_mlp(cfg: LlamaConfig, lp: Dict[str, jnp.ndarray], h: jnp.ndarray,
     return out.astype(h.dtype)
 
 
+# Row-tile size of the grouped-matmul MoE dispatch; the gmm path engages
+# when the padded-group layout wastes <= ~50% rows (n*k >= 2*NE*tile_m).
+_GMM_TILE_M = 128
+
+
+def _moe_gmm_ok(cfg: LlamaConfig, lp, n: int) -> bool:
+    from deft_tpu.ops.gmm import gmm_eligible
+
+    NE, K = cfg.num_experts, cfg.experts_per_tok
+    if n * K < 2 * NE * _GMM_TILE_M:
+        return False
+    if "wg_sp" in lp or "wg_s" in lp:
+        # int8 experts: gmm takes (NE, F) scales (same fused-dequant math)
+        pass
+    E, I = cfg.hidden_size, cfg.intermediate_size
+    return gmm_eligible(_GMM_TILE_M, E, I, _GMM_TILE_M) and \
+        gmm_eligible(_GMM_TILE_M, I, E, _GMM_TILE_M)
+
+
+def _moe_mlp_gmm(cfg: LlamaConfig, lp: Dict[str, jnp.ndarray],
+                 h: jnp.ndarray, act) -> jnp.ndarray:
+    """Top-k MoE execution for prefill-scale token counts: rows sorted by
+    expert into a tile-aligned padded layout, three grouped matmuls
+    (ops/gmm.py), weighted scatter-add combine.  Exact: identical routing
+    math to _moe_mlp (same softmax/top-k/renormalize), every token's top-k
+    experts execute (dropless — no capacity factor), pad rows combine with
+    weight 0.  FLOPs and expert-weight IO scale with k, not NE."""
+    from deft_tpu.ops.gmm import gmm
+
+    NE, K = cfg.num_experts, cfg.experts_per_tok
+    n, E = h.shape
+    tm = _GMM_TILE_M
+    nK = n * K
+    # static worst-case padded rows: each expert group tile-aligns
+    M_pad = -(-(nK + NE * (tm - 1)) // tm) * tm
+
+    logits = (h @ lp["wrt"].astype(h.dtype)).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_p, top_i = jax.lax.top_k(probs, K)            # (n, K)
+    top_w = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+
+    flat_e = top_i.reshape(-1)                        # (nK,) expert per slot
+    flat_t = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, K)
+    ).reshape(-1)                                     # token per slot
+    flat_w = top_w.reshape(-1).astype(jnp.float32)
+    order = jnp.argsort(flat_e)                       # stable: token-major
+    se = flat_e[order]
+    g = jnp.bincount(flat_e, length=NE)               # group sizes
+    gstart = jnp.cumsum(g) - g
+    padded = -(-g // tm) * tm
+    pstart = jnp.cumsum(padded) - padded              # tile-aligned starts
+    pos = (pstart[se] + jnp.arange(nK, dtype=jnp.int32)
+           - gstart[se]).astype(jnp.int32)
+    row_src = jnp.zeros(M_pad, jnp.int32).at[pos].set(flat_t[order])
+    tok_pos = jnp.full(M_pad, n, jnp.int32).at[pos].set(flat_t[order])
+    w_pos = jnp.zeros(M_pad, jnp.float32).at[pos].set(flat_w[order])
+    # tile -> owning expert (tiles past the last live group run expert
+    # NE-1 on zero-weight pad rows; their output is discarded at combine)
+    tile_eid = (jnp.searchsorted(
+        pstart, jnp.arange(M_pad // tm, dtype=jnp.int32) * tm, side="right"
+    ) - 1).astype(jnp.int32)
+
+    xs = h[row_src]                                   # (M_pad, E)
+
+    def expert_scale(name):
+        s = lp.get(name + "_s", lp.get(name + "_sp"))
+        return s if s is None else s.astype(jnp.float32)
+
+    gx = gmm(xs, lp["wg"], tile_eid, expert_scale("wg"), tile_m=tm)
+    ux = gmm(xs, lp["wu"], tile_eid, expert_scale("wu"), tile_m=tm)
+    zx = act(gx.astype(jnp.float32)).astype(h.dtype) * ux
+    yx = gmm(zx, lp["wdown"], tile_eid, expert_scale("wdown"), tile_m=tm)
+
+    out = jnp.zeros((n + 1, E), jnp.float32).at[tok_pos].add(
+        yx.astype(jnp.float32) * w_pos[:, None]
+    )
+    return out[:n].astype(h.dtype)
+
+
 # An attention impl consumes
 #   (q, k_new, v_new, k_pool, v_pool, layer_idx, batch, scale)
 # and returns (R, Hq, D).  Decode impls gather KV from the pool at
@@ -243,6 +323,7 @@ def _forward(
     out_loc: jnp.ndarray,
     attn: AttnFn,
     batch,
+    moe_gmm: bool = True,
 ):
     x = params["embed"][tokens]
     if cfg.gemma_norm:
@@ -297,7 +378,16 @@ def _forward(
         x = x + mm(o.reshape(x.shape[0], -1).astype(x.dtype), lp, "wo")
         h = norm(x, lp["ln2"], cfg.rms_norm_eps)
         if cfg.num_experts > 0:  # Mixtral-family sparse MoE
-            x = x + _moe_mlp(cfg, lp, h, act)
+            # decode widths execute DENSE (streaming all experts is the IO
+            # floor there); prefill-scale token counts dispatch top-k via
+            # the grouped-matmul kernel — FLOPs scale with k, not NE.
+            # n is static per trace, so this is a compile-time branch.
+            # moe_gmm=False under a mesh: GSPMD partitions the dense
+            # einsums but cannot auto-shard a pallas_call.
+            if moe_gmm and _moe_gmm_ok(cfg, lp, n):
+                x = x + _moe_mlp_gmm(cfg, lp, h, act)
+            else:
+                x = x + _moe_mlp(cfg, lp, h, act)
             return (x, kp, vp), None
         if "wgu" in lp:
             gu = mm(h, lp, "wgu")
@@ -329,6 +419,7 @@ def decode_forward(
     batch,
     attn: AttnFn,
     compute_logits: bool = True,
+    moe_gmm: bool = True,
 ):
     """One tree-decode step: returns (logits (R, V) fp32, k_pool, v_pool).
 
@@ -347,6 +438,7 @@ def decode_forward(
         batch.out_loc,
         attn,
         batch,
+        moe_gmm=moe_gmm,
     )
     if not compute_logits:
         return x, k_pool, v_pool
@@ -362,6 +454,7 @@ def prefill_forward(
     v_pool: jnp.ndarray,
     batch: PrefillBatch,
     attn: AttnFn,
+    moe_gmm: bool = True,
 ):
     """Prefill over the prompt; returns (last-token logits (V,) fp32, pools).
 
@@ -378,6 +471,7 @@ def prefill_forward(
         batch.out_loc,
         attn,
         batch,
+        moe_gmm=moe_gmm,
     )
     last = x[batch.length - 1]
     logits = mm(last[None, :], params, "lm_head")[0].astype(jnp.float32)
@@ -392,6 +486,7 @@ def ragged_prefill_forward(
     v_pool: jnp.ndarray,
     batch: RaggedPrefillBatch,
     attn: AttnFn,
+    moe_gmm: bool = True,
 ):
     """Prefill B concatenated prompts in ONE forward; returns ((B, V) fp32
     last-token logits, pools).  The attention impl masks cross-prompt pairs
@@ -408,6 +503,7 @@ def ragged_prefill_forward(
         batch.out_loc,
         attn,
         batch,
+        moe_gmm=moe_gmm,
     )
     last = x[batch.last_idx]  # (B, hidden)
     logits = mm(last, params, "lm_head").astype(jnp.float32)

@@ -247,6 +247,11 @@ class ModelRunner:
             self.token_to_kv_pool, self.req_to_token_pool, self.tree_index_pool
         )
         self._jit_cache: Dict[str, Callable] = {}
+        # MoE prefill-scale top-k dispatch via the grouped-matmul Pallas
+        # kernel (models/llama._moe_mlp_gmm): single-chip Pallas backends
+        # only — GSPMD partitions the dense einsums under a mesh but cannot
+        # auto-shard a pallas_call, and the xla backend means "no pallas"
+        self._moe_gmm = self.mesh is None and self.kernels != "xla"
         self.decode_time = 0.0
         # Attention-latency attribution (reference GlobalTimer brackets the
         # attention call inside the layer, deft_attention.py:79-149; timing
@@ -509,11 +514,14 @@ class ModelRunner:
                     seg_src=f["tail"] if paged else None,
                 )
 
+            moe_gmm = self._moe_gmm
+
             def step(params, k_pool, v_pool, buf, q_override):
                 batch = unpack(buf, q_override)
                 out, k_pool, v_pool = decode_forward(
                     cfg, params, rope, k_pool, v_pool, batch, attn,
                     compute_logits=logits_kind != "skip",
+                    moe_gmm=moe_gmm,
                 )
                 no_logits = jnp.zeros((0,), jnp.float32)
                 if logits_kind == "skip":
@@ -556,10 +564,12 @@ class ModelRunner:
         if key not in self._jit_cache:
             cfg, rope, K = self.cfg, self._rope_apply, self.topk_k
             attn = self._prefill_attn_fn()
+            moe_gmm = self._moe_gmm
 
             def step(params, k_pool, v_pool, batch):
                 logits, k_pool, v_pool = prefill_forward(
-                    cfg, params, rope, k_pool, v_pool, batch, attn
+                    cfg, params, rope, k_pool, v_pool, batch, attn,
+                    moe_gmm=moe_gmm,
                 )
                 probs = jax.nn.softmax(logits, axis=-1) + 1e-6
                 vals, ids = jax.lax.top_k(probs, K)
@@ -577,10 +587,12 @@ class ModelRunner:
         if key not in self._jit_cache:
             cfg, rope, K = self.cfg, self._rope_apply, self.topk_k
             attn = self._ragged_prefill_attn_fn()
+            moe_gmm = self._moe_gmm
 
             def step(params, k_pool, v_pool, batch):
                 logits, k_pool, v_pool = ragged_prefill_forward(
-                    cfg, params, rope, k_pool, v_pool, batch, attn
+                    cfg, params, rope, k_pool, v_pool, batch, attn,
+                    moe_gmm=moe_gmm,
                 )
                 probs = jax.nn.softmax(logits, axis=-1) + 1e-6
                 vals, ids = jax.lax.top_k(probs, K)

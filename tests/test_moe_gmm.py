@@ -1,0 +1,137 @@
+"""Grouped-matmul MoE prefill dispatch (ops/gmm.py + _moe_mlp_gmm):
+exactness vs the dense stacked-expert execution, k-scaled FLOPs, and the
+tile layout invariants the kernel relies on."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deft_tpu.models import PRESETS
+from deft_tpu.models.llama import (_GMM_TILE_M, _act_fn, _moe_gmm_ok,
+                                   _moe_mlp, _moe_mlp_gmm)
+from deft_tpu.models.loader import random_params
+
+
+def _layer_params(cfg, weight_dtype="inherit"):
+    params = random_params(cfg, seed=0, dtype=jnp.float32,
+                           weight_dtype=weight_dtype)
+    return {k: v[0] for k, v in params.items()
+            if k.split("_")[0] in ("wg", "wu", "wdown", "wrt")}
+
+
+@pytest.mark.parametrize("wdt", ["inherit", "int8"])
+def test_gmm_moe_matches_dense(wdt):
+    cfg = dataclasses.replace(PRESETS["tiny"], num_experts=4,
+                              experts_per_tok=2)
+    lp = _layer_params(cfg, wdt)
+    rng = np.random.default_rng(0)
+    n = 512
+    h = jnp.asarray(rng.standard_normal((n, cfg.hidden_size)) * 0.1,
+                    jnp.float32)
+    act = _act_fn(cfg.hidden_act)
+    assert _moe_gmm_ok(cfg, lp, n)
+    want = np.asarray(_moe_mlp(cfg, lp, h, act))
+    got = np.asarray(_moe_mlp_gmm(cfg, lp, h, act))
+    err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+    assert err < 1e-5, err
+
+
+def test_gmm_moe_flops_scale_with_k_not_ne():
+    """Prefill MoE FLOPs must scale with top-k, not the expert count
+    (VERDICT r2 item 7): the compiled gmm path's flop count stays under
+    2k/NE of the dense stacked-expert execution's."""
+    cfg = dataclasses.replace(PRESETS["tiny"], num_experts=8,
+                              experts_per_tok=2)
+    lp = _layer_params(cfg)
+    n = 2048
+    h = jnp.zeros((n, cfg.hidden_size), jnp.float32)
+    act = _act_fn(cfg.hidden_act)
+    assert _moe_gmm_ok(cfg, lp, n)
+    dense = jax.jit(lambda x: _moe_mlp(cfg, lp, x, act)).lower(
+        h).compile().cost_analysis()["flops"]
+    gmm = jax.jit(lambda x: _moe_mlp_gmm(cfg, lp, x, act)).lower(
+        h).compile().cost_analysis()["flops"]
+    k_over_ne = cfg.experts_per_tok / cfg.num_experts
+    assert gmm < dense * 2 * k_over_ne, (gmm, dense)
+
+
+def test_gmm_dispatch_layout_invariants():
+    """Every routed slot must land in a row tile OWNED by its expert (the
+    kernel computes x_tile @ w[tile_eid[t]] — a slot in a foreign tile
+    would be multiplied by the wrong expert), padded rows carry weight 0,
+    and total row tiles stay within nK/tile_m + NE (k-scaled work)."""
+    cfg = dataclasses.replace(PRESETS["tiny"], num_experts=8,
+                              experts_per_tok=2)
+    NE, K = cfg.num_experts, cfg.experts_per_tok
+    tm = _GMM_TILE_M
+    rng = np.random.default_rng(1)
+    n = 2048
+    nK = n * K
+    top_i = jnp.asarray(
+        np.stack([rng.choice(NE, size=2, replace=False) for _ in range(n)]),
+        jnp.int32,
+    )
+
+    # re-derive the dispatch exactly as _moe_mlp_gmm does
+    flat_e = top_i.reshape(-1)
+    flat_t = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, K)).reshape(-1)
+    order = jnp.argsort(flat_e)
+    se = flat_e[order]
+    g = jnp.bincount(flat_e, length=NE)
+    gstart = jnp.cumsum(g) - g
+    padded = -(-g // tm) * tm
+    pstart = jnp.cumsum(padded) - padded
+    pos = pstart[se] + jnp.arange(nK, dtype=jnp.int32) - gstart[se]
+    M_pad = -(-(nK + NE * (tm - 1)) // tm) * tm
+    tile_eid = jnp.searchsorted(
+        pstart, jnp.arange(M_pad // tm, dtype=jnp.int32) * tm, side="right"
+    ) - 1
+
+    pos = np.asarray(pos)
+    se = np.asarray(se)
+    tile_eid = np.asarray(tile_eid)
+    assert len(np.unique(pos)) == nK          # no slot collisions
+    assert pos.max() < M_pad
+    # slot's tile is owned by the slot's expert
+    assert (tile_eid[pos // tm] == se).all()
+    # work stays k-scaled: at most one partial tile per expert
+    live_tiles = len(np.unique(pos // tm))
+    assert live_tiles <= nK // tm + NE
+    # weights of unwritten (pad) rows are zero
+    w_pos = np.zeros(M_pad)
+    w_pos[pos] = 1.0
+    tok_pos = np.full(M_pad, n)
+    tok_pos[pos] = np.asarray(flat_t[order])
+    assert (tok_pos[w_pos == 0] == n).all()
+
+
+def test_moe_prefill_through_runner_matches_xla():
+    """End-to-end: a long-prompt MoE prefill on the pallas backend (gmm
+    dispatch engaged) produces the same top-1 tokens and probs as the
+    xla backend's dense execution."""
+    from deft_tpu.config import EngineConfig
+    from deft_tpu.runtime import ModelRunner
+
+    cfg = dataclasses.replace(PRESETS["tiny"], num_experts=4,
+                              experts_per_tok=2)
+    ecfg = EngineConfig(
+        kv_pool_slots=2048, max_requests=16, max_context_len=1024,
+        min_token_bucket=128, dtype="float32",
+    )
+    prompt = [7 + (i % 97) for i in range(520)]
+
+    def run(kernels):
+        runner = ModelRunner(cfg, ecfg, kernels=kernels, seed=0)
+        if kernels == "pallas":
+            assert runner._moe_gmm
+        view = runner.forward_prefill(prompt)
+        return np.asarray(view.ids[0, 0]), np.asarray(view.vals[0, 0])
+
+    ids_x, vals_x = run("xla")
+    ids_p, vals_p = run("pallas")
+    assert ids_x == ids_p
+    np.testing.assert_allclose(vals_x, vals_p, rtol=1e-4, atol=1e-6)
