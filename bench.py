@@ -48,6 +48,8 @@ GEN_LEN = int(os.environ.get("BENCH_GEN_LEN", 64))
 MODEL = os.environ.get("BENCH_MODEL", "3b")
 WEIGHT_DTYPE = os.environ.get("BENCH_WQ", "inherit")
 KV_DTYPE = os.environ.get("BENCH_KV", "inherit")
+BLOCK_LEN = int(os.environ.get("BENCH_BLOCK", 512))  # dense-prefix trees:
+# bigger flatten blocks amortize per-block fixed costs (kernel_lab.py)
 MODE_TIMEOUT_S = int(os.environ.get("BENCH_MODE_TIMEOUT_S", 420))
 INIT_TIMEOUT_S = int(os.environ.get("BENCH_INIT_TIMEOUT_S", 150))
 DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", 1200))
@@ -177,26 +179,48 @@ def kernel_check() -> str:
     # int8-KV paged kernel (ops/paged_quant.py) on real hardware: quantize
     # the same pools per (token, head), run the dequant-in-kernel path, and
     # compare against the oracle over the DEQUANTIZED values — isolating
-    # kernel correctness from quantization error (VERDICT r2 missing 2)
+    # kernel correctness from quantization error (VERDICT r2 missing 2).
+    # int8 plans require 128-token segments (scale-row DMA lane alignment),
+    # which this tree's short leaf runs can't afford — check on a
+    # longer-prompt tree where seg-128 padding fits the waste limit.
     from deft_tpu.ops.paged_quant import paged_flatten_attention_q
 
-    def quantize(pool):
-        x = np.asarray(pool[0], np.float64).reshape(S, Hkv, D)
-        s = np.maximum(np.abs(x).max(axis=-1) / 127.0, 1e-8)  # (S, Hkv)
-        qv = np.clip(np.round(x / s[..., None]), -127, 127)
-        return (jnp.asarray(qv.reshape(S, Hkv * D)[None], jnp.int8),
+    tree_q = TreeCache(TokenKVPool(8192), ReqToTokenPool(64, 4096))
+    tree_q.init_prompt(list(range(3000)))
+    for i, c in enumerate(tree_q.branch(tree_q.root, 4)):
+        c.append_token(50 + i)
+    for _ in range(6):
+        tree_q.alloc()
+        for leaf in list(tree_q.leaves.values()):
+            leaf.append_token(int(rng.integers(1, 400)))
+    tree_q.alloc()
+    fplan_q = build_flatten_plan(tree_q, q_per_kv=qpk, min_token_bucket=256,
+                                 seg_len=(128,))
+    if not (fplan_q.paged and fplan_q.seg_len == 128):
+        return "fail: int8 plan not seg128-aligned"
+    S_q = tree_q.token_to_kv_pool.size
+
+    def quantize(x64):
+        s = np.maximum(np.abs(x64).max(axis=-1) / 127.0, 1e-8)  # (S, Hkv)
+        qv = np.clip(np.round(x64 / s[..., None]), -127, 127)
+        return (jnp.asarray(qv.reshape(S_q, Hkv * D)[None], jnp.int8),
                 jnp.asarray(s.T[None], jnp.float32),  # (1, Hkv, S)
                 qv * s[..., None])                    # dequantized fp64
 
-    k_q, k_s, kp_dq = quantize(k_pool)
-    v_q, v_s, vp_dq = quantize(v_pool)
+    k_q, k_s, kp_dq = quantize(
+        rng.standard_normal((S_q, Hkv, D)))
+    v_q, v_s, vp_dq = quantize(
+        rng.standard_normal((S_q, Hkv, D)))
+    R_q = fplan_q.l_pad
+    q_q = jnp.asarray(rng.standard_normal((R_q, Hq, D)), jnp.float32)
     got_q = np.asarray(unfold_o(paged_flatten_attention_q(
-        fold_q(q, Hkv), k_q, v_q, k_s, v_s, jnp.asarray(0, jnp.int32),
-        jnp.asarray(fplan.seg_src), jnp.asarray(fplan.tok_lo),
-        jnp.asarray(fplan.tok_hi), jnp.asarray(fplan.blk_lo),
-        jnp.asarray(fplan.blk_hi), scale=scale, qpk=qpk,
-        block_len=fplan.block_len, seg_len=fplan.seg_len), R))
-    worst_q = oracle_err(tree, qn, kp_dq, vp_dq, (got_q,))
+        fold_q(q_q, Hkv), k_q, v_q, k_s, v_s, jnp.asarray(0, jnp.int32),
+        jnp.asarray(fplan_q.seg_src), jnp.asarray(fplan_q.tok_lo),
+        jnp.asarray(fplan_q.tok_hi), jnp.asarray(fplan_q.blk_lo),
+        jnp.asarray(fplan_q.blk_hi), scale=scale, qpk=qpk,
+        block_len=fplan_q.block_len, seg_len=fplan_q.seg_len), R_q))
+    worst_q = oracle_err(tree_q, np.asarray(q_q, np.float64),
+                         kp_dq, vp_dq, (got_q,))
 
     # TPU MXU multiplies fp32 operands through bf16 passes at default
     # precision, so ~5e-3 relative error vs a float64 oracle is the
@@ -221,7 +245,10 @@ def run_mode(mode_name: str, model: str = None, weights: str = None,
     cfg = PRESETS[model]
     # chunked allocator reserves up to 2 chunks (128 slots) per leaf
     slots = PROMPT_LEN + WIDTH * (GEN_LEN + 8 + 256) + 1024
+    from deft_tpu.config import AttentionConfig
+
     ecfg = EngineConfig(
+        attention=AttentionConfig(block_len=BLOCK_LEN),
         kv_pool_slots=slots,
         max_requests=max(64, 2 * WIDTH),
         max_context_len=PROMPT_LEN + GEN_LEN + 64,

@@ -56,7 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kernels", choices=["auto", "pallas", "xla"],
                    default="auto")
     p.add_argument("--platform", choices=["default", "cpu"], default="default")
-    p.add_argument("--block_len", type=int, default=128)
+    p.add_argument("--block_len", type=int, default=256)
     p.add_argument("--node_chunk_len", type=int, default=None,
                    help="node_chunk mode: max tokens of one node per kernel"
                         " block (default --block_len; reference MAX_BLOCK_LEN,"

@@ -17,7 +17,12 @@ class AttentionConfig:
 
     block_len: tokens per flattened KV block (the reference default is 128,
         tree_cache.py:587; on TPU this is also the kernel's KV tile and must
-        be a multiple of 128 lanes).
+        be a multiple of 128 lanes).  Default 256: the paged kernels'
+        per-block fixed costs dominate at 128 (measured on v5e,
+        experiments/kernel_lab.py — 128 -> 256 cut attention/step ~1.6x at
+        the bench shape); 512 is faster still on dense-prefix trees (the
+        bench uses it) but coarsens dead-block skipping on sparse trees and
+        grows VMEM tiles, so 256 is the general default.
     max_q_tile: query *rows* per kernel tile (leaves x q_heads_per_kv_head,
         folded for the MXU).  The reference limits 32 queries per partial
         (tree_cache.py:661-723); here the limit is rows per MXU tile.
@@ -26,7 +31,7 @@ class AttentionConfig:
         examples/run_DeFT_llama_paged.py:145-150).
     """
 
-    block_len: int = 128
+    block_len: int = 256
     max_q_tile: int = 128
     node_chunk_len: Optional[int] = None
 

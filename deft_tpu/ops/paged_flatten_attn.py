@@ -44,6 +44,21 @@ from jax.experimental.pallas import tpu as pltpu
 from deft_tpu.ops.flatten_attn import (_NEG, _interpret, fold_q,
                                         head_pack, unfold_o)
 
+_LOG2E = 1.4426950408889634  # the softmax runs in the exp2 domain (see
+_LN2 = 0.6931471805599453    # kernel notes); partial outputs convert back
+
+
+# Inner-loop pass budget (measured on v5e, experiments/kernel_lab.py): the
+# hot loop is VPU-pass-bound on (Rq, BLOCK) f32 score tiles, so
+# - the softmax scale and log2(e) fold into q once at init (exp -> exp2),
+# - masking costs ONE where: masked scores go to -1e30 and m is clamped
+#   >= -1e5 so exp2(s - m) underflows to exactly 0 for them (a fully-masked
+#   row would otherwise produce exp2(-1e30 + 1e30) = 1; live scores sit
+#   orders of magnitude above -1e5 — |q.k * scale| is bounded by head norms),
+# - m/l write only lane 0 (no broadcast pass),
+# - p is cast to the pool dtype for the PV MXU pass (on bf16 pools this is
+#   what default-precision f32 dots do internally anyway).
+
 
 def _paged_kernel(
     # scalar prefetch
@@ -129,12 +144,14 @@ def _paged_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
         rq = q_ref.shape[1]
+        s2 = scale * _LOG2E  # softmax scale + exp2 base folded into q
         for h in range(num_kv_heads):
             i = h % pack
             parts = []
             if i:
                 parts.append(jnp.zeros((rq, i * D), q_ref.dtype))
-            parts.append(q_ref[h])
+            parts.append(
+                (q_ref[h].astype(jnp.float32) * s2).astype(q_ref.dtype))
             if pack - 1 - i:
                 parts.append(jnp.zeros((rq, (pack - 1 - i) * D), q_ref.dtype))
             qpad_ref[h] = (
@@ -160,33 +177,41 @@ def _paged_kernel(
             s = jax.lax.dot_general(
                 qpad_ref[h], k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
+            )
+            sm = jnp.where(mask, s, _NEG)
             m_prev = m_ref[h, :, :1]
-            m_cur = jnp.max(jnp.where(mask, s, _NEG), axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-            alpha = jnp.exp(m_prev - m_new)
+            m_new = jnp.maximum(
+                jnp.maximum(m_prev,
+                            jnp.max(sm, axis=-1, keepdims=True)),
+                -1e5,
+            )
+            p = jnp.exp2(sm - m_new)
+            alpha = jnp.exp2(m_prev - m_new)
             l_new = l_ref[h, :, :1] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
             )
             v2 = vbuf[slot, :, g * gw:(g + 1) * gw]
             acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
-                p, v2.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                p.astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m_ref[h] = jnp.broadcast_to(m_new, m_ref[h].shape)
-            l_ref[h] = jnp.broadcast_to(l_new, l_ref[h].shape)
+            m_ref[h, :, :1] = m_new
+            l_ref[h, :, :1] = l_new
 
     @pl.when(b == num_blocks - 1)
     def _finish():
         for h in range(num_kv_heads):
             i = h % pack
             if partial:
-                # unnormalized (acc, m, l) for the sp-axis LSE merge; m/l
-                # are lane-broadcast so any aligned D-slice carries them
+                # unnormalized (acc, m, l) for the sp-axis LSE merge; only
+                # lane 0 of m/l is live, so broadcast here (finish-only
+                # cost), converting m back to the natural-log domain the
+                # cross-chip merge uses (parallel/engine.py)
                 acc_out[h] = acc_ref[h, :, i * D:(i + 1) * D]
-                m_out[h] = m_ref[h, :, i * D:(i + 1) * D]
-                l_out[h] = l_ref[h, :, i * D:(i + 1) * D]
+                m_out[h] = jnp.broadcast_to(
+                    m_ref[h, :, :1] * _LN2, (acc_out.shape[1], D))
+                l_out[h] = jnp.broadcast_to(
+                    l_ref[h, :, :1], (acc_out.shape[1], D))
             else:
                 l = l_ref[h, :, :1]
                 o_ref[h] = (

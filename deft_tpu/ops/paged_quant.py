@@ -26,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from deft_tpu.ops.flatten_attn import (_NEG, _interpret, fold_q,
                                         head_pack, unfold_o)
+from deft_tpu.ops.paged_flatten_attn import _LOG2E
 
 
 def _paged_q_kernel(
@@ -84,12 +85,13 @@ def _paged_q_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
         rq = q_ref.shape[1]
+        s2 = scale * _LOG2E  # softmax scale + exp2 base folded into q
         for h in range(num_kv_heads):
             i = h % pack
             parts = []
             if i:
                 parts.append(jnp.zeros((rq, i * D), jnp.float32))
-            parts.append(q_ref[h].astype(jnp.float32))
+            parts.append(q_ref[h].astype(jnp.float32) * s2)
             if pack - 1 - i:
                 parts.append(jnp.zeros((rq, (pack - 1 - i) * D), jnp.float32))
             qpad_ref[h] = (
@@ -116,12 +118,16 @@ def _paged_q_kernel(
             s = jax.lax.dot_general(
                 qpad_ref[h], k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * ks_row * scale
+            ) * ks_row
+            sm = jnp.where(mask, s, _NEG)
             m_prev = m_ref[h, :, :1]
-            m_cur = jnp.max(jnp.where(mask, s, _NEG), axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-            alpha = jnp.exp(m_prev - m_new)
+            m_new = jnp.maximum(
+                jnp.maximum(m_prev,
+                            jnp.max(sm, axis=-1, keepdims=True)),
+                -1e5,
+            )
+            p = jnp.exp2(sm - m_new)
+            alpha = jnp.exp2(m_prev - m_new)
             l_new = l_ref[h, :, :1] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
             )
@@ -131,8 +137,8 @@ def _paged_q_kernel(
                 p * vs_row, v2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m_ref[h] = jnp.broadcast_to(m_new, (rq, gw))
-            l_ref[h] = jnp.broadcast_to(l_new, (rq, gw))
+            m_ref[h, :, :1] = m_new
+            l_ref[h, :, :1] = l_new
 
     @pl.when(b == num_blocks - 1)
     def _finish():

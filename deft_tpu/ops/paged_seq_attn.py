@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from deft_tpu.ops.flatten_attn import _NEG, _interpret, head_pack
+from deft_tpu.ops.paged_flatten_attn import _LN2, _LOG2E
 
 
 def _paged_seq_kernel(
@@ -48,6 +49,8 @@ def _paged_seq_kernel(
     q_ref,         # VMEM (1, Hkv, qpk, D)
     k_pool_ref,    # ANY  (L, S, Hkv*D)
     v_pool_ref,    # ANY  (L, S, Hkv*D)
+    # quantized=True adds ks_pool_ref / vs_pool_ref — ANY (L, Hkv, S) f32
+    # head-major per-(token, head) scales (same layout as ops/paged_quant)
     # outputs + scratch (unpacked below):
     #   partial=False: o_ref (1, Hkv, qpk, D)
     #   partial=True:  acc_out, m_out, l_out — (1, Hkv, qpk, D) f32
@@ -61,16 +64,23 @@ def _paged_seq_kernel(
     num_kv_heads: int,
     head_dim: int,
     partial: bool = False,
+    quantized: bool = False,
 ):
+    if quantized:
+        ks_pool_ref, vs_pool_ref = refs[:2]
+        refs = refs[2:]
     if partial:
         acc_out, m_out, l_out = refs[:3]
         refs = refs[3:]
     else:
         o_ref = refs[0]
         refs = refs[1:]
+    if quantized:
+        ksbuf, vsbuf = refs[:2]  # VMEM (2, Hkv, BLOCK) f32
+        refs = refs[2:]
     (kbuf,       # VMEM (2, BLOCK, Hkv*D)
      vbuf,       # VMEM (2, BLOCK, Hkv*D)
-     sem,        # DMA sems (2, 2, spb)
+     sem,        # DMA sems (2, 2 or 4, spb)
      qpad_ref,   # VMEM (Hkv, qpk, gw) lane-slotted queries
      acc_ref,    # VMEM (Hkv, qpk, gw) f32
      m_ref,      # VMEM (Hkv, qpk, gw) f32
@@ -105,6 +115,18 @@ def _paged_seq_kernel(
                 vbuf.at[slot, dst, :],
                 sem.at[slot, 1, j],
             ))
+            if quantized:
+                # every head's scale row for the segment in one 2-D copy
+                copies.append(pltpu.make_async_copy(
+                    ks_pool_ref.at[li, :, pl.ds(src, seg_len)],
+                    ksbuf.at[slot, :, dst],
+                    sem.at[slot, 2, j],
+                ))
+                copies.append(pltpu.make_async_copy(
+                    vs_pool_ref.at[li, :, pl.ds(src, seg_len)],
+                    vsbuf.at[slot, :, dst],
+                    sem.at[slot, 3, j],
+                ))
         return copies
 
     def issue(linear, slot):
@@ -120,15 +142,18 @@ def _paged_seq_kernel(
         m_ref[...] = jnp.full_like(m_ref, _NEG)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        s2 = scale * _LOG2E  # softmax scale + exp2 base folded into q
         for h in range(num_kv_heads):
             i = h % pack
             parts = []
             if i:
-                parts.append(jnp.zeros((qpad_ref.shape[1], i * D), q_ref.dtype))
-            parts.append(q_ref[0, h])
+                parts.append(jnp.zeros((qpad_ref.shape[1], i * D),
+                                       qpad_ref.dtype))
+            parts.append(
+                (q_ref[0, h].astype(jnp.float32) * s2).astype(qpad_ref.dtype))
             if pack - 1 - i:
                 parts.append(jnp.zeros(
-                    (qpad_ref.shape[1], (pack - 1 - i) * D), q_ref.dtype
+                    (qpad_ref.shape[1], (pack - 1 - i) * D), qpad_ref.dtype
                 ))
             qpad_ref[h] = (
                 jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
@@ -160,34 +185,53 @@ def _paged_seq_kernel(
         for h in range(num_kv_heads):
             g = h // pack
             k2 = kbuf[slot, :, g * gw:(g + 1) * gw]
+            if quantized:
+                k2 = k2.astype(jnp.float32)
             s = jax.lax.dot_general(
                 qpad_ref[h], k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
+            )
+            if quantized:
+                # lane-wise dequant: per-token K scales column-scale the
+                # scores (zero-padded q isolates head h in the dot)
+                s = s * ksbuf[slot, h:h + 1, :]
+            sm = jnp.where(mask, s, _NEG)
             m_prev = m_ref[h, :, :1]
-            m_cur = jnp.max(jnp.where(mask, s, _NEG), axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-            alpha = jnp.exp(m_prev - m_new)
+            m_new = jnp.maximum(
+                jnp.maximum(m_prev,
+                            jnp.max(sm, axis=-1, keepdims=True)),
+                -1e5,
+            )
+            p = jnp.exp2(sm - m_new)
+            alpha = jnp.exp2(m_prev - m_new)
             l_new = l_ref[h, :, :1] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
             )
             v2 = vbuf[slot, :, g * gw:(g + 1) * gw]
+            if quantized:
+                # dequant stays f32: scale p by the per-token V scales and
+                # widen the int8 V tile
+                p = p * vsbuf[slot, h:h + 1, :]
+                v2 = v2.astype(jnp.float32)
             acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
-                p, v2.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                p.astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m_ref[h] = jnp.broadcast_to(m_new, m_ref[h].shape)
-            l_ref[h] = jnp.broadcast_to(l_new, l_ref[h].shape)
+            m_ref[h, :, :1] = m_new
+            l_ref[h, :, :1] = l_new
 
     @pl.when(b == nb - 1)
     def _finish():
+        qpk = qpad_ref.shape[1]
         for h in range(num_kv_heads):
             i = h % pack
             if partial:
+                # lane 0 of m/l is live; broadcast at finish, m back to the
+                # natural-log domain the sp merge uses
                 acc_out[0, h] = acc_ref[h, :, i * D:(i + 1) * D]
-                m_out[0, h] = m_ref[h, :, i * D:(i + 1) * D]
-                l_out[0, h] = l_ref[h, :, i * D:(i + 1) * D]
+                m_out[0, h] = jnp.broadcast_to(
+                    m_ref[h, :, :1] * _LN2, (qpk, D))
+                l_out[0, h] = jnp.broadcast_to(l_ref[h, :, :1], (qpk, D))
             else:
                 l = l_ref[h, :, :1]
                 o_ref[0, h] = (
@@ -197,13 +241,15 @@ def _paged_seq_kernel(
 
 
 def _paged_seq_call(qr, k_pool, v_pool, li, seg_src, seg_off, seg_live,
-                    blk_live, *, scale, block_len, seg_len, partial):
+                    blk_live, *, scale, block_len, seg_len, partial,
+                    k_scale=None, v_scale=None):
     R, Hkv, qpk, D = qr.shape
     assert 128 % D == 0, "head packing requires head_dim dividing 128"
     nb = int(blk_live.shape[0]) // R
     assert nb * R == int(blk_live.shape[0])
     spb = block_len // seg_len
     assert seg_src.shape == (R * nb * spb,), (seg_src.shape, R, nb, spb)
+    quantized = k_scale is not None
 
     gw = head_pack(D, Hkv) * D
     kernel = functools.partial(
@@ -216,28 +262,43 @@ def _paged_seq_call(qr, k_pool, v_pool, li, seg_src, seg_off, seg_live,
         num_kv_heads=Hkv,
         head_dim=D,
         partial=partial,
+        quantized=quantized,
     )
     out_spec = pl.BlockSpec((1, Hkv, qpk, D), lambda r, b, *_: (r, 0, 0, 0))
     fstate = jax.ShapeDtypeStruct((R, Hkv, qpk, D), jnp.float32)
+    in_specs = [
+        pl.BlockSpec((1, Hkv, qpk, D), lambda r, b, *_: (r, 0, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    operands = [qr, k_pool, v_pool]
+    scratch = [
+        pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
+        pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
+        pltpu.SemaphoreType.DMA((2, 4 if quantized else 2, spb)),
+        # dequant math runs f32 (the zero-padded q must match the f32 dot)
+        pltpu.VMEM((Hkv, qpk, gw), jnp.float32 if quantized else qr.dtype),
+        pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
+        pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
+        pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
+    ]
+    if quantized:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY)]
+        operands += [k_scale, v_scale]
+        # scale buffers lead the scratch list (kernel unpack order)
+        scratch = [
+            pltpu.VMEM((2, Hkv, block_len), jnp.float32),
+            pltpu.VMEM((2, Hkv, block_len), jnp.float32),
+        ] + scratch
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(R, nb),
-        in_specs=[
-            pl.BlockSpec((1, Hkv, qpk, D), lambda r, b, *_: (r, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=(out_spec, out_spec, out_spec) if partial else out_spec,
-        scratch_shapes=[
-            pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
-            pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, spb)),
-            pltpu.VMEM((Hkv, qpk, gw), qr.dtype),
-            pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
-            pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
-            pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
+    kv_bytes = D * k_pool.dtype.itemsize + (4 if quantized else 0)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -246,8 +307,7 @@ def _paged_seq_call(qr, k_pool, v_pool, li, seg_src, seg_off, seg_live,
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * R * Hkv * qpk * nb * block_len * 128,
-            bytes_accessed=2 * R * nb * block_len * Hkv * D
-            * k_pool.dtype.itemsize,
+            bytes_accessed=2 * R * nb * block_len * Hkv * kv_bytes,
             transcendentals=R * Hkv * qpk * nb * block_len,
         ),
     )(
@@ -256,9 +316,7 @@ def _paged_seq_call(qr, k_pool, v_pool, li, seg_src, seg_off, seg_live,
         seg_off,
         seg_live,
         blk_live,
-        qr,
-        k_pool,
-        v_pool,
+        *operands,
     )
 
 
@@ -303,13 +361,33 @@ def paged_seq_attention_partial(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_len", "seg_len")
+)
+def paged_seq_attention_q(
+    qr, k_pool, v_pool, k_scale, v_scale, li,
+    seg_src, seg_off, seg_live, blk_live,
+    *, scale, block_len, seg_len,
+):
+    """int8-KV paged seq baseline: DMAs int8 KV segments AND their
+    head-major per-(token, head) fp32 scale rows, dequantizing lane-wise in
+    VMEM (same scheme as ops/paged_quant.py) — the baseline keeps its
+    in-kernel paged reads at half the KV HBM traffic, so int8-KV
+    flatten-vs-seq comparisons stay fair."""
+    return _paged_seq_call(
+        qr, k_pool, v_pool, li, seg_src, seg_off, seg_live, blk_live,
+        scale=scale, block_len=block_len, seg_len=seg_len, partial=False,
+        k_scale=k_scale, v_scale=v_scale,
+    )
+
+
 def paged_seq_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale,
                           *, block_len: int, seg_len: int):
     """AttnFn entry for the paged seq baseline (runner binds the static
     block/seg lengths from the plan's jit-key sizes)."""
     R, Hq, D = q.shape
     assert not k_pool.quantized, \
-        "paged seq kernel reads bf16 pools; int8 KV uses the gather path"
+        "int8 pools route through paged_seq_attn_q_pallas"
     k_pool, v_pool = k_pool.data, v_pool.data
     Hkv = k_pool.shape[-1] // D
     qpk = Hq // Hkv
@@ -317,6 +395,28 @@ def paged_seq_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale,
         q.reshape(R, Hkv, qpk, D),
         k_pool,
         v_pool,
+        li,
+        batch.seg_src,
+        batch.seg_off,
+        batch.seg_live,
+        batch.blk_live,
+        scale=scale,
+        block_len=block_len,
+        seg_len=seg_len,
+    )
+    return o.reshape(R, Hq, D)
+
+
+def paged_seq_attn_q_pallas(q, k_new, v_new, k_pool, v_pool, li, batch,
+                            scale, *, block_len: int, seg_len: int):
+    """AttnFn entry for the int8-KV paged seq baseline."""
+    R, Hq, D = q.shape
+    assert k_pool.quantized
+    Hkv = k_pool.data.shape[-1] // D
+    qpk = Hq // Hkv
+    o = paged_seq_attention_q(
+        q.reshape(R, Hkv, qpk, D),
+        k_pool.data, v_pool.data, k_pool.scale, v_pool.scale,
         li,
         batch.seg_src,
         batch.seg_off,

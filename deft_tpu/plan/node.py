@@ -32,6 +32,7 @@ def build_node_plan(
     block_len: int = 128,
     min_token_bucket: int = 1024,
     chunk_len: Optional[int] = None,
+    seg_len=(128, 32),
 ) -> FlattenPlan:
     return build_flatten_plan(
         tree,
@@ -40,6 +41,7 @@ def build_node_plan(
         min_token_bucket=min_token_bucket,
         node_aligned=True,
         chunk_len=chunk_len,
+        seg_len=seg_len,
     )
 
 

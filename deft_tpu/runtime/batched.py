@@ -190,22 +190,25 @@ class BatchedEngine:
             r.apply_kv_copies(t)  # per-tree merge compactions (spec decode)
             t.alloc()
         a = r.ecfg.attention
+        # int8 pools: scale-row DMA needs 128-aligned segments (runner
+        # build_plan has the same gate)
+        seg_kw = dict(seg_len=(128,)) if r.kv_quantized else {}
         if self.mode.plan_kind == "seq":
             # the seq baseline batches by pure row concatenation (per-leaf
             # independence) — enables batched flatten-vs-seq comparisons
             want_paged = (
-                r.kernels != "xla" and not r.kv_quantized
-                and 128 % r.cfg.head_dim == 0
+                r.kernels != "xla" and 128 % r.cfg.head_dim == 0
+                and not (r.mesh is not None and r.kv_quantized)
             )
             plan = build_multi_seq_plan(
                 trees, q_per_kv=r.cfg.q_per_kv, block_len=a.block_len,
                 min_token_bucket=r.ecfg.min_token_bucket,
-                want_paged=want_paged,
+                want_paged=want_paged, **seg_kw,
             )
         else:
             plan = build_multi_flatten_plan(
                 trees, q_per_kv=r.cfg.q_per_kv, block_len=a.block_len,
-                min_token_bucket=r.ecfg.min_token_bucket,
+                min_token_bucket=r.ecfg.min_token_bucket, **seg_kw,
             )
         override = (
             self._chain.greedy_ids_device if self._chain is not None else None

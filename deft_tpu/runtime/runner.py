@@ -355,9 +355,11 @@ class ModelRunner:
         else:
             tree_attn = flatten_attn_pallas
         if kind == "seq" and paged:
-            from deft_tpu.ops.paged_seq_attn import paged_seq_attn_pallas
+            from deft_tpu.ops.paged_seq_attn import (
+                paged_seq_attn_pallas, paged_seq_attn_q_pallas)
 
-            return paged_seq_attn_pallas
+            return (paged_seq_attn_q_pallas if self.kv_quantized
+                    else paged_seq_attn_pallas)
         return {
             "flatten": tree_attn,
             "node": tree_attn,
@@ -715,6 +717,11 @@ class ModelRunner:
             min_token_bucket=self.ecfg.min_token_bucket,
         )
         kind = mode.plan_kind
+        # int8 pools: the per-(token, head) scale rows are DMA'd as lane
+        # vectors, and Mosaic requires lane-axis slices to be 128-aligned —
+        # int8 plans accept only 128-token segments (else gather fallback)
+        if self.kv_quantized and kind in ("flatten", "seq", "node"):
+            kw["seg_len"] = (128,)
         if kind == "flatten":
             return build_flatten_plan(self.tree, **kw)
         if kind == "node":
@@ -722,13 +729,14 @@ class ModelRunner:
         if kind == "tree_index":
             return build_tree_index_plan(self.tree, **kw)
         if kind == "seq":
-            # in-kernel paged reads need a Pallas backend, bf16 pools, and
-            # head packing (128 % D == 0) — same gates as _use_paged;
-            # meshes run the same kernel per chip (parallel/seq_engine.py)
+            # in-kernel paged reads need a Pallas backend and head packing
+            # (128 % D == 0) — same gates as _use_paged; meshes run the
+            # same kernel per chip (parallel/seq_engine.py); int8 pools get
+            # the dequant-in-kernel variant (single-chip)
             want_paged = (
                 self.kernels != "xla"
-                and not self.kv_quantized
                 and 128 % self.cfg.head_dim == 0
+                and not (self.mesh is not None and self.kv_quantized)
             )
             return build_seq_plan(self.tree, want_paged=want_paged, **kw)
         raise ValueError(kind)
@@ -746,7 +754,6 @@ class ModelRunner:
             return (
                 plan.paged
                 and self.kernels != "xla"
-                and not self.kv_quantized
                 and 128 % self.cfg.head_dim == 0
             )
         return (

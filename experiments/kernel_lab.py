@@ -1,0 +1,329 @@
+"""Flatten-kernel optimization lab: time paged-flatten variants at the
+headline bench shape (8B attention geometry: Hkv=8, D=128, width 50 ->
+Rq=256 folded rows, ~4.5k live tree tokens in 128-token blocks) on the
+real TPU, amortized two-point timing over a 32-layer scan so tunnel
+dispatch cancels (same trick as runner._measure_attention_bucket).
+
+  python experiments/kernel_lab.py [variant ...]   (default: all)
+
+Variants are registered in VARIANTS below; each is checked against the
+production kernel's output before timing.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LAYERS = 32
+HKV, D, QPK = 8, 128, 4
+LEAVES = 64          # width 50 padded
+RQ = LEAVES * QPK    # folded rows per kv head
+PROMPT = 4400        # live tree tokens (prompt 4000 + tails)
+T_PAD = 8192         # pow2 token bucket
+SEG = 128
+
+
+def build_case(block_len: int, rng):
+    """Synthetic bench-shape plan: one contiguous prompt run attended by
+    all leaves + per-leaf 1-token tails, seg tables at `block_len`."""
+    S = T_PAD + 2 * SEG
+    k_pool = jnp.asarray(
+        rng.standard_normal((LAYERS, S, HKV * D)) * 0.3, jnp.bfloat16)
+    v_pool = jnp.asarray(
+        rng.standard_normal((LAYERS, S, HKV * D)) * 0.3, jnp.bfloat16)
+    # token metadata: prompt tokens [0, PROMPT) attended by all leaves;
+    # the rest dead (pow2 bucket padding)
+    tok_lo = np.full(T_PAD, 2**30, np.int32)
+    tok_hi = np.zeros(T_PAD, np.int32)
+    tok_lo[:PROMPT] = 0
+    tok_hi[:PROMPT] = LEAVES
+    # per-leaf tails: 2 tokens each, leaf r attends its own
+    o = PROMPT
+    for r in range(LEAVES):
+        tok_lo[o:o + 2] = r
+        tok_hi[o:o + 2] = r + 1
+        o += 2
+    nb = T_PAD // block_len
+    blk_lo = tok_lo.reshape(nb, block_len).min(1)
+    blk_hi = tok_hi.reshape(nb, block_len).max(1)
+    nseg = block_len // SEG
+    seg_src = (np.arange(nb * nseg, dtype=np.int32) * SEG) % (S - SEG)
+    q = jnp.asarray(rng.standard_normal((HKV, RQ, D)) * 0.3, jnp.bfloat16)
+    return dict(
+        q=q, k_pool=k_pool, v_pool=v_pool,
+        seg_src=jnp.asarray(seg_src), tok_lo=jnp.asarray(tok_lo),
+        tok_hi=jnp.asarray(tok_hi), blk_lo=jnp.asarray(blk_lo),
+        blk_hi=jnp.asarray(blk_hi), block_len=block_len,
+        live_blocks=int((blk_lo < blk_hi).sum()),
+    )
+
+
+def time_step(fn, case, reps_lo=4, reps_hi=24):
+    """ms per 32-layer attention step (two-point amortized)."""
+    lis = jnp.arange(LAYERS, dtype=jnp.int32)
+
+    @jax.jit
+    def run(q, kp, vp, reps):
+        def outer(_, acc):
+            qi = (q.astype(jnp.float32) + acc * 1e-30).astype(q.dtype)
+
+            def body(a, li):
+                o = fn(qi, kp, vp, li, case)
+                return a + o.astype(jnp.float32).sum(), None
+
+            tot, _ = jax.lax.scan(body, jnp.float32(0.0), lis)
+            return tot
+
+        return jax.lax.fori_loop(0, reps, outer, jnp.float32(0.0))
+
+    def t(reps, n=3):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(
+                run(case["q"], case["k_pool"], case["v_pool"],
+                    jnp.int32(reps)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t(reps_lo)  # compile
+    lo = t(reps_lo)
+    hi = t(reps_hi)
+    return (hi - lo) / (reps_hi - reps_lo) * 1000
+
+
+# -- variants -----------------------------------------------------------------
+
+def v0_production(q, kp, vp, li, case):
+    from deft_tpu.ops.paged_flatten_attn import paged_flatten_attention
+
+    return paged_flatten_attention(
+        q, kp, vp, li, case["seg_src"], case["tok_lo"], case["tok_hi"],
+        case["blk_lo"], case["blk_hi"], scale=D ** -0.5, qpk=QPK,
+        block_len=case["block_len"], seg_len=min(SEG, case["block_len"]),
+    )
+
+
+def _lab_kernel(
+    li_ref, seg_src_ref, blk_lo_ref, blk_hi_ref,
+    q_ref, k_pool_ref, v_pool_ref, lo_ref, hi_ref,
+    o_ref, kbuf, vbuf, sem, qpad_ref, acc_ref, m_ref, l_ref,
+    *, scale, qpk, block_len, seg_len, num_blocks, num_kv_heads, head_dim,
+):
+    """Variant B: pass-trimmed inner loop.
+    - scale * log2(e) folded into q at init; exp -> exp2
+    - single where: masked scores go to -1e30 once; p = exp2(s - m) with
+      m clamped >= -1e5 so fully-masked rows still produce p = 0
+    - m/l kept (Rq, 128) but only column 0 is stored (no broadcast pass)
+    """
+    from deft_tpu.ops.flatten_attn import head_pack
+
+    _NEG = -1e30
+    b = pl.program_id(0)
+    li = li_ref[0]
+    nseg = block_len // seg_len
+    pack = head_pack(head_dim, num_kv_heads)
+    gw = pack * head_dim
+    Dh = head_dim
+
+    def seg_copies(bb, slot):
+        copies = []
+        for j in range(nseg):
+            src = pl.multiple_of(seg_src_ref[bb * nseg + j], seg_len)
+            dst = pl.ds(j * seg_len, seg_len)
+            copies.append(pltpu.make_async_copy(
+                k_pool_ref.at[li, pl.ds(src, seg_len), :],
+                kbuf.at[slot, dst, :], sem.at[slot, 0, j]))
+            copies.append(pltpu.make_async_copy(
+                v_pool_ref.at[li, pl.ds(src, seg_len), :],
+                vbuf.at[slot, dst, :], sem.at[slot, 1, j]))
+        return copies
+
+    def live(bb):
+        return blk_lo_ref[bb] < blk_hi_ref[bb]
+
+    def issue(bb, slot):
+        @pl.when(live(bb))
+        def _():
+            for c in seg_copies(bb, slot):
+                c.start()
+
+    @pl.when(b == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        rq = q_ref.shape[1]
+        s2 = scale * 1.4426950408889634  # fold scale & log2(e) into q
+        for h in range(num_kv_heads):
+            i = h % pack
+            parts = []
+            if i:
+                parts.append(jnp.zeros((rq, i * Dh), q_ref.dtype))
+            parts.append((q_ref[h].astype(jnp.float32) * s2).astype(
+                q_ref.dtype))
+            if pack - 1 - i:
+                parts.append(jnp.zeros((rq, (pack - 1 - i) * Dh),
+                                       q_ref.dtype))
+            qpad_ref[h] = (
+                jnp.concatenate(parts, axis=1) if len(parts) > 1
+                else parts[0]
+            )
+        issue(0, 0)
+
+    @pl.when(b + 1 < num_blocks)
+    def _prefetch():
+        issue(b + 1, (b + 1) % 2)
+
+    @pl.when(live(b))
+    def _compute():
+        slot = b % 2
+        for c in seg_copies(b, slot):
+            c.wait()
+        rq = q_ref.shape[1]
+        leaf = jax.lax.broadcasted_iota(jnp.int32, (rq, block_len), 0) // qpk
+        mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
+        for h in range(num_kv_heads):
+            g = h // pack
+            k2 = kbuf[slot, :, g * gw:(g + 1) * gw]
+            s = jax.lax.dot_general(
+                qpad_ref[h], k2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            sm = jnp.where(mask, s, _NEG)
+            m_prev = m_ref[h, :, :1]
+            m_new = jnp.maximum(
+                jnp.maximum(m_prev,
+                            jnp.max(sm, axis=-1, keepdims=True)),
+                -1e5,
+            )
+            p = jnp.exp2(sm - m_new)
+            alpha = jnp.exp2(m_prev - m_new)
+            l_new = l_ref[h, :, :1] * alpha + jnp.sum(
+                p, axis=-1, keepdims=True)
+            v2 = vbuf[slot, :, g * gw:(g + 1) * gw]
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                p.astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[h, :, :1] = m_new
+            l_ref[h, :, :1] = l_new
+
+    @pl.when(b == num_blocks - 1)
+    def _finish():
+        for h in range(num_kv_heads):
+            i = h % pack
+            l = l_ref[h, :, :1]
+            o_ref[h] = (
+                acc_ref[h, :, i * Dh:(i + 1) * Dh]
+                / jnp.where(l == 0.0, 1.0, l)
+            ).astype(o_ref.dtype)
+
+
+from jax.experimental import pallas as pl            # noqa: E402
+from jax.experimental.pallas import tpu as pltpu     # noqa: E402
+
+
+@functools.partial(jax.jit, static_argnames=("block_len", "seg_len"))
+def _lab_call(q, kp, vp, li, seg_src, tok_lo, tok_hi, blk_lo, blk_hi,
+              *, block_len, seg_len):
+    from deft_tpu.ops.flatten_attn import _interpret, head_pack
+
+    Hkv, Rq, Dh = q.shape
+    gw = head_pack(Dh, Hkv) * Dh
+    T = tok_lo.shape[0]
+    nb = T // block_len
+    kernel = functools.partial(
+        _lab_kernel, scale=Dh ** -0.5, qpk=QPK, block_len=block_len,
+        seg_len=seg_len, num_blocks=nb, num_kv_heads=Hkv, head_dim=Dh,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((Hkv, Rq, Dh), lambda b, *_: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
+            pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
+        ],
+        out_specs=pl.BlockSpec((Hkv, Rq, Dh), lambda b, *_: (0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_len, Hkv * Dh), kp.dtype),
+            pltpu.VMEM((2, block_len, Hkv * Dh), vp.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, block_len // seg_len)),
+            pltpu.VMEM((Hkv, Rq, gw), q.dtype),
+            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
+        ],
+        )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Hkv, Rq, Dh), q.dtype),
+        interpret=_interpret(),
+    )(li.reshape(1).astype(jnp.int32), seg_src, blk_lo, blk_hi,
+      q, kp, vp, tok_lo.reshape(1, T), tok_hi.reshape(1, T))
+
+
+def vB_passes(q, kp, vp, li, case):
+    return _lab_call(
+        q, kp, vp, li, case["seg_src"], case["tok_lo"], case["tok_hi"],
+        case["blk_lo"], case["blk_hi"],
+        block_len=case["block_len"], seg_len=min(SEG, case["block_len"]),
+    )
+
+
+VARIANTS = {
+    "v0_b128": (v0_production, 128),
+    "vB_b128": (vB_passes, 128),
+    "v0_b256": (v0_production, 256),
+    "vB_b256": (vB_passes, 256),
+    "v0_b512": (v0_production, 512),
+    "vB_b512": (vB_passes, 512),
+}
+
+
+def main():
+    global LAYERS, PROMPT, T_PAD
+    check_only = os.environ.get("DEFT_LAB_CHECK") == "1"
+    if check_only:  # CPU interpret correctness pass on trimmed shapes
+        LAYERS, PROMPT, T_PAD = 2, 600, 1024
+    names = sys.argv[1:] or list(VARIANTS)
+    cases = {}
+    ref_out = None
+    for name in names:
+        fn, bl = VARIANTS[name]
+        if bl not in cases:
+            # fresh seed per case: cross-block-size outputs must compare
+            cases[bl] = build_case(bl, np.random.default_rng(0))
+        case = cases[bl]
+        out = np.asarray(
+            fn(case["q"], case["k_pool"], case["v_pool"],
+               jnp.asarray(LAYERS - 1, jnp.int32), case))
+        if ref_out is None:
+            ref_out = out
+        err = np.abs(out.astype(np.float64)
+                     - ref_out.astype(np.float64)).max()
+        ms = 0.0 if check_only else time_step(fn, case)
+        print(f"{name:10s} block={bl:4d} live_blocks={case['live_blocks']:3d}"
+              f"  {ms:7.3f} ms/step (32L)   max|diff vs v0|={err:.2e}",
+              flush=True)
+    # speed-of-light note
+    live_kv = 2 * PROMPT * HKV * D * 2  # K+V bf16 bytes per layer
+    print(f"# live KV {live_kv/1e6:.1f} MB/layer -> "
+          f"{live_kv * LAYERS / 819e9 * 1e3:.2f} ms/step at 819 GB/s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -350,6 +350,69 @@ def test_paged_seq_kernel_vs_oracle(dtype):
             assert err / max(np.abs(want).max(), 1e-9) < tol, (q_i, h, err)
 
 
+def test_paged_seq_quant_kernel_vs_dequant_oracle():
+    """int8-KV paged seq kernel (dequant-in-kernel, lane-wise scales) must
+    match the per-leaf dense oracle over the DEQUANTIZED pool values —
+    the fair int8 baseline for int8-KV flatten-vs-seq comparisons."""
+    from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache
+    from deft_tpu.ops.paged_seq_attn import paged_seq_attention_q
+    from deft_tpu.plan.seq import build_seq_plan
+
+    rng = np.random.default_rng(13)
+    Hq, Hkv, D = 8, 2, 64
+    qpk = Hq // Hkv
+    tree = TreeCache(TokenKVPool(8192), ReqToTokenPool(64, 2048))
+    tree.init_prompt(list(range(150)))
+    for i, c in enumerate(tree.branch(tree.root, 4)):
+        c.append_token(50 + i)
+    for _ in range(10):
+        tree.alloc()
+        for leaf in list(tree.leaves.values()):
+            leaf.append_token(int(rng.integers(1, 400)))
+    tree.alloc()
+    plan = build_seq_plan(tree, q_per_kv=qpk, min_token_bucket=256)
+    assert plan.paged
+
+    S = tree.token_to_kv_pool.size
+    kd = rng.integers(-127, 128, (1, S, Hkv * D)).astype(np.int8)
+    vd = rng.integers(-127, 128, (1, S, Hkv * D)).astype(np.int8)
+    ks = rng.uniform(0.01, 0.1, (1, Hkv, S)).astype(np.float32)
+    vs = rng.uniform(0.01, 0.1, (1, Hkv, S)).astype(np.float32)
+    R = plan.l_pad
+    q = jnp.asarray(rng.standard_normal((R, Hq, D)), jnp.float32)
+    scale = D**-0.5
+
+    got = paged_seq_attention_q(
+        q.reshape(R, Hkv, qpk, D),
+        jnp.asarray(kd), jnp.asarray(vd), jnp.asarray(ks), jnp.asarray(vs),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(plan.seg_src),
+        jnp.asarray(plan.seg_off),
+        jnp.asarray(plan.seg_live),
+        jnp.asarray(plan.blk_live),
+        scale=scale,
+        block_len=plan.c_pad // (len(plan.blk_live) // R),
+        seg_len=plan.seg_len,
+    ).reshape(R, Hq, D)
+
+    qn = np.asarray(q, np.float64)
+    kp = (kd[0].astype(np.float64).reshape(S, Hkv, D)
+          * ks[0].T[:, :, None])
+    vp = (vd[0].astype(np.float64).reshape(S, Hkv, D)
+          * vs[0].T[:, :, None])
+    for leaf in tree.leaves.values():
+        q_i = tree.leaf_to_q[leaf.id]
+        req = tree.leaf_to_req[leaf.id]
+        n = leaf.positions[-1] + 1
+        path = tree.req_to_token_pool.req_to_token[req, :n]
+        for h in range(Hq):
+            s = (qn[q_i, h] @ kp[path, h // qpk].T) * scale
+            p = np.exp(s - s.max())
+            want = (p / p.sum()) @ vp[path, h // qpk]
+            err = np.abs(np.asarray(got[q_i, h], np.float64) - want).max()
+            assert err / max(np.abs(want).max(), 1e-9) < 2e-5, (q_i, h, err)
+
+
 def test_paged_seq_kernel_unaligned_spec_decode_shape():
     """Speculative-decoding trees give every leaf 1-token KV runs at
     ARBITRARY (unaligned) pool offsets; the plan must still take the
