@@ -28,7 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", type=str, default=None,
                    help="local HF checkpoint dir (config.json + safetensors)")
     p.add_argument("--random-model", type=str, default=None,
-                   choices=["tiny", "1b", "3b", "7b", "8b", "8b-8l"],
+                   choices=["tiny", "1b", "3b", "7b", "8b", "8b-8l",
+                            "mixtral-6l"],
                    help="random-init preset (no weights needed)")
     p.add_argument("--mode",
                    choices=["node", "seq", "flatten", "tree", "node_chunk",

@@ -231,4 +231,21 @@ PRESETS: Dict[str, LlamaConfig] = {
         rope_theta=500000.0,
         max_position_embeddings=131072,
     ),
+    # Mixtral-8x7B shapes with trimmed layers: the full 32-layer expert
+    # stack is ~47 GB int8 (32 GB HBM short on a v5e); 6 layers keep every
+    # per-layer cost realistic (router, 8 experts x (4096, 14336) matmuls,
+    # top-2 routing) while fitting int8 weights + KV pools on one chip.
+    "mixtral-6l": LlamaConfig(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_layers=6,
+        num_q_heads=32,
+        num_kv_heads=8,
+        head_dim=128,
+        rope_theta=1e6,
+        max_position_embeddings=32768,
+        num_experts=8,
+        experts_per_tok=2,
+    ),
 }
