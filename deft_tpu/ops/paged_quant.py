@@ -90,10 +90,12 @@ def _paged_q_kernel(
             i = h % pack
             parts = []
             if i:
-                parts.append(jnp.zeros((rq, i * D), jnp.float32))
-            parts.append(q_ref[h].astype(jnp.float32) * s2)
+                parts.append(jnp.zeros((rq, i * D), qpad_ref.dtype))
+            parts.append(
+                (q_ref[h].astype(jnp.float32) * s2).astype(qpad_ref.dtype))
             if pack - 1 - i:
-                parts.append(jnp.zeros((rq, (pack - 1 - i) * D), jnp.float32))
+                parts.append(jnp.zeros((rq, (pack - 1 - i) * D),
+                                       qpad_ref.dtype))
             qpad_ref[h] = (
                 jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
             )
@@ -113,7 +115,10 @@ def _paged_q_kernel(
         mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
         for h in range(num_kv_heads):
             g = h // pack
-            k2 = kbuf[slot, :, g * gw:(g + 1) * gw].astype(jnp.float32)
+            # int8 values up to 127 are EXACT in bf16 (8-bit mantissa), so
+            # widening to the q dtype keeps single-pass MXU dots — the f32
+            # dequant precision lives entirely in the lane-wise scales
+            k2 = kbuf[slot, :, g * gw:(g + 1) * gw].astype(qpad_ref.dtype)
             ks_row = ksbuf[slot, h:h + 1, :]  # (1, BLOCK) lane vector
             s = jax.lax.dot_general(
                 qpad_ref[h], k2, (((1,), (1,)), ((), ())),
@@ -131,10 +136,10 @@ def _paged_q_kernel(
             l_new = l_ref[h, :, :1] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
             )
-            v2 = vbuf[slot, :, g * gw:(g + 1) * gw].astype(jnp.float32)
+            v2 = vbuf[slot, :, g * gw:(g + 1) * gw].astype(qpad_ref.dtype)
             vs_row = vsbuf[slot, h:h + 1, :]
             acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
-                p * vs_row, v2, (((1,), (0,)), ((), ())),
+                (p * vs_row).astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             m_ref[h, :, :1] = m_new
@@ -189,7 +194,7 @@ def paged_flatten_attention_q(
             pltpu.VMEM((2, Hkv, block_len), jnp.float32),
             pltpu.VMEM((2, Hkv, block_len), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4, block_len // seg_len)),
-            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, gw), qf.dtype),
             pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
             pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
             pltpu.VMEM((Hkv, Rq, gw), jnp.float32),

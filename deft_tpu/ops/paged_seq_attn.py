@@ -186,7 +186,10 @@ def _paged_seq_kernel(
             g = h // pack
             k2 = kbuf[slot, :, g * gw:(g + 1) * gw]
             if quantized:
-                k2 = k2.astype(jnp.float32)
+                # int8 values are exact in bf16; widening to the q dtype
+                # keeps single-pass MXU dots (f32 dequant precision lives
+                # in the lane-wise scales)
+                k2 = k2.astype(qpad_ref.dtype)
             s = jax.lax.dot_general(
                 qpad_ref[h], k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -209,10 +212,10 @@ def _paged_seq_kernel(
             )
             v2 = vbuf[slot, :, g * gw:(g + 1) * gw]
             if quantized:
-                # dequant stays f32: scale p by the per-token V scales and
-                # widen the int8 V tile
+                # scale p by the per-token V scales (f32), then both PV
+                # operands drop to the q dtype for a single MXU pass
                 p = p * vsbuf[slot, h:h + 1, :]
-                v2 = v2.astype(jnp.float32)
+                v2 = v2.astype(qpad_ref.dtype)
             acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
                 p.astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -276,8 +279,7 @@ def _paged_seq_call(qr, k_pool, v_pool, li, seg_src, seg_off, seg_live,
         pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
         pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
         pltpu.SemaphoreType.DMA((2, 4 if quantized else 2, spb)),
-        # dequant math runs f32 (the zero-padded q must match the f32 dot)
-        pltpu.VMEM((Hkv, qpk, gw), jnp.float32 if quantized else qr.dtype),
+        pltpu.VMEM((Hkv, qpk, gw), qr.dtype),
         pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
         pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
         pltpu.VMEM((Hkv, qpk, gw), jnp.float32),
