@@ -89,10 +89,13 @@ def gmm(x: jnp.ndarray,          # (M, E) rows sorted+padded by expert
     ]
     if w_scale is not None:
         kernel = functools.partial(_gmm_scaled_kernel, nk=nk)
+        # (NE, 1, tile_f) blocks: Mosaic requires the last TWO block dims
+        # to divide (8, 128) or equal the array dims — a (1, tile_f) block
+        # over (NE, F) fails the sublane rule on real hardware
         in_specs.append(
-            pl.BlockSpec((1, tile_f), lambda t, f, k, eid: (eid[t], f))
+            pl.BlockSpec((1, 1, tile_f), lambda t, f, k, eid: (eid[t], 0, f))
         )
-        operands = (tile_eid, x, w, w_scale)
+        operands = (tile_eid, x, w, w_scale.reshape(NE, 1, F))
     else:
         kernel = functools.partial(_gmm_kernel, nk=nk, scaled=False)
         operands = (tile_eid, x, w)

@@ -195,6 +195,35 @@ def _layout(order, lo_arr, hi_arr, block_len, node_aligned, seg_len,
     return groups, total
 
 
+def _align_groups(groups, seg_len, pool_size):
+    """Cover groups whose base is not seg-aligned with a dead LEAD-IN: the
+    run reads from the aligned base below it, the extra tokens carry empty
+    leaf intervals and are masked in-kernel (the flatten analog of
+    plan/seq.py's seg_off covers).  Batched admission packs prompts
+    back-to-back in the pool, so later requests' runs routinely start
+    mid-segment — without this every such tree fell off the paged path.
+    Returns (groups, total, in_bounds)."""
+    out = []
+    total = 0
+    ok = True
+    for extents, pad in groups:
+        if extents is None:
+            out.append((extents, pad))
+            total += pad
+            continue
+        base = extents[0][0]
+        off = base % seg_len
+        if off:
+            extents = [(base - off, off, _EMPTY_LO, 0)] + extents
+        n = sum(pn for _, pn, _, _ in extents)
+        pad = (-n) % seg_len
+        if base - off + n + pad > pool_size:
+            ok = False
+        out.append((extents, pad))
+        total += n + pad
+    return out, total, ok
+
+
 def _fill(groups, total, seg_len) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pass 2 of _assemble: materialize (kv_idx, tok_lo, tok_hi) from the
     layout with vectorized slice writes."""
@@ -284,21 +313,13 @@ def build_flatten_plan(
         groups, total = _layout(
             order, lo_arr, hi_arr, block_len, node_aligned, cand, chunk_len
         )
-        ok = total <= _SEG_WASTE_LIMIT * max(live_tokens, 1)
-        if ok:
-            # every non-pad group is ONE pool-contiguous run whose segments
-            # read [base, base + n + pad): the base must be tile-aligned
-            # (Mosaic: DMA row offsets must respect the sublane tiling;
-            # chunk alignment guarantees it except for recycled-single
-            # fallbacks) and the padded cover must stay in-bounds
-            for extents, pad in groups:
-                if extents is None:
-                    continue
-                base = extents[0][0]
-                n = sum(pn for _, pn, _, _ in extents)
-                if base % cand or base + n + pad > pool_size:
-                    ok = False
-                    break
+        # every non-pad group is ONE pool-contiguous run whose segments
+        # read [aligned_base, base + n + pad): misaligned bases (batched
+        # admission packs prompts back-to-back) get a dead aligned lead-in
+        # (Mosaic: DMA row offsets must respect the sublane tiling), and
+        # the padded cover must stay in-bounds
+        groups, total, in_bounds = _align_groups(groups, cand, pool_size)
+        ok = in_bounds and total <= _SEG_WASTE_LIMIT * max(live_tokens, 1)
         if ok:
             seg = cand
             kv_idx, tok_lo, tok_hi = _fill(groups, total, cand)

@@ -37,8 +37,12 @@ from deft_tpu.core.tree import TreeCache
 from deft_tpu.plan.padding import pad_leaf_count, pad_token_count
 
 # Max padded-path inflation tolerated for DMA segment alignment before
-# falling back to the XLA-gather kernel (deep trees of tiny nodes).
-_SEG_WASTE_LIMIT = 1.5
+# falling back to the XLA-gather kernel (deep trees of tiny nodes).  The
+# gather fallback costs ~3x the true baseline IO plus a materialized copy,
+# so paged-with-padding stays the FAIRER (faster) baseline well past 1.5x —
+# set128ToT's fragmented replay paths measured 4.0 ms/tok via gather vs
+# in-kernel paged reads at ~2x padding (r3 session).
+_SEG_WASTE_LIMIT = 2.5
 
 
 @dataclasses.dataclass
