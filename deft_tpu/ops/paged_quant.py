@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from deft_tpu.ops.flatten_attn import (_NEG, _interpret, fold_q,
                                         head_pack, unfold_o)
-from deft_tpu.ops.paged_flatten_attn import _LOG2E
+from deft_tpu.ops.paged_flatten_attn import _LN2, _LOG2E
 
 
 def _paged_q_kernel(
@@ -35,13 +35,25 @@ def _paged_q_kernel(
     k_pool_ref, v_pool_ref,      # ANY (L, S, Hkv*D) int8
     ks_pool_ref, vs_pool_ref,    # ANY (L, Hkv, S) f32 head-major
     lo_ref, hi_ref,
-    o_ref,
-    kbuf, vbuf,                  # VMEM (2, BLOCK, Hkv*D) int8
-    ksbuf, vsbuf,                # VMEM (2, Hkv, BLOCK) f32
-    sem,                         # DMA sems (2, 4, nseg)
-    qpad_ref, acc_ref, m_ref, l_ref,
-    *, scale, qpk, block_len, seg_len, num_blocks, num_kv_heads, head_dim,
+    # outputs + scratch (unpacked below):
+    #   partial=False: o_ref (Hkv, Rq, D)
+    #   partial=True:  acc_out, m_out, l_out — (Hkv, Rq, D) f32
+    #                  unnormalized flash state for the sp LSE merge
+    *refs,
+    scale, qpk, block_len, seg_len, num_blocks, num_kv_heads, head_dim,
+    partial: bool = False,
 ):
+    if partial:
+        acc_out, m_out, l_out = refs[:3]
+        refs = refs[3:]
+    else:
+        o_ref = refs[0]
+        refs = refs[1:]
+    (kbuf, vbuf,                 # VMEM (2, BLOCK, Hkv*D) int8
+     ksbuf, vsbuf,               # VMEM (2, Hkv, BLOCK) f32
+     sem,                        # DMA sems (2, 4, nseg)
+     qpad_ref, acc_ref, m_ref, l_ref,
+     ) = refs
     b = pl.program_id(0)
     li = li_ref[0]
     nseg = block_len // seg_len
@@ -147,23 +159,26 @@ def _paged_q_kernel(
 
     @pl.when(b == num_blocks - 1)
     def _finish():
+        rq = q_ref.shape[1]
         for h in range(num_kv_heads):
             i = h % pack
-            l = l_ref[h, :, :1]
-            o_ref[h] = (
-                acc_ref[h, :, i * D:(i + 1) * D]
-                / jnp.where(l == 0.0, 1.0, l)
-            ).astype(o_ref.dtype)
+            if partial:
+                # lane 0 of m/l is live; broadcast at finish, m back to
+                # the natural-log domain the sp merge uses
+                acc_out[h] = acc_ref[h, :, i * D:(i + 1) * D]
+                m_out[h] = jnp.broadcast_to(m_ref[h, :, :1] * _LN2, (rq, D))
+                l_out[h] = jnp.broadcast_to(l_ref[h, :, :1], (rq, D))
+            else:
+                l = l_ref[h, :, :1]
+                o_ref[h] = (
+                    acc_ref[h, :, i * D:(i + 1) * D]
+                    / jnp.where(l == 0.0, 1.0, l)
+                ).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("scale", "qpk", "block_len", "seg_len")
-)
-def paged_flatten_attention_q(
-    qf, k_pool, v_pool, k_scale, v_scale, li, seg_src,
-    tok_lo, tok_hi, blk_lo, blk_hi,
-    *, scale, qpk, block_len, seg_len,
-):
+def _paged_q_call(qf, k_pool, v_pool, k_scale, v_scale, li, seg_src,
+                  tok_lo, tok_hi, blk_lo, blk_hi,
+                  *, scale, qpk, block_len, seg_len, partial):
     Hkv, Rq, D = qf.shape
     assert 128 % D == 0
     gw = head_pack(D, Hkv) * D
@@ -173,8 +188,10 @@ def paged_flatten_attention_q(
     kernel = functools.partial(
         _paged_q_kernel, scale=scale, qpk=qpk,
         block_len=block_len, seg_len=seg_len, num_blocks=nb,
-        num_kv_heads=Hkv, head_dim=D,
+        num_kv_heads=Hkv, head_dim=D, partial=partial,
     )
+    out_spec = pl.BlockSpec((Hkv, Rq, D), lambda b, *_: (0, 0, 0))
+    fstate = jax.ShapeDtypeStruct((Hkv, Rq, D), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nb,),
@@ -187,7 +204,7 @@ def paged_flatten_attention_q(
             pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
             pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
         ],
-        out_specs=pl.BlockSpec((Hkv, Rq, D), lambda b, *_: (0, 0, 0)),
+        out_specs=(out_spec, out_spec, out_spec) if partial else out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
             pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
@@ -203,7 +220,8 @@ def paged_flatten_attention_q(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Hkv, Rq, D), qf.dtype),
+        out_shape=(fstate, fstate, fstate) if partial
+        else jax.ShapeDtypeStruct((Hkv, Rq, D), qf.dtype),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * Hkv * Rq * T * 128,
@@ -214,6 +232,42 @@ def paged_flatten_attention_q(
         li.reshape(1).astype(jnp.int32), seg_src, blk_lo, blk_hi,
         qf, k_pool, v_pool, k_scale, v_scale,
         tok_lo.reshape(1, T), tok_hi.reshape(1, T),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "qpk", "block_len", "seg_len")
+)
+def paged_flatten_attention_q(
+    qf, k_pool, v_pool, k_scale, v_scale, li, seg_src,
+    tok_lo, tok_hi, blk_lo, blk_hi,
+    *, scale, qpk, block_len, seg_len,
+):
+    return _paged_q_call(
+        qf, k_pool, v_pool, k_scale, v_scale, li, seg_src,
+        tok_lo, tok_hi, blk_lo, blk_hi,
+        scale=scale, qpk=qpk, block_len=block_len, seg_len=seg_len,
+        partial=False,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "qpk", "block_len", "seg_len")
+)
+def paged_flatten_attention_q_partial(
+    qf, k_pool, v_pool, k_scale, v_scale, li, seg_src,
+    tok_lo, tok_hi, blk_lo, blk_hi,
+    *, scale, qpk, block_len, seg_len,
+):
+    """Per-chip int8-KV pass over a LOCAL sp-span of blocks, returning
+    unnormalized (acc, m, l) for the cross-chip LSE merge — the quantized
+    counterpart of paged_flatten_attention_partial, so int8-KV decoding
+    keeps in-kernel paged reads under a mesh too."""
+    return _paged_q_call(
+        qf, k_pool, v_pool, k_scale, v_scale, li, seg_src,
+        tok_lo, tok_hi, blk_lo, blk_hi,
+        scale=scale, qpk=qpk, block_len=block_len, seg_len=seg_len,
+        partial=True,
     )
 
 

@@ -383,6 +383,23 @@ def paged_seq_attention_q(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_len", "seg_len")
+)
+def paged_seq_attention_q_partial(
+    qr, k_pool, v_pool, k_scale, v_scale, li,
+    seg_src, seg_off, seg_live, blk_live,
+    *, scale, block_len, seg_len,
+):
+    """int8-KV per-chip partial pass (sp LSE merge): the quantized seq
+    baseline stays in-kernel-paged under a mesh."""
+    return _paged_seq_call(
+        qr, k_pool, v_pool, li, seg_src, seg_off, seg_live, blk_live,
+        scale=scale, block_len=block_len, seg_len=seg_len, partial=True,
+        k_scale=k_scale, v_scale=v_scale,
+    )
+
+
 def paged_seq_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale,
                           *, block_len: int, seg_len: int):
     """AttnFn entry for the paged seq baseline (runner binds the static

@@ -122,38 +122,56 @@ def make_sharded_tree_attn(mesh: Mesh, paged: bool = False):
             nseg = batch.seg_src.shape[0] // B
             seg_len = block_len // nseg
             seg_src = _pad_to(batch.seg_src, B_pad * nseg)
+            quantized = k_pool.quantized
 
             def per_shard(q_l, kd_l, vd_l, li, seg_l, lo_l, hi_l,
-                          blo_l, bhi_l):
+                          blo_l, bhi_l, *scales):
                 # q_l (R/dp, Hq/tp, D); pools (L, S, (Hkv/tp)*D); the seg
                 # table and token/block metadata local to this sp span.
                 Hkv_l = kd_l.shape[-1] // D
                 r0 = jax.lax.axis_index("dp") * leaves_per_shard
                 blo, bhi = shift_window(r0, blo_l, bhi_l)
-                acc, m, l = paged_flatten_attention_partial(
-                    fold_q(q_l, Hkv_l), kd_l, vd_l, li, seg_l,
-                    lo_l - r0, hi_l - r0, blo, bhi,
-                    scale=scale, qpk=qpk, block_len=block_len,
-                    seg_len=seg_len,
-                )
+                if quantized:
+                    from deft_tpu.ops.paged_quant import (
+                        paged_flatten_attention_q_partial)
+
+                    acc, m, l = paged_flatten_attention_q_partial(
+                        fold_q(q_l, Hkv_l), kd_l, vd_l, scales[0], scales[1],
+                        li, seg_l, lo_l - r0, hi_l - r0, blo, bhi,
+                        scale=scale, qpk=qpk, block_len=block_len,
+                        seg_len=seg_len,
+                    )
+                else:
+                    acc, m, l = paged_flatten_attention_partial(
+                        fold_q(q_l, Hkv_l), kd_l, vd_l, li, seg_l,
+                        lo_l - r0, hi_l - r0, blo, bhi,
+                        scale=scale, qpk=qpk, block_len=block_len,
+                        seg_len=seg_len,
+                    )
                 return _lse_merge(acc, m, l, q_l.dtype)
 
+            in_specs = [
+                P("dp", "tp", None),      # q
+                P(None, None, "tp"),      # k pool data
+                P(None, None, "tp"),      # v pool data
+                P(),                      # layer index
+                P("sp"),                  # seg_src (block-major)
+                P("sp"), P("sp"),         # tok_lo, tok_hi
+                P("sp"), P("sp"),         # blk_lo, blk_hi
+            ]
+            operands = [qp, k_pool.data, v_pool.data, li, seg_src,
+                        tok_lo, tok_hi, blk_lo, blk_hi]
+            if quantized:
+                # head-major (L, Hkv, S) scale pools shard on their head axis
+                in_specs += [P(None, "tp", None), P(None, "tp", None)]
+                operands += [k_pool.scale, v_pool.scale]
             of = jax.shard_map(
                 per_shard,
                 mesh=mesh,
                 check_vma=False,  # pallas outputs carry no vma annotation
-                in_specs=(
-                    P("dp", "tp", None),      # q
-                    P(None, None, "tp"),      # k pool data
-                    P(None, None, "tp"),      # v pool data
-                    P(),                      # layer index
-                    P("sp"),                  # seg_src (block-major)
-                    P("sp"), P("sp"),         # tok_lo, tok_hi
-                    P("sp"), P("sp"),         # blk_lo, blk_hi
-                ),
+                in_specs=tuple(in_specs),
                 out_specs=P("tp", "dp", None),
-            )(qp, k_pool.data, v_pool.data, li, seg_src, tok_lo, tok_hi,
-              blk_lo, blk_hi)
+            )(*operands)
             o = unfold_o(of, R_pad)
             return o[:R] if R_pad != R else o
 

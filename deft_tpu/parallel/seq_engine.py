@@ -55,17 +55,31 @@ def make_sharded_seq_attn(mesh: Mesh):
         seg_off = pad2(batch.seg_off, spb)
         seg_live = pad2(batch.seg_live, spb)
         blk_live = pad2(batch.blk_live, 1)
+        quantized = k_pool.quantized
 
-        def per_shard(q_l, kd_l, vd_l, li, src_l, off_l, live_l, blk_l):
+        def per_shard(q_l, kd_l, vd_l, li, src_l, off_l, live_l, blk_l,
+                      *scales):
             # q_l (R/dp, Hq/tp, D); tables (R/dp, nb/sp, spb) local.
             Hkv_l = kd_l.shape[-1] // D
             R_l = q_l.shape[0]
-            acc, m, l = paged_seq_attention_partial(
-                q_l.reshape(R_l, Hkv_l, qpk, D), kd_l, vd_l, li,
-                src_l.reshape(-1), off_l.reshape(-1), live_l.reshape(-1),
-                blk_l.reshape(-1),
-                scale=scale, block_len=block_len, seg_len=seg_len,
-            )
+            if quantized:
+                from deft_tpu.ops.paged_seq_attn import (
+                    paged_seq_attention_q_partial)
+
+                acc, m, l = paged_seq_attention_q_partial(
+                    q_l.reshape(R_l, Hkv_l, qpk, D), kd_l, vd_l,
+                    scales[0], scales[1], li,
+                    src_l.reshape(-1), off_l.reshape(-1),
+                    live_l.reshape(-1), blk_l.reshape(-1),
+                    scale=scale, block_len=block_len, seg_len=seg_len,
+                )
+            else:
+                acc, m, l = paged_seq_attention_partial(
+                    q_l.reshape(R_l, Hkv_l, qpk, D), kd_l, vd_l, li,
+                    src_l.reshape(-1), off_l.reshape(-1),
+                    live_l.reshape(-1), blk_l.reshape(-1),
+                    scale=scale, block_len=block_len, seg_len=seg_len,
+                )
             m = m[..., :1]
             l = l[..., :1]
             m_g = jax.lax.pmax(m, "sp")
@@ -75,23 +89,28 @@ def make_sharded_seq_attn(mesh: Mesh):
             o = acc_g / jnp.where(l_g == 0.0, 1.0, l_g)
             return o.astype(q_l.dtype).reshape(R_l, Hkv_l * qpk, D)
 
+        in_specs = [
+            P("dp", "tp", None),          # q
+            P(None, None, "tp"),          # k pool data
+            P(None, None, "tp"),          # v pool data
+            P(),                          # layer index
+            P("dp", "sp", None),          # seg_src
+            P("dp", "sp", None),          # seg_off
+            P("dp", "sp", None),          # seg_live
+            P("dp", "sp", None),          # blk_live
+        ]
+        operands = [qp, k_pool.data, v_pool.data, li, seg_src, seg_off,
+                    seg_live, blk_live]
+        if quantized:
+            in_specs += [P(None, "tp", None), P(None, "tp", None)]
+            operands += [k_pool.scale, v_pool.scale]
         o = jax.shard_map(
             per_shard,
             mesh=mesh,
             check_vma=False,  # pallas outputs carry no vma annotation
-            in_specs=(
-                P("dp", "tp", None),          # q
-                P(None, None, "tp"),          # k pool data
-                P(None, None, "tp"),          # v pool data
-                P(),                          # layer index
-                P("dp", "sp", None),          # seg_src
-                P("dp", "sp", None),          # seg_off
-                P("dp", "sp", None),          # seg_live
-                P("dp", "sp", None),          # blk_live
-            ),
+            in_specs=tuple(in_specs),
             out_specs=P("dp", "tp", None),
-        )(qp, k_pool.data, v_pool.data, li, seg_src, seg_off, seg_live,
-          blk_live)
+        )(*operands)
         return o[:R] if R_pad != R else o
 
     return attn

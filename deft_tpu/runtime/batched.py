@@ -198,7 +198,6 @@ class BatchedEngine:
             # independence) — enables batched flatten-vs-seq comparisons
             want_paged = (
                 r.kernels != "xla" and 128 % r.cfg.head_dim == 0
-                and not (r.mesh is not None and r.kv_quantized)
             )
             plan = build_multi_seq_plan(
                 trees, q_per_kv=r.cfg.q_per_kv, block_len=a.block_len,

@@ -321,7 +321,7 @@ class ModelRunner:
                 kind != "seq"
                 and mode is not ForwardMode.UNPAGED_MEDUSA
                 and self.kernels != "xla"
-                and not self.kv_quantized
+                and (paged or not self.kv_quantized)
             ):
                 from deft_tpu.parallel.engine import make_sharded_tree_attn
 
@@ -736,7 +736,6 @@ class ModelRunner:
             want_paged = (
                 self.kernels != "xla"
                 and 128 % self.cfg.head_dim == 0
-                and not (self.mesh is not None and self.kv_quantized)
             )
             return build_seq_plan(self.tree, want_paged=want_paged, **kw)
         raise ValueError(kind)
@@ -746,10 +745,9 @@ class ModelRunner:
         lane-aligned per-head row (128 % head_dim == 0; other head dims
         would force per-head VMEM relayouts that dominate the kernel).
         Under a mesh the same DMA kernels run per chip inside shard_map
-        over sp-local segment tables (parallel/engine.py, seq_engine.py) —
-        int8-KV stays single-chip (no sharded quant partial yet)."""
-        if self.mesh is not None and self.kv_quantized:
-            return False
+        over sp-local segment tables (parallel/engine.py, seq_engine.py),
+        including the int8-KV dequant variants (scale pools shard on their
+        head axis)."""
         if isinstance(plan, SeqPlan):
             return (
                 plan.paged

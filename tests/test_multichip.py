@@ -191,31 +191,39 @@ def test_sharded_engine_generation_matches_single_device():
 
 @pytest.mark.parametrize("mode_name", ["TREE_DECODE_FLATTEN", "DECODE"])
 @pytest.mark.parametrize("shape", [None, (2, 2, 2)])
-def test_sharded_paged_dma_kernel_matches_single_device(mode_name, shape):
+@pytest.mark.parametrize("kv", ["inherit", "int8"])
+def test_sharded_paged_dma_kernel_matches_single_device(mode_name, shape,
+                                                        kv):
     """The in-kernel DMA paged kernels must run PER CHIP under the mesh
     (flatten via parallel/engine.py paged branch, seq via
     parallel/seq_engine.py) and match single-device logits — the
     exactly-once-KV-IO flagship property generalized multi-chip (VERDICT r2
-    item 1).  shape=(2,2,2) exercises dp>1 (leaf-window shifted block skip).
-    A long prompt keeps the seg-alignment waste under the plan's limit so
-    the plan is genuinely paged — asserted, not assumed."""
+    item 1), including the int8-KV dequant variants (both sides quantize
+    identically, so tokens AND probs must agree).  shape=(2,2,2) exercises
+    dp>1 (leaf-window shifted block skip).  A long prompt keeps the
+    seg-alignment waste under the plan's limit so the plan is genuinely
+    paged — asserted, not assumed (int8 plans accept only 128-token
+    segments, hence the longer prompt there)."""
     import numpy as np
 
     from deft_tpu.config import EngineConfig
     from deft_tpu.models import PRESETS
     from deft_tpu.runtime import ForwardMode, ModelRunner
 
+    if kv == "int8" and shape == (2, 2, 2):
+        pytest.skip("dp window logic is kv-dtype independent; covered above")
     mode = ForwardMode[mode_name]
+    prompt_len = 1600 if kv == "int8" else 400
     ecfg = EngineConfig(
-        kv_pool_slots=4096, max_requests=16, max_context_len=1024,
-        min_token_bucket=128, dtype="float32",
+        kv_pool_slots=8192, max_requests=16, max_context_len=2048,
+        min_token_bucket=128, dtype="float32", kv_dtype=kv,
     )
 
     def run(mesh, kernels):
         runner = ModelRunner(PRESETS["tiny"], ecfg, kernels=kernels, seed=0,
                              mesh=mesh)
         tree = runner.tree
-        tree.init_prompt([7 + (i % 97) for i in range(400)])
+        tree.init_prompt([7 + (i % 97) for i in range(prompt_len)])
         for i, c in enumerate(tree.branch(tree.root, 5)):
             c.append_token(100 + i)
         tree.alloc()
@@ -224,7 +232,13 @@ def test_sharded_paged_dma_kernel_matches_single_device(mode_name, shape):
         view, _ = runner.forward_tree_decode(mode, plan)
         return paged, np.asarray(view.ids[:5]), np.asarray(view.vals[:5])
 
-    _, ids1, vals1 = run(None, "xla")
+    # int8 reference runs the PALLAS single-chip dequant kernel (the XLA
+    # backend's dequant-gather differs only in rounding, but exact token
+    # equality needs the same kernel math on both sides)
+    ref_kernels = "pallas" if kv == "int8" else "xla"
+    p1, ids1, vals1 = run(None, ref_kernels)
+    if kv == "int8":
+        assert p1, "single-chip int8 plan must be seg128-aligned here"
     mesh = make_mesh(8, num_kv_heads=PRESETS["tiny"].num_kv_heads,
                      shape=shape)
     if shape == (2, 2, 2):

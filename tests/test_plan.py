@@ -170,6 +170,39 @@ def test_node_chunk_splits_runs():
     np.testing.assert_array_equal(plan_a.kv_idx, plan_b.kv_idx)
 
 
+def test_flatten_plan_misaligned_base_gets_dead_lead_in():
+    """Batched admission packs prompts back-to-back in the pool, so a later
+    request's prompt run starts mid-segment; the plan must stay PAGED by
+    covering the run with an aligned dead lead-in (masked, empty interval)
+    rather than falling off to the gather path — and the mask oracle must
+    still hold (the lead-in tokens attend nobody)."""
+    kv = TokenKVPool(8192)
+    req = ReqToTokenPool(64, 2048)
+    # tree A consumes a non-chunk-multiple prompt, so tree B's prompt run
+    # begins mid-chunk (misaligned base) — exactly the batched layout
+    tree_a = TreeCache(kv, req)
+    tree_a.init_prompt(list(range(5, 505)))  # 500 tokens -> base 628 next
+    tree_b = TreeCache(kv, req)
+    tree_b.init_prompt(list(range(7, 807)))  # 800 tokens at a % 128 != 0 base
+    for c in tree_b.branch(tree_b.root, 3):
+        c.append_token(9)
+    tree_b.alloc()
+    base = tree_b.root.kv_runs[0][0]
+    assert base % 32 != 0, "test setup must produce a misaligned base"
+
+    plan = build_flatten_plan(tree_b, q_per_kv=2, min_token_bucket=256)
+    assert plan.paged, "misaligned base must not lose the paged path"
+    check_plan_mask(tree_b, plan)
+    # every segment is pool-contiguous (the paged kernel's DMA contract)
+    v = plan.kv_idx.reshape(-1, plan.seg_len)
+    assert (np.diff(v, axis=1) == 1).all()
+    assert (plan.seg_src % plan.seg_len == 0).all()
+    # the lead-in tokens below the run base are present and dead
+    lead = (plan.kv_idx >= base - base % plan.seg_len) & (plan.kv_idx < base)
+    assert lead.any()
+    assert (plan.tok_hi[lead] == 0).all()
+
+
 def test_flatten_coalesces_pool_adjacent_leaves():
     """Speculative-decoding shape: reset leaves' slots are group-allocated
     contiguously, and _assemble coalesces them into ONE seg run — the plan
