@@ -76,14 +76,21 @@ _EXPERT_NAMES = frozenset(
 )
 
 
-def _widen_for_experts(name: str, spec: P, ndim: int) -> P:
-    """MoE expert tensors carry a leading (num_experts) axis on top of the
-    dense-MLP layout the table above describes — replicate that axis (after
-    the stacked-layer axis) and keep the Megatron column/row sharding of the
-    inner matmul dims (tp splits every expert's intermediate dim, the same
-    cut as dense wg/wu)."""
-    if name in _EXPERT_NAMES and ndim == len(spec) + 1 and len(spec) > 0:
-        return P(spec[0], None, *spec[1:])
+def _widen_for_experts(mesh: Mesh, name: str, spec: P, shape) -> P:
+    """MoE expert tensors carry an extra (num_experts) axis (after the
+    stacked-layer axis) on top of the dense-MLP layout the table above
+    describes.  That axis shards over **sp** — expert parallelism: sp is
+    idle during MLP compute, each chip then holds num_experts/sp experts
+    (the memory cut that fits Mixtral-scale expert stacks), and the dense
+    decode einsum's contraction over the expert axis makes GSPMD insert
+    the top-k combine psum over sp automatically (routing weights are
+    replicated).  Falls back to replicating the axis when sp does not
+    divide the expert count.  tp keeps the Megatron column/row cut of
+    every expert's inner matmul dims."""
+    if name in _EXPERT_NAMES and len(shape) == len(spec) + 1 and len(spec):
+        sp = mesh.shape.get("sp", 1)
+        ep = "sp" if sp > 1 and shape[1] % sp == 0 else None
+        return P(spec[0], ep, *spec[1:])
     return spec
 
 
@@ -97,7 +104,9 @@ def shard_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
     ps = param_shardings(mesh)
     return {
         k: jax.device_put(
-            v, NamedSharding(mesh, _widen_for_experts(k, ps[k].spec, v.ndim))
+            v,
+            NamedSharding(mesh, _widen_for_experts(mesh, k, ps[k].spec,
+                                                   v.shape)),
         )
         for k, v in params.items()
     }

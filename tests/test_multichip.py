@@ -51,6 +51,9 @@ def test_shard_params_covers_all_model_families(wdt):
     assert set(sharded) == set(params)
     assert sharded["wg"].shape == (moe.num_layers, 4, moe.hidden_size,
                                    moe.intermediate_size)
+    # expert parallelism: the expert axis shards over sp when it divides
+    if mesh.shape["sp"] > 1 and moe.num_experts % mesh.shape["sp"] == 0:
+        assert sharded["wg"].sharding.spec[1] == "sp"
 
 
 def test_sharded_step_matches_single_device():
