@@ -268,6 +268,7 @@ def build_flatten_plan(
     seg_len=(128, 32),
     pow2_bucket: bool = True,
     granularity: int = 512,
+    waste_limit: float = _SEG_WASTE_LIMIT,
 ) -> FlattenPlan:
     """Build the flatten plan for the current tree state.
 
@@ -319,7 +320,7 @@ def build_flatten_plan(
         # (Mosaic: DMA row offsets must respect the sublane tiling), and
         # the padded cover must stay in-bounds
         groups, total, in_bounds = _align_groups(groups, cand, pool_size)
-        ok = in_bounds and total <= _SEG_WASTE_LIMIT * max(live_tokens, 1)
+        ok = in_bounds and total <= waste_limit * max(live_tokens, 1)
         if ok:
             seg = cand
             kv_idx, tok_lo, tok_hi = _fill(groups, total, cand)

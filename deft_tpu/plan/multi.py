@@ -29,6 +29,7 @@ def build_multi_flatten_plan(
     block_len: int = 128,
     min_token_bucket: int = 1024,
     seg_len=(128, 32),
+    waste_limit: float = 1.5,
 ) -> FlattenPlan:
     """Concatenate per-tree flatten plans into one batched plan.
 
@@ -47,6 +48,7 @@ def build_multi_flatten_plan(
             pow2_bucket=False,
             granularity=block_len,  # block-granularity (default 512 would
             # inflate every small tree ~2-4x with dead blocks)
+            waste_limit=waste_limit,
         ) for t in trees]
         if cand is None or all(p.paged for p in plans):
             break
@@ -134,6 +136,7 @@ def build_multi_seq_plan(
     min_token_bucket: int = 1024,
     seg_len=(128, 32),
     want_paged: bool = True,
+    waste_limit: float = 2.5,
 ) -> SeqPlan:
     """Batched sequential-baseline plan: every tree's leaves stack into one
     global row set (numbering identical to build_multi_flatten_plan's, so
@@ -153,6 +156,7 @@ def build_multi_seq_plan(
             min_token_bucket=block_len,  # tight per-tree; unified below
             seg_len=cand if cand is not None else (),
             want_paged=cand is not None,
+            waste_limit=waste_limit,
         ) for t in trees]
         if cand is None or all(p.paged for p in plans):
             break

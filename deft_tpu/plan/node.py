@@ -33,6 +33,7 @@ def build_node_plan(
     min_token_bucket: int = 1024,
     chunk_len: Optional[int] = None,
     seg_len=(128, 32),
+    waste_limit: float = 1.5,
 ) -> FlattenPlan:
     return build_flatten_plan(
         tree,
@@ -42,6 +43,7 @@ def build_node_plan(
         node_aligned=True,
         chunk_len=chunk_len,
         seg_len=seg_len,
+        waste_limit=waste_limit,
     )
 
 

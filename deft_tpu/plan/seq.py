@@ -106,6 +106,7 @@ def build_seq_plan(
     min_token_bucket: int = 1024,
     seg_len=(128, 32),
     want_paged: bool = True,
+    waste_limit: float = _SEG_WASTE_LIMIT,
 ) -> SeqPlan:
     """Call after TreeCache.alloc() (same contract as build_flatten_plan).
 
@@ -164,7 +165,7 @@ def build_seq_plan(
                     break
                 padded_total += padded
                 max_padded = max(max_padded, padded)
-            if not ok or padded_total > _SEG_WASTE_LIMIT * max(total_kv, 1):
+            if not ok or padded_total > waste_limit * max(total_kv, 1):
                 continue
             scored.append((padded_total, -seg, seg, max_padded))
         # least padding wins (the baseline must not read more KV than it has

@@ -190,9 +190,10 @@ class BatchedEngine:
             r.apply_kv_copies(t)  # per-tree merge compactions (spec decode)
             t.alloc()
         a = r.ecfg.attention
-        # int8 pools: scale-row DMA needs 128-aligned segments (runner
-        # build_plan has the same gate)
-        seg_kw = dict(seg_len=(128,)) if r.kv_quantized else {}
+        # int8 pools: scale-row DMA needs 128-aligned segments + relaxed
+        # waste limit (runner build_plan has the same gates)
+        seg_kw = (dict(seg_len=(128,), waste_limit=3.0)
+                  if r.kv_quantized else {})
         if self.mode.plan_kind == "seq":
             # the seq baseline batches by pure row concatenation (per-leaf
             # independence) — enables batched flatten-vs-seq comparisons

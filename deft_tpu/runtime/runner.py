@@ -719,9 +719,15 @@ class ModelRunner:
         kind = mode.plan_kind
         # int8 pools: the per-(token, head) scale rows are DMA'd as lane
         # vectors, and Mosaic requires lane-axis slices to be 128-aligned —
-        # int8 plans accept only 128-token segments (else gather fallback)
+        # int8 plans accept only 128-token segments.  The coarser segments
+        # pad small runs harder, so the waste limit relaxes: paged reads at
+        # up to 3x padding still beat the gather-dequant fallback (which
+        # reads ~3x AND materializes a dequantized bf16 copy; measured 15
+        # vs 2.2 ms/step at the 8B bench shape, kernel_lab + r3 bench).
         if self.kv_quantized and kind in ("flatten", "seq", "node"):
             kw["seg_len"] = (128,)
+            if kind in ("flatten", "node"):
+                kw["waste_limit"] = 3.0
         if kind == "flatten":
             return build_flatten_plan(self.tree, **kw)
         if kind == "node":

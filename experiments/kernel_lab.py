@@ -32,6 +32,32 @@ T_PAD = 8192         # pow2 token bucket
 SEG = 128
 
 
+def build_case_q(block_len: int, rng):
+    """int8 pools + per-(token, head) scales for the quant kernel (seg
+    fixed at 128 — the int8 scale-DMA alignment requirement)."""
+    case = build_case(block_len, rng)
+    S = case["k_pool"].shape[1]
+    kd = rng.integers(-127, 128, (LAYERS, S, HKV * D)).astype(np.int8)
+    vd = rng.integers(-127, 128, (LAYERS, S, HKV * D)).astype(np.int8)
+    ks = rng.uniform(0.01, 0.1, (LAYERS, HKV, S)).astype(np.float32)
+    case.update(
+        k_pool=jnp.asarray(kd), v_pool=jnp.asarray(vd),
+        k_scale=jnp.asarray(ks), v_scale=jnp.asarray(ks),
+    )
+    return case
+
+
+def v0_quant(q, kp, vp, li, case):
+    from deft_tpu.ops.paged_quant import paged_flatten_attention_q
+
+    return paged_flatten_attention_q(
+        q, kp, vp, case["k_scale"], case["v_scale"], li,
+        case["seg_src"], case["tok_lo"], case["tok_hi"],
+        case["blk_lo"], case["blk_hi"], scale=D ** -0.5, qpk=QPK,
+        block_len=case["block_len"], seg_len=128,
+    )
+
+
 def build_case(block_len: int, rng):
     """Synthetic bench-shape plan: one contiguous prompt run attended by
     all leaves + per-leaf 1-token tails, seg tables at `block_len`."""
@@ -284,12 +310,14 @@ def vB_passes(q, kp, vp, li, case):
 
 
 VARIANTS = {
-    "v0_b128": (v0_production, 128),
-    "vB_b128": (vB_passes, 128),
-    "v0_b256": (v0_production, 256),
-    "vB_b256": (vB_passes, 256),
-    "v0_b512": (v0_production, 512),
-    "vB_b512": (vB_passes, 512),
+    "v0_b128": (v0_production, 128, build_case),
+    "vB_b128": (vB_passes, 128, build_case),
+    "v0_b256": (v0_production, 256, build_case),
+    "vB_b256": (vB_passes, 256, build_case),
+    "v0_b512": (v0_production, 512, build_case),
+    "vB_b512": (vB_passes, 512, build_case),
+    "q_b256": (v0_quant, 256, build_case_q),
+    "q_b512": (v0_quant, 512, build_case_q),
 }
 
 
@@ -300,18 +328,18 @@ def main():
         LAYERS, PROMPT, T_PAD = 2, 600, 1024
     names = sys.argv[1:] or list(VARIANTS)
     cases = {}
-    ref_out = None
+    refs = {}
     for name in names:
-        fn, bl = VARIANTS[name]
-        if bl not in cases:
+        fn, bl, builder = VARIANTS[name]
+        key = (builder.__name__, bl)
+        if key not in cases:
             # fresh seed per case: cross-block-size outputs must compare
-            cases[bl] = build_case(bl, np.random.default_rng(0))
-        case = cases[bl]
+            cases[key] = builder(bl, np.random.default_rng(0))
+        case = cases[key]
         out = np.asarray(
             fn(case["q"], case["k_pool"], case["v_pool"],
                jnp.asarray(LAYERS - 1, jnp.int32), case))
-        if ref_out is None:
-            ref_out = out
+        ref_out = refs.setdefault(builder.__name__, out)
         err = np.abs(out.astype(np.float64)
                      - ref_out.astype(np.float64)).max()
         ms = 0.0 if check_only else time_step(fn, case)
