@@ -309,6 +309,159 @@ def vB_passes(q, kp, vp, li, case):
     )
 
 
+def _lab_kernel_fused(
+    li_ref, seg_src_ref, blk_lo_ref, blk_hi_ref,
+    q_ref, k_pool_ref, v_pool_ref, lo_ref, hi_ref,
+    o_ref, kbuf, vbuf, sem, qbd_ref, acc_ref, m_ref, l_ref,
+    *, scale, qpk, block_len, seg_len, num_blocks, num_kv_heads, head_dim,
+):
+    """Variant D: ALL heads' scores in one MXU dot + one fused vector-op
+    set per block.  q is laid out BLOCK-DIAGONALLY — row h*Rq + r carries
+    q[h, r] in lane slot h*D — so qbd @ kbuf^T computes every head's
+    (Rq, BLOCK) score tile stacked into (Hkv*Rq, BLOCK): cross-head terms
+    vanish against the zero padding, and the mask/max/exp2/sum passes run
+    ONCE over the stacked tile instead of once per head.  PV stays
+    per-head (block-diagonal acc would cost Hkv x the VMEM)."""
+    _NEG = -1e30
+    b = pl.program_id(0)
+    li = li_ref[0]
+    nseg = block_len // seg_len
+    Hkv = num_kv_heads
+    Dh = head_dim
+
+    def seg_copies(bb, slot):
+        copies = []
+        for j in range(nseg):
+            src = pl.multiple_of(seg_src_ref[bb * nseg + j], seg_len)
+            dst = pl.ds(j * seg_len, seg_len)
+            copies.append(pltpu.make_async_copy(
+                k_pool_ref.at[li, pl.ds(src, seg_len), :],
+                kbuf.at[slot, dst, :], sem.at[slot, 0, j]))
+            copies.append(pltpu.make_async_copy(
+                v_pool_ref.at[li, pl.ds(src, seg_len), :],
+                vbuf.at[slot, dst, :], sem.at[slot, 1, j]))
+        return copies
+
+    def live(bb):
+        return blk_lo_ref[bb] < blk_hi_ref[bb]
+
+    def issue(bb, slot):
+        @pl.when(live(bb))
+        def _():
+            for c in seg_copies(bb, slot):
+                c.start()
+
+    rq = q_ref.shape[1]
+
+    @pl.when(b == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        s2 = scale * 1.4426950408889634
+        for h in range(Hkv):
+            row = jnp.concatenate(
+                [(q_ref[h].astype(jnp.float32) * s2).astype(q_ref.dtype)
+                 if g == h else jnp.zeros((rq, Dh), q_ref.dtype)
+                 for g in range(Hkv)], axis=1)
+            qbd_ref[h * rq:(h + 1) * rq, :] = row
+        issue(0, 0)
+
+    @pl.when(b + 1 < num_blocks)
+    def _prefetch():
+        issue(b + 1, (b + 1) % 2)
+
+    @pl.when(live(b))
+    def _compute():
+        slot = b % 2
+        for c in seg_copies(b, slot):
+            c.wait()
+        rows = Hkv * rq
+        s = jax.lax.dot_general(
+            qbd_ref[...], kbuf[slot], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Hkv*Rq, BLOCK)
+        leaf = (jax.lax.broadcasted_iota(jnp.int32, (rows, block_len), 0)
+                % rq) // qpk
+        mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
+        sm = jnp.where(mask, s, _NEG)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(
+            jnp.maximum(m_prev, jnp.max(sm, axis=-1, keepdims=True)), -1e5)
+        p = jnp.exp2(sm - m_new).astype(vbuf.dtype)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_new = l_ref[:, :1] * alpha + jnp.sum(
+            p.astype(jnp.float32), axis=-1, keepdims=True)
+        for h in range(Hkv):
+            r0, r1 = h * rq, (h + 1) * rq
+            acc_ref[r0:r1] = acc_ref[r0:r1] * alpha[r0:r1] + \
+                jax.lax.dot_general(
+                    p[r0:r1], vbuf[slot, :, h * Dh:(h + 1) * Dh],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        m_ref[:, :1] = m_new
+        l_ref[:, :1] = l_new
+
+    @pl.when(b == num_blocks - 1)
+    def _finish():
+        for h in range(Hkv):
+            r0, r1 = h * rq, (h + 1) * rq
+            l = l_ref[r0:r1, :1]
+            o_ref[h] = (
+                acc_ref[r0:r1] / jnp.where(l == 0.0, 1.0, l)
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_len", "seg_len"))
+def _lab_call_fused(q, kp, vp, li, seg_src, tok_lo, tok_hi, blk_lo, blk_hi,
+                    *, block_len, seg_len):
+    from deft_tpu.ops.flatten_attn import _interpret
+
+    Hkv, Rq, Dh = q.shape
+    T = tok_lo.shape[0]
+    nb = T // block_len
+    kernel = functools.partial(
+        _lab_kernel_fused, scale=Dh ** -0.5, qpk=QPK, block_len=block_len,
+        seg_len=seg_len, num_blocks=nb, num_kv_heads=Hkv, head_dim=Dh,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((Hkv, Rq, Dh), lambda b, *_: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
+            pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
+        ],
+        out_specs=pl.BlockSpec((Hkv, Rq, Dh), lambda b, *_: (0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_len, Hkv * Dh), kp.dtype),
+            pltpu.VMEM((2, block_len, Hkv * Dh), vp.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, block_len // seg_len)),
+            pltpu.VMEM((Hkv * Rq, Hkv * Dh), q.dtype),
+            pltpu.VMEM((Hkv * Rq, Dh), jnp.float32),
+            pltpu.VMEM((Hkv * Rq, 128), jnp.float32),
+            pltpu.VMEM((Hkv * Rq, 128), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Hkv, Rq, Dh), q.dtype),
+        interpret=_interpret(),
+    )(li.reshape(1).astype(jnp.int32), seg_src, blk_lo, blk_hi,
+      q, kp, vp, tok_lo.reshape(1, T), tok_hi.reshape(1, T))
+
+
+def vD_fused(q, kp, vp, li, case):
+    return _lab_call_fused(
+        q, kp, vp, li, case["seg_src"], case["tok_lo"], case["tok_hi"],
+        case["blk_lo"], case["blk_hi"],
+        block_len=case["block_len"], seg_len=min(SEG, case["block_len"]),
+    )
+
+
 VARIANTS = {
     "v0_b128": (v0_production, 128, build_case),
     "vB_b128": (vB_passes, 128, build_case),
@@ -318,6 +471,8 @@ VARIANTS = {
     "vB_b512": (vB_passes, 512, build_case),
     "q_b256": (v0_quant, 256, build_case_q),
     "q_b512": (v0_quant, 512, build_case_q),
+    "vD_b256": (vD_fused, 256, build_case),
+    "vD_b512": (vD_fused, 512, build_case),
 }
 
 
