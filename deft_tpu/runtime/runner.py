@@ -738,7 +738,7 @@ class ModelRunner:
             # in-kernel paged reads need a Pallas backend and head packing
             # (128 % D == 0) — same gates as _use_paged; meshes run the
             # same kernel per chip (parallel/seq_engine.py); int8 pools get
-            # the dequant-in-kernel variant (single-chip)
+            # the dequant-in-kernel variant (single-chip and meshes alike)
             want_paged = (
                 self.kernels != "xla"
                 and 128 % self.cfg.head_dim == 0
