@@ -156,6 +156,31 @@ def test_prefill_distribution_matches_hf(hf_model):
     assert int(view.ids[0, 0]) == int(want.argmax())
 
 
+def test_int8_checkpoint_load_matches_hf(hf_model):
+    """Loading a REAL on-disk checkpoint with weight_dtype='int8'
+    (host-side per-channel quantization during load, loader.load_params)
+    must stay close to the HF fp distribution and pick the same greedy
+    token — the deployment path for 8B-on-one-chip, previously covered
+    only via random_params."""
+    path, model = hf_model
+    cfg = LlamaConfig.from_pretrained(path)
+    ecfg = EngineConfig(
+        kv_pool_slots=2048, max_requests=16, max_context_len=256,
+        min_token_bucket=128, dtype="float32", weight_dtype="int8",
+    )
+    runner = ModelRunner(cfg, ecfg, kernels="xla", model_path=path,
+                         retain_full_logits=True)
+    assert any(k.endswith("_s") for k in runner.params), \
+        "int8 load must produce per-channel scale tensors"
+    view = runner.forward_prefill(PROMPT)
+    got = view.full_probs()[0]
+    want = hf_next_probs(model, PROMPT)
+    # int8 weights perturb the distribution; the tiny model's margins are
+    # wide enough that the greedy token and coarse shape must survive
+    assert int(view.ids[0, 0]) == int(want.argmax())
+    np.testing.assert_allclose(got, want + 1e-6, rtol=0, atol=5e-2)
+
+
 def test_tree_decode_matches_hf_per_path(hf_model):
     """Branch the root into the top-2 prefill tokens, decode greedily; at
     every step each leaf's distribution must equal HF run fresh over that
