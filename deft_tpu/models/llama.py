@@ -235,9 +235,8 @@ def _moe_gmm_ok(cfg: LlamaConfig, lp, n: int) -> bool:
     NE, K = cfg.num_experts, cfg.experts_per_tok
     if n * K < 2 * NE * _GMM_TILE_M:
         return False
-    if "wg_sp" in lp or "wg_s" in lp:
-        # int8 experts: gmm takes (NE, F) scales (same fused-dequant math)
-        pass
+    # int8 experts ride the same path: gmm takes the loader's (NE, F)
+    # per-output-channel scales directly (asserted in _moe_mlp_gmm)
     E, I = cfg.hidden_size, cfg.intermediate_size
     return gmm_eligible(_GMM_TILE_M, E, I, _GMM_TILE_M) and \
         gmm_eligible(_GMM_TILE_M, I, E, _GMM_TILE_M)
@@ -291,7 +290,11 @@ def _moe_mlp_gmm(cfg: LlamaConfig, lp: Dict[str, jnp.ndarray],
 
     def expert_scale(name):
         s = lp.get(name + "_s", lp.get(name + "_sp"))
-        return s if s is None else s.astype(jnp.float32)
+        if s is None:
+            return None
+        # gmm dequant expects per-output-channel (NE, F) scales
+        assert s.ndim == 2 and s.shape[0] == NE, s.shape
+        return s.astype(jnp.float32)
 
     gx = gmm(xs, lp["wg"], tile_eid, expert_scale("wg"), tile_m=tm)
     ux = gmm(xs, lp["wu"], tile_eid, expert_scale("wu"), tile_m=tm)
@@ -323,7 +326,7 @@ def _forward(
     out_loc: jnp.ndarray,
     attn: AttnFn,
     batch,
-    moe_gmm: bool = True,
+    moe_gmm: bool = False,
 ):
     x = params["embed"][tokens]
     if cfg.gemma_norm:
@@ -419,7 +422,7 @@ def decode_forward(
     batch,
     attn: AttnFn,
     compute_logits: bool = True,
-    moe_gmm: bool = True,
+    moe_gmm: bool = False,
 ):
     """One tree-decode step: returns (logits (R, V) fp32, k_pool, v_pool).
 
@@ -454,7 +457,7 @@ def prefill_forward(
     v_pool: jnp.ndarray,
     batch: PrefillBatch,
     attn: AttnFn,
-    moe_gmm: bool = True,
+    moe_gmm: bool = False,
 ):
     """Prefill over the prompt; returns (last-token logits (V,) fp32, pools).
 
@@ -486,7 +489,7 @@ def ragged_prefill_forward(
     v_pool: jnp.ndarray,
     batch: RaggedPrefillBatch,
     attn: AttnFn,
-    moe_gmm: bool = True,
+    moe_gmm: bool = False,
 ):
     """Prefill B concatenated prompts in ONE forward; returns ((B, V) fp32
     last-token logits, pools).  The attention impl masks cross-prompt pairs

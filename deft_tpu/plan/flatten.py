@@ -181,35 +181,46 @@ def _layout(order, lo_arr, hi_arr, block_len, node_aligned, seg_len,
                 cur_n += pn
                 if chunk_len and node_aligned:
                     flush()
+                    # always emit the boundary marker (even at pad 0):
+                    # _align_groups recomputes these pads after lead-in
+                    # insertion, and a spot that needs no pad NOW may
+                    # need one once earlier groups shift
                     padb = (-total) % block_len
-                    if padb:
-                        groups.append((None, padb))
-                        total += padb
+                    groups.append((None, padb))
+                    total += padb
         if node_aligned:
             flush()
             padb = (-total) % block_len
-            if padb:
-                groups.append((None, padb))
-                total += padb
+            groups.append((None, padb))
+            total += padb
     flush()
     return groups, total
 
 
-def _align_groups(groups, seg_len, pool_size):
+def _align_groups(groups, seg_len, pool_size, block_len: int = 0):
     """Cover groups whose base is not seg-aligned with a dead LEAD-IN: the
     run reads from the aligned base below it, the extra tokens carry empty
     leaf intervals and are masked in-kernel (the flatten analog of
     plan/seq.py's seg_off covers).  Batched admission packs prompts
     back-to-back in the pool, so later requests' runs routinely start
     mid-segment — without this every such tree fell off the paged path.
+
+    block_len > 0 (node-aligned layouts): lead-ins shift later offsets by a
+    non-block multiple, so the (None, pad) block pads _layout sized are
+    RECOMPUTED from the post-alignment running total — otherwise a seg_len <
+    block_len lead-in silently let later blocks mix nodes (output stayed
+    exact; the DeFT-Node "no block mixes nodes" grouping property did not).
     Returns (groups, total, in_bounds)."""
     out = []
     total = 0
     ok = True
     for extents, pad in groups:
         if extents is None:
-            out.append((extents, pad))
-            total += pad
+            if block_len:
+                pad = (-total) % block_len
+            if pad:
+                out.append((extents, pad))
+                total += pad
             continue
         base = extents[0][0]
         off = base % seg_len
@@ -319,7 +330,10 @@ def build_flatten_plan(
         # admission packs prompts back-to-back) get a dead aligned lead-in
         # (Mosaic: DMA row offsets must respect the sublane tiling), and
         # the padded cover must stay in-bounds
-        groups, total, in_bounds = _align_groups(groups, cand, pool_size)
+        groups, total, in_bounds = _align_groups(
+            groups, cand, pool_size,
+            block_len=block_len if node_aligned else 0,
+        )
         ok = in_bounds and total <= waste_limit * max(live_tokens, 1)
         if ok:
             seg = cand

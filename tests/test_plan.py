@@ -203,6 +203,49 @@ def test_flatten_plan_misaligned_base_gets_dead_lead_in():
     assert (plan.tok_hi[lead] == 0).all()
 
 
+def test_node_plan_misaligned_base_keeps_node_alignment():
+    """ADVICE r3: a seg_len < block_len dead lead-in used to shift later
+    offsets by a non-block multiple, silently letting blocks mix nodes in
+    node-aligned plans.  _align_groups now recomputes the block pads after
+    lead-in insertion, so the DeFT-Node grouping property must hold even
+    with a misaligned pool base."""
+    kv = TokenKVPool(8192)
+    req = ReqToTokenPool(64, 2048)
+    tree_a = TreeCache(kv, req)
+    tree_a.init_prompt(list(range(5, 513)))  # force a misaligned base below
+    tree_b = TreeCache(kv, req)
+    tree_b.init_prompt(list(range(7, 207)))
+    for c in tree_b.branch(tree_b.root, 2):
+        c.append_token(9)
+    tree_b.alloc()
+    # grow both children to 100 tokens: their seg-padded groups are then
+    # 128-token (one whole block, block pad 0) — a +32 lead-in shift from
+    # the root makes child 1 straddle two blocks and share the second with
+    # child 2 unless the block pads are recomputed
+    for _ in range(99):
+        for leaf in sorted(tree_b.leaves.values(), key=lambda x: x.id):
+            leaf.append_token(11)
+        tree_b.alloc()
+    # off > 24 so the lead-in changes the root group's SEGMENT count
+    # (a smaller off is absorbed by the group's own seg padding and never
+    # shifts later blocks even before the fix)
+    assert tree_b.root.kv_runs[0][0] % 32 > 24
+
+    plan = build_node_plan(tree_b, q_per_kv=2, min_token_bucket=128,
+                           seg_len=(32,), waste_limit=4.0)
+    assert plan.paged and plan.seg_len == 32
+    check_plan_mask(tree_b, plan)
+    # node alignment: within any block all live tokens share one interval
+    nb = plan.num_blocks
+    tl = plan.tok_lo.reshape(nb, plan.block_len)
+    th = plan.tok_hi.reshape(nb, plan.block_len)
+    for b in range(nb):
+        live = th[b] > tl[b]
+        if live.any():
+            assert len(np.unique(tl[b][live])) == 1, f"block {b} mixes nodes"
+            assert len(np.unique(th[b][live])) == 1, f"block {b} mixes nodes"
+
+
 def test_flatten_coalesces_pool_adjacent_leaves():
     """Speculative-decoding shape: reset leaves' slots are group-allocated
     contiguously, and _assemble coalesces them into ONE seg run — the plan
