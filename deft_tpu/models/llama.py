@@ -385,9 +385,13 @@ def _forward(
             # floor there); prefill-scale token counts dispatch top-k via
             # the grouped-matmul kernel — FLOPs scale with k, not NE.
             # n is static per trace, so this is a compile-time branch.
-            # moe_gmm=False under a mesh: GSPMD partitions the dense
-            # einsums but cannot auto-shard a pallas_call.
-            if moe_gmm and _moe_gmm_ok(cfg, lp, n):
+            # Under a mesh the runner passes a CALLABLE (the shard_map'ed
+            # expert-parallel dispatch, parallel/moe.py — GSPMD cannot
+            # auto-shard a pallas_call); it makes the same size branch
+            # internally.
+            if callable(moe_gmm):
+                x = x + moe_gmm(cfg, lp, h, act)
+            elif moe_gmm and _moe_gmm_ok(cfg, lp, n):
                 x = x + _moe_mlp_gmm(cfg, lp, h, act)
             else:
                 x = x + _moe_mlp(cfg, lp, h, act)

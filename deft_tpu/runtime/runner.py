@@ -248,10 +248,21 @@ class ModelRunner:
         )
         self._jit_cache: Dict[str, Callable] = {}
         # MoE prefill-scale top-k dispatch via the grouped-matmul Pallas
-        # kernel (models/llama._moe_mlp_gmm): single-chip Pallas backends
-        # only — GSPMD partitions the dense einsums under a mesh but cannot
-        # auto-shard a pallas_call, and the xla backend means "no pallas"
-        self._moe_gmm = self.mesh is None and self.kernels != "xla"
+        # kernel: single-chip uses models/llama._moe_mlp_gmm directly; a
+        # mesh gets the shard_map'ed expert-parallel variant (GSPMD cannot
+        # auto-shard a pallas_call — parallel/moe.py runs it per chip over
+        # the stored ep/tp weight sharding).  xla backend means "no pallas".
+        if self.kernels == "xla":
+            self._moe_gmm = False
+        elif self.mesh is not None:
+            if model_config.num_experts > 0:
+                from deft_tpu.parallel.moe import make_sharded_moe
+
+                self._moe_gmm = make_sharded_moe(self.mesh)
+            else:
+                self._moe_gmm = False
+        else:
+            self._moe_gmm = True
         self.decode_time = 0.0
         # Attention-latency attribution (reference GlobalTimer brackets the
         # attention call inside the layer, deft_attention.py:79-149; timing
