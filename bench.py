@@ -461,6 +461,8 @@ def main() -> int:
             "kv_io_reduction": round(
                 1 - flat_r["kv_io_bytes"] / seq_r["kv_io_bytes"], 4
             ) if seq_r["kv_io_bytes"] else None,
+            "ttft_ms": round(flat_r["ttft_ms"], 1)
+            if flat_r.get("ttft_ms") else None,
             "model": model, "weights": weights,
             "width": WIDTH, "prompt_len": PROMPT_LEN, "gen_len": GEN_LEN,
         }

@@ -42,6 +42,7 @@ def _paged_q_kernel(
     *refs,
     scale, qpk, block_len, seg_len, num_blocks, num_kv_heads, head_dim,
     partial: bool = False,
+    qwin: int = 0,
 ):
     if partial:
         acc_out, m_out, l_out = refs[:3]
@@ -117,14 +118,16 @@ def _paged_q_kernel(
     def _prefetch():
         issue(b + 1, (b + 1) % 2)
 
-    @pl.when(live(b))
-    def _compute():
-        slot = b % 2
-        for c in seg_copies(b, slot):
-            c.wait()
-        rq = q_ref.shape[1]
-        leaf = jax.lax.broadcasted_iota(jnp.int32, (rq, block_len), 0) // qpk
+    rq = q_ref.shape[1]
+
+    def update_heads(slot, r0, rw):
+        """Online-softmax update for q rows [r0, r0 + rw) — see
+        paged_flatten_attn.update_heads for the exactness argument of the
+        narrow window (skipped rows' masked updates are identities)."""
+        leaf = (jax.lax.broadcasted_iota(jnp.int32, (rw, block_len), 0)
+                + r0) // qpk
         mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
+        rs = pl.ds(r0, rw)
         for h in range(num_kv_heads):
             g = h // pack
             # int8 values up to 127 are EXACT in bf16 (8-bit mantissa), so
@@ -133,11 +136,11 @@ def _paged_q_kernel(
             k2 = kbuf[slot, :, g * gw:(g + 1) * gw].astype(qpad_ref.dtype)
             ks_row = ksbuf[slot, h:h + 1, :]  # (1, BLOCK) lane vector
             s = jax.lax.dot_general(
-                qpad_ref[h], k2, (((1,), (1,)), ((), ())),
+                qpad_ref[h, rs, :], k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * ks_row
             sm = jnp.where(mask, s, _NEG)
-            m_prev = m_ref[h, :, :1]
+            m_prev = m_ref[h, rs, :1]
             m_new = jnp.maximum(
                 jnp.maximum(m_prev,
                             jnp.max(sm, axis=-1, keepdims=True)),
@@ -145,17 +148,43 @@ def _paged_q_kernel(
             )
             p = jnp.exp2(sm - m_new)
             alpha = jnp.exp2(m_prev - m_new)
-            l_new = l_ref[h, :, :1] * alpha + jnp.sum(
+            l_new = l_ref[h, rs, :1] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
             )
             v2 = vbuf[slot, :, g * gw:(g + 1) * gw].astype(qpad_ref.dtype)
             vs_row = vsbuf[slot, h:h + 1, :]
-            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+            acc_ref[h, rs, :] = acc_ref[h, rs, :] * alpha + jax.lax.dot_general(
                 (p * vs_row).astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m_ref[h, :, :1] = m_new
-            l_ref[h, :, :1] = l_new
+            m_ref[h, rs, :1] = m_new
+            l_ref[h, rs, :1] = l_new
+
+    if qwin and qwin < rq:
+        r0 = blk_lo_ref[b] * qpk
+        r0 = jnp.clip((r0 // 8) * 8, 0, rq - qwin)  # sublane-aligned
+        narrow = blk_hi_ref[b] * qpk - r0 <= qwin
+
+        @pl.when(live(b) & narrow)
+        def _compute_narrow():
+            slot = b % 2
+            for c in seg_copies(b, slot):
+                c.wait()
+            update_heads(slot, pl.multiple_of(r0, 8), qwin)
+
+        @pl.when(live(b) & ~narrow)
+        def _compute_full():
+            slot = b % 2
+            for c in seg_copies(b, slot):
+                c.wait()
+            update_heads(slot, 0, rq)
+    else:
+        @pl.when(live(b))
+        def _compute():
+            slot = b % 2
+            for c in seg_copies(b, slot):
+                c.wait()
+            update_heads(slot, 0, rq)
 
     @pl.when(b == num_blocks - 1)
     def _finish():
@@ -178,17 +207,20 @@ def _paged_q_kernel(
 
 def _paged_q_call(qf, k_pool, v_pool, k_scale, v_scale, li, seg_src,
                   tok_lo, tok_hi, blk_lo, blk_hi,
-                  *, scale, qpk, block_len, seg_len, partial):
+                  *, scale, qpk, block_len, seg_len, partial, qwin=-1):
     Hkv, Rq, D = qf.shape
     assert 128 % D == 0
     gw = head_pack(D, Hkv) * D
     T = tok_lo.shape[0]
     nb = T // block_len
     assert nb * block_len == T, (T, block_len)
+    if qwin < 0:
+        qwin = max(16, 8 * qpk)  # same auto policy as the bf16 kernel
+    qwin = min(qwin, Rq)
     kernel = functools.partial(
         _paged_q_kernel, scale=scale, qpk=qpk,
         block_len=block_len, seg_len=seg_len, num_blocks=nb,
-        num_kv_heads=Hkv, head_dim=D, partial=partial,
+        num_kv_heads=Hkv, head_dim=D, partial=partial, qwin=qwin,
     )
     out_spec = pl.BlockSpec((Hkv, Rq, D), lambda b, *_: (0, 0, 0))
     fstate = jax.ShapeDtypeStruct((Hkv, Rq, D), jnp.float32)
@@ -236,28 +268,28 @@ def _paged_q_call(qf, k_pool, v_pool, k_scale, v_scale, li, seg_src,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "qpk", "block_len", "seg_len")
+    jax.jit, static_argnames=("scale", "qpk", "block_len", "seg_len", "qwin")
 )
 def paged_flatten_attention_q(
     qf, k_pool, v_pool, k_scale, v_scale, li, seg_src,
     tok_lo, tok_hi, blk_lo, blk_hi,
-    *, scale, qpk, block_len, seg_len,
+    *, scale, qpk, block_len, seg_len, qwin=-1,
 ):
     return _paged_q_call(
         qf, k_pool, v_pool, k_scale, v_scale, li, seg_src,
         tok_lo, tok_hi, blk_lo, blk_hi,
         scale=scale, qpk=qpk, block_len=block_len, seg_len=seg_len,
-        partial=False,
+        partial=False, qwin=qwin,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "qpk", "block_len", "seg_len")
+    jax.jit, static_argnames=("scale", "qpk", "block_len", "seg_len", "qwin")
 )
 def paged_flatten_attention_q_partial(
     qf, k_pool, v_pool, k_scale, v_scale, li, seg_src,
     tok_lo, tok_hi, blk_lo, blk_hi,
-    *, scale, qpk, block_len, seg_len,
+    *, scale, qpk, block_len, seg_len, qwin=-1,
 ):
     """Per-chip int8-KV pass over a LOCAL sp-span of blocks, returning
     unnormalized (acc, m, l) for the cross-chip LSE merge — the quantized
@@ -267,7 +299,7 @@ def paged_flatten_attention_q_partial(
         qf, k_pool, v_pool, k_scale, v_scale, li, seg_src,
         tok_lo, tok_hi, blk_lo, blk_hi,
         scale=scale, qpk=qpk, block_len=block_len, seg_len=seg_len,
-        partial=True,
+        partial=True, qwin=qwin,
     )
 
 

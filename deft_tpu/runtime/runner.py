@@ -730,15 +730,20 @@ class ModelRunner:
         kind = mode.plan_kind
         # int8 pools: the per-(token, head) scale rows are DMA'd as lane
         # vectors, and Mosaic requires lane-axis slices to be 128-aligned —
-        # int8 plans accept only 128-token segments.  The coarser segments
-        # pad small runs harder, so the waste limit relaxes: paged reads at
-        # up to 3x padding still beat the gather-dequant fallback (which
-        # reads ~3x AND materializes a dequantized bf16 copy; measured 15
-        # vs 2.2 ms/step at the 8B bench shape, kernel_lab + r3 bench).
+        # int8 segments must be 128-token multiples.  Wider segments (512,
+        # 256) amortize the scale-DMA descriptor count (2x the bf16
+        # kernel's — VERDICT r3 weak 5) but read their own padding, so
+        # they are taken only when nearly free (per-candidate waste
+        # limits); the 128 fallback relaxes to 3x because paged reads at
+        # 3x padding still beat the gather-dequant fallback (which reads
+        # ~3x AND materializes a dequantized bf16 copy; measured 15 vs
+        # 2.2 ms/step at the 8B bench shape, kernel_lab + r3 bench).
         if self.kv_quantized and kind in ("flatten", "seq", "node"):
-            kw["seg_len"] = (128,)
             if kind in ("flatten", "node"):
-                kw["waste_limit"] = 3.0
+                kw["seg_len"] = (512, 256, 128)
+                kw["waste_limit"] = (1.1, 1.2, 3.0)
+            else:
+                kw["seg_len"] = (128,)
         if kind == "flatten":
             return build_flatten_plan(self.tree, **kw)
         if kind == "node":

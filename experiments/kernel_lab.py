@@ -462,6 +462,66 @@ def vD_fused(q, kp, vp, li, case):
     )
 
 
+def build_case_deep(block_len: int, rng):
+    """Deep-tree shape (long-context replay late state): the shared prefix
+    is ~1/3 of live KV, per-leaf suffix runs of 96 tokens make up the rest
+    — MOST blocks then serve a single leaf, the narrow-q window's target
+    population (VERDICT r3 item 7)."""
+    case = build_case(block_len, rng)
+    tok_lo = np.full(T_PAD, 2**30, np.int32)
+    tok_hi = np.zeros(T_PAD, np.int32)
+    prefix = min(1536, T_PAD // 2)  # check mode trims T_PAD
+    tok_lo[:prefix] = 0
+    tok_hi[:prefix] = LEAVES
+    o = prefix
+    per_leaf = min(96, (T_PAD - prefix) // LEAVES)
+    for r in range(LEAVES):
+        tok_lo[o:o + per_leaf] = r
+        tok_hi[o:o + per_leaf] = r + 1
+        o += per_leaf
+    nb = T_PAD // block_len
+    blk_lo = tok_lo.reshape(nb, block_len).min(1)
+    blk_hi = tok_hi.reshape(nb, block_len).max(1)
+    case.update(
+        tok_lo=jnp.asarray(tok_lo), tok_hi=jnp.asarray(tok_hi),
+        blk_lo=jnp.asarray(blk_lo), blk_hi=jnp.asarray(blk_hi),
+        live_blocks=int((blk_lo < blk_hi).sum()),
+    )
+    return case
+
+
+def make_qwin_variant(qwin):
+    def fn(q, kp, vp, li, case):
+        from deft_tpu.ops.paged_flatten_attn import paged_flatten_attention
+
+        return paged_flatten_attention(
+            q, kp, vp, li, case["seg_src"], case["tok_lo"],
+            case["tok_hi"], case["blk_lo"], case["blk_hi"],
+            scale=D ** -0.5, qpk=QPK, block_len=case["block_len"],
+            seg_len=min(SEG, case["block_len"]), qwin=qwin,
+        )
+    return fn
+
+
+def make_qwin_variant_q(qwin, seg):
+    def fn(q, kp, vp, li, case):
+        from deft_tpu.ops.paged_quant import paged_flatten_attention_q
+
+        # re-derive the seg table at this seg length: same linear address
+        # coverage as the case's 128-token table (outputs stay comparable),
+        # seg-aligned starts, fewer descriptors per block
+        nb = case["tok_lo"].shape[0] // case["block_len"]
+        nseg = case["block_len"] // seg
+        seg_src = jnp.arange(nb * nseg, dtype=jnp.int32) * seg
+        return paged_flatten_attention_q(
+            q, kp, vp, case["k_scale"], case["v_scale"], li,
+            seg_src, case["tok_lo"], case["tok_hi"],
+            case["blk_lo"], case["blk_hi"], scale=D ** -0.5, qpk=QPK,
+            block_len=case["block_len"], seg_len=seg, qwin=qwin,
+        )
+    return fn
+
+
 VARIANTS = {
     "v0_b128": (v0_production, 128, build_case),
     "vB_b128": (vB_passes, 128, build_case),
@@ -473,6 +533,22 @@ VARIANTS = {
     "q_b512": (v0_quant, 512, build_case_q),
     "vD_b256": (vD_fused, 256, build_case),
     "vD_b512": (vD_fused, 512, build_case),
+    # narrow-q window sweep (r4): bench shape and the deep-tree shape
+    "qw0_b512": (make_qwin_variant(0), 512, build_case),
+    "qw32_b512": (make_qwin_variant(32), 512, build_case),
+    "qw64_b512": (make_qwin_variant(64), 512, build_case),
+    "deep_qw0_b512": (make_qwin_variant(0), 512, build_case_deep),
+    "deep_qw32_b512": (make_qwin_variant(32), 512, build_case_deep),
+    "deep_qw64_b512": (make_qwin_variant(64), 512, build_case_deep),
+    "deep_qw0_b256": (make_qwin_variant(0), 256, build_case_deep),
+    "deep_qw32_b256": (make_qwin_variant(32), 256, build_case_deep),
+    # int8 wide segments (r4, VERDICT weak 5): one 512-token DMA per block
+    # vs four 128-token ones (seg tables in build_case* are k*SEG-aligned
+    # because S-SEG is, so reusing them at seg 256/512 stays in-bounds)
+    "q_b512_seg128_qw0": (make_qwin_variant_q(0, 128), 512, build_case_q),
+    "q_b512_seg128_qw32": (make_qwin_variant_q(32, 128), 512, build_case_q),
+    "q_b512_seg512_qw0": (make_qwin_variant_q(0, 512), 512, build_case_q),
+    "q_b512_seg512_qw32": (make_qwin_variant_q(32, 512), 512, build_case_q),
 }
 
 

@@ -120,8 +120,19 @@ def test_seq_kernel_vs_oracle(dtype):
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-@pytest.mark.parametrize("N,Hq,Hkv,D", [(256, 8, 2, 64), (128, 32, 8, 128)])
-def test_prefill_kernel_vs_oracle(dtype, N, Hq, Hkv, D):
+@pytest.mark.parametrize(
+    "N,Hq,Hkv,D,bm,bn",
+    [
+        (256, 8, 2, 64, 0, 0),
+        (128, 32, 8, 128, 0, 0),
+        # big-tile default (BM=512) with mask-free interior blocks engaged
+        (1024, 8, 2, 64, 0, 0),
+        # explicit tile sweep (the kernel-lab tuning surface)
+        (1024, 8, 2, 64, 128, 128),
+        (1024, 8, 2, 64, 512, 256),
+    ],
+)
+def test_prefill_kernel_vs_oracle(dtype, N, Hq, Hkv, D, bm, bn):
     rng = np.random.default_rng(N)
     q = jnp.asarray(rng.standard_normal((N, Hq, D)), dtype)
     k = jnp.asarray(rng.standard_normal((N, Hkv, D)), dtype)
@@ -135,6 +146,8 @@ def test_prefill_kernel_vs_oracle(dtype, N, Hq, Hkv, D):
             jnp.swapaxes(v, 0, 1),
             scale=scale,
             qpk=Hq // Hkv,
+            bm=bm,
+            bn=bn,
         ),
         N,
     )
@@ -484,7 +497,13 @@ def test_paged_seq_kernel_unaligned_spec_decode_shape():
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 @pytest.mark.parametrize(
-    "lens,Hq,Hkv,D", [((60, 83, 100), 8, 2, 64), ((128, 72), 32, 8, 128)]
+    "lens,Hq,Hkv,D",
+    [
+        ((60, 83, 100), 8, 2, 64),
+        ((128, 72), 32, 8, 128),
+        # long segments so same-segment interior (mask-free) blocks engage
+        ((500, 300, 200), 8, 2, 64),
+    ],
 )
 def test_ragged_prefill_kernel_vs_oracle(dtype, lens, Hq, Hkv, D):
     """Segment-masked ragged prefill == dense ragged oracle; padded tail rows
@@ -492,7 +511,7 @@ def test_ragged_prefill_kernel_vs_oracle(dtype, lens, Hq, Hkv, D):
     from deft_tpu.ops.dense_oracle import dense_ragged_causal_attention
     from deft_tpu.ops.prefill import ragged_prefill_attention
 
-    N = 256  # padded total (multiple of 128)
+    N = max(256, -(-sum(lens) // 128) * 128)  # padded total (mult of 128)
     assert sum(lens) <= N
     rng = np.random.default_rng(sum(lens))
     q = jnp.asarray(rng.standard_normal((N, Hq, D)), dtype)
@@ -600,3 +619,128 @@ def test_head_pack_divisor_and_odd_kv_heads_kernel():
             want = (p / p.sum()) @ vp[path, h // qpk]
             err = np.abs(got[qi, h] - want).max()
             assert err / max(np.abs(want).max(), 1e-9) < 2e-5, (qi, h, err)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("qwin", [-1, 8, 64])
+def test_paged_flatten_narrow_q_window_vs_oracle(dtype, qwin):
+    """The narrow-q fast path (blocks serving few leaves update only a
+    qwin-row window — VERDICT r3 item 7) must be EXACT: a deep tree whose
+    per-leaf suffix runs dominate produces many narrow blocks, and the
+    kernel output must match the dense oracle for every window size,
+    including the full-path-only baseline (qwin large ~ disabled)."""
+    from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache
+    from deft_tpu.ops.flatten_attn import fold_q, unfold_o
+    from deft_tpu.ops.paged_flatten_attn import (
+        paged_flatten_attention, paged_flatten_attention_partial)
+    from deft_tpu.plan import build_flatten_plan
+
+    rng = np.random.default_rng(11)
+    Hq, Hkv, D = 8, 2, 64
+    qpk = Hq // Hkv
+    tree = TreeCache(TokenKVPool(16384), ReqToTokenPool(64, 4096))
+    tree.init_prompt(list(range(120)))
+    for i, c in enumerate(tree.branch(tree.root, 16)):
+        c.append_token(50 + i)
+    for _ in range(150):  # long per-leaf suffixes -> narrow blocks
+        tree.alloc()
+        for leaf in list(tree.leaves.values()):
+            leaf.append_token(int(rng.integers(1, 400)))
+    tree.alloc()
+    plan = build_flatten_plan(tree, q_per_kv=qpk, block_len=128,
+                              min_token_bucket=256)
+    assert plan.paged
+    R = plan.l_pad
+    rq = R * qpk
+    eff_qwin = min(rq, max(16, 8 * qpk) if qwin < 0 else qwin)
+    r0 = np.clip((plan.blk_lo * qpk) // 8 * 8, 0, rq - eff_qwin)
+    narrow = (plan.blk_hi * qpk - r0 <= eff_qwin) & (plan.blk_lo < plan.blk_hi)
+    if eff_qwin < rq:
+        assert narrow.sum() >= 5, "test tree must produce narrow blocks"
+
+    S = tree.token_to_kv_pool.size
+    k_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), dtype)
+    v_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), dtype)
+    q = jnp.asarray(rng.standard_normal((R, Hq, D)), dtype)
+    scale = D**-0.5
+    kt = k_pool[0][plan.kv_idx].reshape(-1, Hkv, D)
+    vt = v_pool[0][plan.kv_idx].reshape(-1, Hkv, D)
+    want = dense_tree_attention(
+        q, kt, vt, jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi), scale
+    )
+    args = (fold_q(q, Hkv), k_pool, v_pool, jnp.asarray(0, jnp.int32),
+            jnp.asarray(plan.seg_src), jnp.asarray(plan.tok_lo),
+            jnp.asarray(plan.tok_hi), jnp.asarray(plan.blk_lo),
+            jnp.asarray(plan.blk_hi))
+    kw = dict(scale=scale, qpk=qpk, block_len=plan.block_len,
+              seg_len=plan.seg_len, qwin=qwin)
+    got = unfold_o(paged_flatten_attention(*args, **kw), R)
+    live = np.arange(R) < plan.n_leaves
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    assert rel_err(np.asarray(got)[live], np.asarray(want)[live]) < tol
+
+    # the partial (mesh) variant takes the same fast path
+    acc, m, l = paged_flatten_attention_partial(*args, **kw)
+    o = np.asarray(acc) / np.where(np.asarray(l) == 0.0, 1.0,
+                                   np.asarray(l))
+    got_p = unfold_o(jnp.asarray(o, jnp.float32), R)
+    assert rel_err(np.asarray(got_p)[live], np.asarray(want)[live]) < tol
+
+
+@pytest.mark.parametrize("qwin", [-1, 8])
+def test_paged_quant_narrow_q_window_vs_oracle(qwin):
+    """int8 variant of the narrow-q window path (separate kernel code in
+    ops/paged_quant.py): deep per-leaf suffixes, kernel vs the XLA
+    dequant-gather oracle."""
+    from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache
+    from deft_tpu.models.llama import KVPool, kv_gather_heads
+    from deft_tpu.ops.paged_quant import paged_flatten_attention_q
+    from deft_tpu.plan import build_flatten_plan
+
+    rng = np.random.default_rng(13)
+    Hq, Hkv, D = 8, 2, 64
+    qpk = Hq // Hkv
+    tree = TreeCache(TokenKVPool(16384), ReqToTokenPool(64, 4096))
+    tree.init_prompt(list(range(130)))
+    for i, c in enumerate(tree.branch(tree.root, 16)):
+        c.append_token(50 + i)
+    for _ in range(140):
+        tree.alloc()
+        for leaf in list(tree.leaves.values()):
+            leaf.append_token(int(rng.integers(1, 400)))
+    tree.alloc()
+    plan = build_flatten_plan(tree, q_per_kv=qpk, block_len=128,
+                              min_token_bucket=256, seg_len=(128,),
+                              waste_limit=3.0)
+    assert plan.paged and plan.seg_len == 128
+    R = plan.l_pad
+    assert R * qpk > 32  # narrow path enabled under the auto policy
+
+    S = tree.token_to_kv_pool.size
+    kq = rng.integers(-127, 128, size=(1, S, Hkv * D)).astype(np.int8)
+    vq = rng.integers(-127, 128, size=(1, S, Hkv * D)).astype(np.int8)
+    ks = (rng.random((1, Hkv, S)) * 0.02 + 0.001).astype(np.float32)
+    vs = (rng.random((1, Hkv, S)) * 0.02 + 0.001).astype(np.float32)
+    k_pool = KVPool(jnp.asarray(kq), jnp.asarray(ks))
+    v_pool = KVPool(jnp.asarray(vq), jnp.asarray(vs))
+    q = jnp.asarray(rng.standard_normal((R, Hq, D)), jnp.float32)
+    scale = D**-0.5
+    kt = kv_gather_heads(k_pool, 0, jnp.asarray(plan.kv_idx), D, jnp.float32)
+    vt = kv_gather_heads(v_pool, 0, jnp.asarray(plan.kv_idx), D, jnp.float32)
+    want = dense_tree_attention(
+        q, kt, vt, jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi), scale
+    )
+    got = unfold_o(
+        paged_flatten_attention_q(
+            fold_q(q, Hkv), k_pool.data, v_pool.data,
+            k_pool.scale, v_pool.scale,
+            jnp.asarray(0, jnp.int32), jnp.asarray(plan.seg_src),
+            jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi),
+            jnp.asarray(plan.blk_lo), jnp.asarray(plan.blk_hi),
+            scale=scale, qpk=qpk,
+            block_len=plan.block_len, seg_len=plan.seg_len, qwin=qwin,
+        ),
+        R,
+    )
+    live = np.arange(R) < plan.n_leaves
+    assert rel_err(np.asarray(got)[live], np.asarray(want)[live]) < 2e-4
