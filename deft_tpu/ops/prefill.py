@@ -48,6 +48,16 @@ def _pick_block(n: int, cap: int = 512) -> int:
     return min(b, n)
 
 
+# Default tile caps, tuned on v5e (experiments/results_r4/prefill_lab_*):
+# q tiles of 1024 rows quarter the KV re-streaming vs 256-row tiles, and
+# 1024-token kv blocks halve the per-block rescale/state passes again —
+# (1024, 1024) measured 132 TFLOP/s = 67% of bf16 peak at p16384 (vs 13.7
+# TFLOP/s for the r3 kernel's (128, 128)); (2048, 2048) VMEM-OOMs.
+# Non-dividing shapes fall back to the largest dividing power of two.
+_BM_CAP = 1024
+_BN_CAP = 1024
+
+
 def _flash_update(s, mask, m_ref, l_ref, acc_ref, v, sl=None):
     """One online-softmax update on a (BM', BN) score tile in the exp2
     domain.  ``mask=None`` means fully visible (no where pass).  ``sl``
@@ -143,8 +153,8 @@ def prefill_attention(
 ) -> jnp.ndarray:
     Hkv, NQ, D = qf.shape
     N = kt.shape[1]
-    BM = bm or _pick_block(NQ)
-    BN = bn or _pick_block(N)
+    BM = bm or _pick_block(NQ, _BM_CAP)
+    BN = bn or _pick_block(N, _BN_CAP)
     assert NQ % BM == 0 and N % BN == 0, (NQ, N, BM, BN)
     nqb, nkb = NQ // BM, N // BN
 
@@ -288,8 +298,8 @@ def ragged_prefill_attention(
 ) -> jnp.ndarray:
     Hkv, NQ, D = qf.shape
     N = kt.shape[1]
-    BM = bm or _pick_block(NQ)
-    BN = bn or _pick_block(N)
+    BM = bm or _pick_block(NQ, _BM_CAP)
+    BN = bn or _pick_block(N, _BN_CAP)
     assert NQ % BM == 0 and N % BN == 0, (NQ, N, BM, BN)
     nqb, nkb = NQ // BM, N // BN
 

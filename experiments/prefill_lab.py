@@ -42,21 +42,25 @@ def main():
     flops = 2 * 2 * HKV * NQ * N * D / 2
 
     ref = None
-    for bm, bn in [(0, 0), (128, 128), (256, 256), (512, 256), (512, 512),
-                   (1024, 512)]:
+    for bm, bn in [(0, 0), (128, 128), (256, 256), (512, 512),
+                   (1024, 512), (1024, 1024), (2048, 512),
+                   (512, 1024), (1024, 2048), (2048, 1024)]:
         if bm and (NQ % bm or N % bn):
             continue
 
         def run_fn(qf, kt, vt, reps, bm=bm, bn=bn):
             def outer(_, acc):
-                qi = (qf.astype(jnp.float32) + acc * 1e-30).astype(qf.dtype)
-
                 def body(a, li):
+                    # carry-dependent q: the body must depend on the scan
+                    # carry or XLA hoists the (layer-invariant) prefill out
+                    # of the loop and times ONE call as `layers`
+                    qi = (qf.astype(jnp.float32) + a * 1e-30).astype(
+                        qf.dtype)
                     o = prefill_attention(qi, kt, vt, scale=scale, qpk=QPK,
                                           bm=bm, bn=bn)
                     return a + o.astype(jnp.float32).sum(), None
 
-                tot, _ = jax.lax.scan(body, jnp.float32(0.0), lis)
+                tot, _ = jax.lax.scan(body, acc * 1e-30, lis)
                 return tot
 
             return jax.lax.fori_loop(0, reps, outer, jnp.float32(0.0))

@@ -129,17 +129,28 @@ def main() -> int:
             slots = prompt_len + 2 * ctx_extra + width * 140 + 4096
         else:
             slots = prompt_len + width * (gen_len + 8 + 256) + ctx_extra + 2048
+        # mode-specific engine knobs (mirrors cli/run.py): node_chunk =
+        # node alignment + chunking at block_len (the reference's default
+        # MAX_BLOCK_LEN == BLOCK_LEN setting); tree_index needs the
+        # per-node KV index pool
+        from deft_tpu.config import AttentionConfig
+
+        attn_cfg = AttentionConfig()
+        if mode_name == "node_chunk":
+            attn_cfg = AttentionConfig(node_chunk_len=attn_cfg.block_len)
         ecfg = EngineConfig(
             kv_pool_slots=slots,
             max_requests=max(64, 2 * width),
             max_context_len=prompt_len + gen_len + ctx_extra + 64,
             kv_dtype=args.kv_dtype,
             weight_dtype=args.weight_dtype,
+            attention=attn_cfg,
         )
         # top-K must cover the widest branch event (spec-decode replays
         # branch the root into `width` = tree-size children at iter 0)
         runner = ModelRunner(cfg, ecfg, kernels="auto", seed=0,
-                             topk_k=max(64, width))
+                             topk_k=max(64, width),
+                             use_tree_index=mode_name == "tree_index")
         rng = np.random.default_rng(0)
         prompt = [int(t) for t in
                   rng.integers(4, cfg.vocab_size - 4, prompt_len)]
