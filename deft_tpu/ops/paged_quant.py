@@ -120,14 +120,17 @@ def _paged_q_kernel(
 
     rq = q_ref.shape[1]
 
-    def update_heads(slot, r0, rw):
+    def update_heads(slot, r0, rw, masked=True):
         """Online-softmax update for q rows [r0, r0 + rw) — see
-        paged_flatten_attn.update_heads for the exactness argument of the
-        narrow window (skipped rows' masked updates are identities)."""
-        leaf = (jax.lax.broadcasted_iota(jnp.int32, (rw, block_len), 0)
-                + r0) // qpk
-        mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
+        paged_flatten_attn.update_heads for the exactness arguments of the
+        narrow window (skipped rows' masked updates are identities) and
+        the mask-free full-block path (masked=False; blk_lo == -1 plan
+        sentinel proves the mask all-true for live rows)."""
         rs = pl.ds(r0, rw)
+        if masked:
+            leaf = (jax.lax.broadcasted_iota(jnp.int32, (rw, block_len), 0)
+                    + r0) // qpk
+            mask = (lo_ref[...] <= leaf) & (leaf < hi_ref[...])
         for h in range(num_kv_heads):
             g = h // pack
             # int8 values up to 127 are EXACT in bf16 (8-bit mantissa), so
@@ -139,7 +142,7 @@ def _paged_q_kernel(
                 qpad_ref[h, rs, :], k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * ks_row
-            sm = jnp.where(mask, s, _NEG)
+            sm = jnp.where(mask, s, _NEG) if masked else s
             m_prev = m_ref[h, rs, :1]
             m_new = jnp.maximum(
                 jnp.maximum(m_prev,
@@ -160,31 +163,39 @@ def _paged_q_kernel(
             m_ref[h, rs, :1] = m_new
             l_ref[h, rs, :1] = l_new
 
-    if qwin and qwin < rq:
-        r0 = blk_lo_ref[b] * qpk
-        r0 = jnp.clip((r0 // 8) * 8, 0, rq - qwin)  # sublane-aligned
-        narrow = blk_hi_ref[b] * qpk - r0 <= qwin
+    # narrow-q window + mask-free full blocks (blk_lo == -1 plan sentinel)
+    # — same fast-path structure as paged_flatten_attn.py
+    is_full = blk_lo_ref[b] < 0
 
-        @pl.when(live(b) & narrow)
-        def _compute_narrow():
-            slot = b % 2
-            for c in seg_copies(b, slot):
-                c.wait()
-            update_heads(slot, pl.multiple_of(r0, 8), qwin)
+    @pl.when(live(b))
+    def _compute():
+        slot = b % 2
+        for c in seg_copies(b, slot):
+            c.wait()
+        if qwin and qwin < rq:
+            r0 = blk_lo_ref[b] * qpk
+            r0 = jnp.clip((r0 // 8) * 8, 0, rq - qwin)  # sublane-aligned
+            narrow = blk_hi_ref[b] * qpk - r0 <= qwin
 
-        @pl.when(live(b) & ~narrow)
-        def _compute_full():
-            slot = b % 2
-            for c in seg_copies(b, slot):
-                c.wait()
-            update_heads(slot, 0, rq)
-    else:
-        @pl.when(live(b))
-        def _compute():
-            slot = b % 2
-            for c in seg_copies(b, slot):
-                c.wait()
-            update_heads(slot, 0, rq)
+            @pl.when(narrow)
+            def _narrow():
+                update_heads(slot, pl.multiple_of(r0, 8), qwin)
+
+            @pl.when(~narrow & is_full)
+            def _full_maskfree():
+                update_heads(slot, 0, rq, masked=False)
+
+            @pl.when(~narrow & ~is_full)
+            def _full_masked():
+                update_heads(slot, 0, rq)
+        else:
+            @pl.when(is_full)
+            def _maskfree():
+                update_heads(slot, 0, rq, masked=False)
+
+            @pl.when(~is_full)
+            def _masked():
+                update_heads(slot, 0, rq)
 
     @pl.when(b == num_blocks - 1)
     def _finish():

@@ -63,7 +63,8 @@ class FlattenPlan:
     kv_idx: np.ndarray      # (T_pad,) int32 pool slots (pad -> DUMP_SLOT)
     tok_lo: np.ndarray      # (T_pad,) int32 leaf-interval lo (pad -> 2^30)
     tok_hi: np.ndarray      # (T_pad,) int32 leaf-interval hi (pad -> 0)
-    blk_lo: np.ndarray      # (B,) int32 per-block min lo (tile-skip bound)
+    blk_lo: np.ndarray      # (B,) int32 per-block min lo (tile-skip bound;
+    #                         -1 = mask-free FULL block, see build sentinel)
     blk_hi: np.ndarray      # (B,) int32 per-block max hi
     # Query side, DFS leaf order, padded to L_pad:
     q_tokens: np.ndarray    # (L_pad,) int32 last token id per leaf
@@ -371,6 +372,19 @@ def build_flatten_plan(
     nb = t_pad // block_len
     blk_lo = tok_lo.reshape(nb, block_len).min(axis=1)
     blk_hi = tok_hi.reshape(nb, block_len).max(axis=1)
+    # FULL-block sentinel (blk_lo = -1): every token in the block is live
+    # with interval [0, n_leaves) — the shared tree prefix, the bulk of
+    # dense trees — so the kernel's mask is provably all-true for every
+    # live row and the paged kernels skip the mask build + where pass
+    # entirely (ops/paged_flatten_attn.py update_heads masked=False).
+    # blk_lo's other consumers only do live checks (-1 < blk_hi) and the
+    # narrow-window start (clipped to >= 0), both sentinel-safe; multi-tree
+    # plans recompute blk arrays from the offset tok arrays and never
+    # inherit the sentinel (a batched block is never all-leaves-full).
+    if n_leaves > 0:
+        full = ((tok_lo.reshape(nb, block_len) == 0).all(axis=1)
+                & (tok_hi.reshape(nb, block_len) == n_leaves).all(axis=1))
+        blk_lo = np.where(full, np.int32(-1), blk_lo)
 
     seg_src = None
     paged = False

@@ -744,3 +744,86 @@ def test_paged_quant_narrow_q_window_vs_oracle(qwin):
     )
     live = np.arange(R) < plan.n_leaves
     assert rel_err(np.asarray(got)[live], np.asarray(want)[live]) < 2e-4
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_paged_flatten_full_block_sentinel_vs_oracle(dtype):
+    """Mask-free FULL-block fast path (blk_lo == -1 plan sentinel): a long
+    shared prompt yields whole blocks where every token is live with
+    interval [0, n_leaves); the plan must mark them and the kernels (bf16,
+    int8, and the mesh partial variant) must stay exact — including the
+    padded q rows beyond n_leaves, whose unmasked garbage must not leak
+    into live rows."""
+    from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache
+    from deft_tpu.models.llama import KVPool, kv_gather_heads
+    from deft_tpu.ops.flatten_attn import fold_q, unfold_o
+    from deft_tpu.ops.paged_flatten_attn import (
+        paged_flatten_attention, paged_flatten_attention_partial)
+    from deft_tpu.ops.paged_quant import paged_flatten_attention_q
+    from deft_tpu.plan import build_flatten_plan
+
+    rng = np.random.default_rng(17)
+    Hq, Hkv, D = 8, 2, 64
+    qpk = Hq // Hkv
+    tree = TreeCache(TokenKVPool(8192), ReqToTokenPool(64, 2048))
+    tree.init_prompt(list(range(450)))  # >= 3 full 128-token blocks
+    for i, c in enumerate(tree.branch(tree.root, 5)):
+        c.append_token(50 + i)
+    for _ in range(10):
+        tree.alloc()
+        for leaf in list(tree.leaves.values()):
+            leaf.append_token(int(rng.integers(1, 400)))
+    tree.alloc()
+    plan = build_flatten_plan(tree, q_per_kv=qpk, min_token_bucket=256)
+    assert plan.paged
+    assert (plan.blk_lo == -1).sum() >= 3, "prompt must yield full blocks"
+    assert plan.l_pad > plan.n_leaves, "padded q rows must exist"
+
+    S = tree.token_to_kv_pool.size
+    k_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), dtype)
+    v_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), dtype)
+    R = plan.l_pad
+    q = jnp.asarray(rng.standard_normal((R, Hq, D)), dtype)
+    scale = D**-0.5
+    kt = k_pool[0][plan.kv_idx].reshape(-1, Hkv, D)
+    vt = v_pool[0][plan.kv_idx].reshape(-1, Hkv, D)
+    want = dense_tree_attention(
+        q, kt, vt, jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi), scale
+    )
+    args = (fold_q(q, Hkv), k_pool, v_pool, jnp.asarray(0, jnp.int32),
+            jnp.asarray(plan.seg_src), jnp.asarray(plan.tok_lo),
+            jnp.asarray(plan.tok_hi), jnp.asarray(plan.blk_lo),
+            jnp.asarray(plan.blk_hi))
+    kw = dict(scale=scale, qpk=qpk, block_len=plan.block_len,
+              seg_len=plan.seg_len)
+    live = np.arange(R) < plan.n_leaves
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    got = unfold_o(paged_flatten_attention(*args, **kw), R)
+    assert rel_err(np.asarray(got)[live], np.asarray(want)[live]) < tol
+
+    acc, m, l = paged_flatten_attention_partial(*args, **kw)
+    o = np.asarray(acc) / np.where(np.asarray(l) == 0.0, 1.0, np.asarray(l))
+    got_p = unfold_o(jnp.asarray(o, jnp.float32), R)
+    assert rel_err(np.asarray(got_p)[live], np.asarray(want)[live]) < tol
+
+    if dtype == jnp.float32:
+        kq = rng.integers(-127, 128, size=(1, S, Hkv * D)).astype(np.int8)
+        vq = rng.integers(-127, 128, size=(1, S, Hkv * D)).astype(np.int8)
+        ks = (rng.random((1, Hkv, S)) * 0.02 + 0.001).astype(np.float32)
+        vs = (rng.random((1, Hkv, S)) * 0.02 + 0.001).astype(np.float32)
+        kp = KVPool(jnp.asarray(kq), jnp.asarray(ks))
+        vp = KVPool(jnp.asarray(vq), jnp.asarray(vs))
+        ktd = kv_gather_heads(kp, 0, jnp.asarray(plan.kv_idx), D, jnp.float32)
+        vtd = kv_gather_heads(vp, 0, jnp.asarray(plan.kv_idx), D, jnp.float32)
+        want_q = dense_tree_attention(
+            q, ktd, vtd, jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi),
+            scale)
+        got_q = unfold_o(
+            paged_flatten_attention_q(
+                fold_q(q, Hkv), kp.data, vp.data, kp.scale, vp.scale,
+                jnp.asarray(0, jnp.int32), jnp.asarray(plan.seg_src),
+                jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi),
+                jnp.asarray(plan.blk_lo), jnp.asarray(plan.blk_hi), **kw),
+            R)
+        assert rel_err(np.asarray(got_q)[live],
+                       np.asarray(want_q)[live]) < 2e-4
