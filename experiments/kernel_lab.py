@@ -522,6 +522,23 @@ def make_qwin_variant_q(qwin, seg):
     return fn
 
 
+def sentinel(builder):
+    """Apply the plan's FULL-block sentinel (plan/flatten.py): blocks whose
+    every token is live with interval [0, LEAVES) get blk_lo = -1, enabling
+    the kernels' mask-free fast path.  Exact: outputs must equal v0."""
+    def build(block_len, rng):
+        case = builder(block_len, rng)
+        nb = case["tok_lo"].shape[0] // block_len
+        tl = np.asarray(case["tok_lo"]).reshape(nb, block_len)
+        th = np.asarray(case["tok_hi"]).reshape(nb, block_len)
+        full = (tl == 0).all(axis=1) & (th == LEAVES).all(axis=1)
+        blk_lo = np.where(full, np.int32(-1), np.asarray(case["blk_lo"]))
+        case.update(blk_lo=jnp.asarray(blk_lo), full_blocks=int(full.sum()))
+        return case
+    build.__name__ = "sent_" + builder.__name__
+    return build
+
+
 VARIANTS = {
     "v0_b128": (v0_production, 128, build_case),
     "vB_b128": (vB_passes, 128, build_case),
@@ -549,6 +566,17 @@ VARIANTS = {
     "q_b512_seg128_qw32": (make_qwin_variant_q(32, 128), 512, build_case_q),
     "q_b512_seg512_qw0": (make_qwin_variant_q(0, 512), 512, build_case_q),
     "q_b512_seg512_qw32": (make_qwin_variant_q(32, 512), 512, build_case_q),
+    # mask-free FULL-block sentinel (r4): prompt blocks skip the mask build
+    # + where pass; outputs must be bit-identical to the masked path
+    "full_b512": (v0_production, 512, sentinel(build_case)),
+    "full_b1024": (v0_production, 1024, sentinel(build_case)),
+    "deep_full_b512": (make_qwin_variant(32), 512,
+                       sentinel(build_case_deep)),
+    "qfull_b512_seg512": (make_qwin_variant_q(32, 512), 512,
+                          sentinel(build_case_q)),
+    # bigger blocks alone (per-block fixed-cost amortization beyond b512)
+    "v0_b1024": (v0_production, 1024, build_case),
+    "deep_qw32_b1024": (make_qwin_variant(32), 1024, build_case_deep),
 }
 
 
@@ -570,7 +598,9 @@ def main():
         out = np.asarray(
             fn(case["q"], case["k_pool"], case["v_pool"],
                jnp.asarray(LAYERS - 1, jnp.int32), case))
-        ref_out = refs.setdefault(builder.__name__, out)
+        # sentinel cases must produce the same output as the unsentineled
+        # builder (mask-free path is exact) -> share its reference
+        ref_out = refs.setdefault(builder.__name__.replace("sent_", ""), out)
         err = np.abs(out.astype(np.float64)
                      - ref_out.astype(np.float64)).max()
         ms = 0.0 if check_only else time_step(fn, case)
