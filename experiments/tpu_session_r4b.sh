@@ -37,6 +37,12 @@ timeout 3000 python experiments/kernel_lab.py \
     q_b512_seg512_qw32 qfull_b512_seg512 \
     2>&1 | tee "$OUT/kernel_lab_r4b.txt" | tail -12
 
+echo "== 2b. few-shot w50 @ 8B at block 512 (kernel-lab's preferred block) =="
+timeout 2400 python experiments/run_sweep.py --suite few_shot --model 8b \
+    --modes flatten seq --width 50 --prompt-len 4000 --gen-len 400 \
+    --weight-dtype int8 --block-len 512 \
+    --out "$OUT/few_shot_w50_8b_b512" 2>&1 | tail -6
+
 echo "== 3. MoE step attribution (VERDICT r3 weak 4: why is the MoE ratio small?) =="
 timeout 1800 python experiments/microbench_step.py 32 2000 mixtral-6l int8 \
     2>&1 | tee "$OUT/microbench_moe_int8.txt" | tail -10
