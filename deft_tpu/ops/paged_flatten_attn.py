@@ -217,11 +217,14 @@ def _paged_kernel(
     #   blocks late in deep-tree decodes) update only a qwin-row window
     #   around their leaf interval instead of all Rq rows, cutting both the
     #   VPU score passes and the MXU dots by Rq/qwin (VERDICT r3 item 7).
-    # - mask-free full blocks: blk_lo == -1 (plan sentinel) marks blocks
-    #   whose every token is live with interval [0, n_leaves) — the shared
-    #   prefix, the bulk of dense trees — so the mask build + where pass
-    #   are skipped entirely (see update_heads).
-    is_full = blk_lo_ref[b] < 0
+    # - mask-free full blocks: blk_lo = FULL_BLOCK_LO (plan sentinel) marks
+    #   blocks whose every token is live with interval [0, n_leaves) — the
+    #   shared prefix, the bulk of dense trees — so the mask build + where
+    #   pass are skipped entirely (see update_heads).  The test is a
+    #   threshold, not equality: the mesh engine shifts blk_lo by the dp
+    #   shard's leaf base, so boundary-straddling blocks carry SMALL
+    #   negative values that must stay on the masked path.
+    is_full = blk_lo_ref[b] < -(1 << 20)
 
     @pl.when(live(b))
     def _compute():
@@ -231,7 +234,7 @@ def _paged_kernel(
         if qwin and qwin < rq:
             r0 = blk_lo_ref[b] * qpk
             r0 = jnp.clip((r0 // 8) * 8, 0, rq - qwin)  # sublane-aligned
-            narrow = blk_hi_ref[b] * qpk - r0 <= qwin
+            narrow = (blk_hi_ref[b] * qpk - r0 <= qwin) & ~is_full
 
             @pl.when(narrow)
             def _narrow():

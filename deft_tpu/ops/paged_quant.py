@@ -163,9 +163,10 @@ def _paged_q_kernel(
             m_ref[h, rs, :1] = m_new
             l_ref[h, rs, :1] = l_new
 
-    # narrow-q window + mask-free full blocks (blk_lo == -1 plan sentinel)
-    # — same fast-path structure as paged_flatten_attn.py
-    is_full = blk_lo_ref[b] < 0
+    # narrow-q window + mask-free full blocks (blk_lo = FULL_BLOCK_LO plan
+    # sentinel, threshold test — dp shifts make small negatives possible on
+    # straddling blocks) — same fast-path structure as paged_flatten_attn.py
+    is_full = blk_lo_ref[b] < -(1 << 20)
 
     @pl.when(live(b))
     def _compute():
@@ -175,7 +176,7 @@ def _paged_q_kernel(
         if qwin and qwin < rq:
             r0 = blk_lo_ref[b] * qpk
             r0 = jnp.clip((r0 // 8) * 8, 0, rq - qwin)  # sublane-aligned
-            narrow = blk_hi_ref[b] * qpk - r0 <= qwin
+            narrow = (blk_hi_ref[b] * qpk - r0 <= qwin) & ~is_full
 
             @pl.when(narrow)
             def _narrow():

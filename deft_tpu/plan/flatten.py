@@ -50,6 +50,14 @@ from deft_tpu.plan.padding import pad_leaf_count, pad_token_count
 # Sentinel for "block attends nobody" (padding): empty interval.
 _EMPTY_LO = np.int32(2**30)
 
+# blk_lo sentinel for mask-free FULL blocks (every token live with interval
+# [0, n_leaves)).  Large-magnitude negative: the mesh engine shifts blk_lo
+# by the dp shard's leaf base (parallel/engine.py shift_window), so a small
+# sentinel like -1 would collide with boundary-straddling blocks' shifted
+# values — the kernels therefore test `< -(1 << 20)`, which bounded shifts
+# (|shift| <= max leaves) can never reach.
+FULL_BLOCK_LO = np.int32(-(1 << 24))
+
 # Max flattened-layout inflation tolerated for DMA segment alignment before
 # falling back to tight packing + gather kernel.
 _SEG_WASTE_LIMIT = 1.5
@@ -372,19 +380,19 @@ def build_flatten_plan(
     nb = t_pad // block_len
     blk_lo = tok_lo.reshape(nb, block_len).min(axis=1)
     blk_hi = tok_hi.reshape(nb, block_len).max(axis=1)
-    # FULL-block sentinel (blk_lo = -1): every token in the block is live
-    # with interval [0, n_leaves) — the shared tree prefix, the bulk of
-    # dense trees — so the kernel's mask is provably all-true for every
+    # FULL-block sentinel (blk_lo = FULL_BLOCK_LO): every token in the block
+    # is live with interval [0, n_leaves) — the shared tree prefix, the bulk
+    # of dense trees — so the kernel's mask is provably all-true for every
     # live row and the paged kernels skip the mask build + where pass
     # entirely (ops/paged_flatten_attn.py update_heads masked=False).
-    # blk_lo's other consumers only do live checks (-1 < blk_hi) and the
-    # narrow-window start (clipped to >= 0), both sentinel-safe; multi-tree
-    # plans recompute blk arrays from the offset tok arrays and never
-    # inherit the sentinel (a batched block is never all-leaves-full).
+    # blk_lo's other consumers only do live checks (negative < blk_hi) and
+    # the narrow-window start (clipped to >= 0), both sentinel-safe;
+    # multi-tree plans recompute blk arrays from the offset tok arrays and
+    # never inherit the sentinel (a batched block is never all-leaves-full).
     if n_leaves > 0:
         full = ((tok_lo.reshape(nb, block_len) == 0).all(axis=1)
                 & (tok_hi.reshape(nb, block_len) == n_leaves).all(axis=1))
-        blk_lo = np.where(full, np.int32(-1), blk_lo)
+        blk_lo = np.where(full, FULL_BLOCK_LO, blk_lo)
 
     seg_src = None
     paged = False

@@ -19,6 +19,7 @@ Parity surface: /root/reference/DeFT/deft/model_runner.py (ModelRunner
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Callable, Dict, Optional
 
@@ -264,6 +265,28 @@ class ModelRunner:
         else:
             self._moe_gmm = True
         self.decode_time = 0.0
+        # Device-resident plan buffers (ROADMAP "incremental plan state"):
+        # append-only steps change only each leaf's tail segment + the
+        # (R)-sized query arrays, so instead of re-uploading the whole
+        # packed plan (~100s of KB at long context) every step, the runner
+        # keeps the last uploaded buffer on device, diffs the new plan
+        # against a host copy in fixed 128-int chunks, and uploads just the
+        # changed chunks + a jitted scatter.  Exact: the diff is computed
+        # from the full freshly-packed buffer each step, so any change
+        # (relocations, branch/prune, bucket growth) is caught; a large
+        # diff (or a bucket change) falls back to a full upload.  Matters
+        # most on high-latency host links (this environment's TPU tunnel
+        # has been observed at 2-800 MB/s); gated off under a mesh (plan
+        # buffers are replicated there).  DEFT_PLAN_PATCH=0 disables.
+        self._plan_patch = (
+            os.environ.get("DEFT_PLAN_PATCH", "0") == "1"
+            and self.mesh is None
+        )
+        self._plan_dev_cache: Dict[tuple, list] = {}
+        # H2D bytes actually shipped for plans vs what full uploads would
+        # have cost (patch-effectiveness accounting, results READMEs)
+        self.plan_upload_bytes = 0
+        self.plan_full_bytes = 0
         # Attention-latency attribution (reference GlobalTimer brackets the
         # attention call inside the layer, deft_attention.py:79-149; timing
         # inside a jitted step is impossible, so each shape bucket is
@@ -637,6 +660,7 @@ class ModelRunner:
         self.req_to_token_pool.clear()
         if self.tree_index_pool is not None:
             self.tree_index_pool.clear()
+        self._plan_dev_cache.clear()
         self.decode_time = 0.0
 
     def forward_prefill(self, prompt_ids, tree=None) -> LogitsView:
@@ -855,6 +879,66 @@ class ModelRunner:
         sizes = (plan.l_pad, plan.t_pad, plan.num_blocks, len(tail))
         return buf, sizes, paged
 
+    # plan-patch chunk width: 128 int32 = 512 B per chunk.  An append-only
+    # step touches ~R tail positions + the 3 (R)-sized query arrays, so the
+    # changed-chunk count stays O(R) while the full buffer is O(t_pad).
+    _PATCH_CHUNK = 128
+
+    def _upload_plan(self, kind: str, buf: np.ndarray):
+        """Upload a packed plan buffer, shipping only changed 128-int chunks
+        when a device-resident copy of the previous step's buffer exists
+        (see __init__ plan-patch notes).  Falls back to a full upload on
+        first use, bucket (length) change, or when >1/4 of chunks changed."""
+        CH = self._PATCH_CHUNK
+        n = len(buf)
+        n_pad = -(-n // CH) * CH
+        if n_pad != n:
+            buf = np.concatenate([buf, np.zeros(n_pad - n, np.int32)])
+        self.plan_full_bytes += buf.nbytes
+        key = (kind, n_pad)
+        cached = self._plan_dev_cache.get(key)
+        if cached is None or cached[1] is None:
+            dev = jnp.asarray(buf)
+            self._plan_dev_cache[key] = [buf.copy(), dev]
+            self.plan_upload_bytes += buf.nbytes
+            return dev
+        host, dev = cached
+        nb = n_pad // CH
+        changed = np.flatnonzero(
+            (buf.reshape(nb, CH) != host.reshape(nb, CH)).any(axis=1)
+        )
+        if len(changed) == 0:
+            return dev
+        if len(changed) > nb // 4:
+            dev = jnp.asarray(buf)
+            self._plan_dev_cache[key] = [buf.copy(), dev]
+            self.plan_upload_bytes += buf.nbytes
+            return dev
+        # pow2-bucket the chunk count so the scatter jit compiles O(log)
+        # times; duplicate index rows write identical data (idempotent)
+        k_pad = max(1, next_pow2(len(changed)))
+        idx = np.zeros(k_pad, np.int32)
+        idx[: len(changed)] = changed
+        idx[len(changed):] = changed[0]
+        chunks = buf.reshape(nb, CH)[idx]
+        jit_key = f"planpatch/{n_pad}/{k_pad}"
+        if jit_key not in self._jit_cache:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def patch(dev, chunks, idx):
+                return (dev.reshape(-1, CH).at[idx].set(chunks)
+                        .reshape(dev.shape))
+
+            self._jit_cache[jit_key] = patch
+        dev = self._jit_cache[jit_key](dev, jnp.asarray(chunks),
+                                       jnp.asarray(idx))
+        self.plan_upload_bytes += chunks.nbytes + idx.nbytes
+        # the donated old buffer is consumed by the scatter; keep the new
+        # one + a host mirror updated with exactly the chunks shipped
+        host.reshape(nb, CH)[idx] = chunks
+        self._plan_dev_cache[key] = [host, dev]
+        return dev
+
     def build_decode_batch(self, mode: ForwardMode, plan):
         """Materialize a DecodeBatch/SeqBatch of device arrays (debug /
         external-harness surface; the hot path uses the packed buffer).
@@ -1037,9 +1121,11 @@ class ModelRunner:
                 mode, plan, sizes, paged
             )
         t0 = time.perf_counter()
+        buf = np.asarray(buf, dtype=np.int32)
+        dev_buf = (self._upload_plan(mode.plan_kind, buf)
+                   if self._plan_patch else self._upload(buf))
         vals, ids, packed, logits, self.k_pool, self.v_pool = step(
-            self.params, self.k_pool, self.v_pool,
-            self._upload(np.asarray(buf, dtype=np.int32)), override,
+            self.params, self.k_pool, self.v_pool, dev_buf, override,
         )
         view = LogitsView(vals, ids, logits if self.retain_full_logits else None,
                           packed=packed)

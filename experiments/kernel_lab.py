@@ -523,16 +523,18 @@ def make_qwin_variant_q(qwin, seg):
 
 
 def sentinel(builder):
-    """Apply the plan's FULL-block sentinel (plan/flatten.py): blocks whose
-    every token is live with interval [0, LEAVES) get blk_lo = -1, enabling
-    the kernels' mask-free fast path.  Exact: outputs must equal v0."""
+    """Apply the plan's FULL-block sentinel (plan/flatten.py FULL_BLOCK_LO):
+    blocks whose every token is live with interval [0, LEAVES) enable the
+    kernels' mask-free fast path.  Exact: outputs must equal v0."""
     def build(block_len, rng):
+        from deft_tpu.plan.flatten import FULL_BLOCK_LO
+
         case = builder(block_len, rng)
         nb = case["tok_lo"].shape[0] // block_len
         tl = np.asarray(case["tok_lo"]).reshape(nb, block_len)
         th = np.asarray(case["tok_hi"]).reshape(nb, block_len)
         full = (tl == 0).all(axis=1) & (th == LEAVES).all(axis=1)
-        blk_lo = np.where(full, np.int32(-1), np.asarray(case["blk_lo"]))
+        blk_lo = np.where(full, FULL_BLOCK_LO, np.asarray(case["blk_lo"]))
         case.update(blk_lo=jnp.asarray(blk_lo), full_blocks=int(full.sum()))
         return case
     build.__name__ = "sent_" + builder.__name__

@@ -565,3 +565,47 @@ def test_moe_generation_cross_mode_and_int8():
     assert flat == run(ForwardMode.DECODE)
     i8 = run(ForwardMode.TREE_DECODE_FLATTEN, "int8")
     assert [len(t) for t in i8] == [len(t) for t in flat]
+
+
+def test_plan_patch_upload_matches_full_upload(monkeypatch):
+    """Device-resident plan patching (runner._upload_plan: per-step diffed
+    chunk scatter instead of a full packed-plan upload) must be invisible:
+    identical generations, for both flatten and the practical-tree replay
+    (branch/prune events force full re-uploads mid-generation)."""
+    ref, _ = run_simple(ForwardMode.TREE_DECODE_FLATTEN)
+    monkeypatch.setenv("DEFT_PLAN_PATCH", "1")
+    got, _ = run_simple(ForwardMode.TREE_DECODE_FLATTEN)
+    assert got == ref
+
+    # replay with structural events + a second generation on the SAME
+    # runner (reset_state must not leak stale device buffers)
+    def practical(runner):
+        root = ExecuteTreeNode(0, value=1, start_offset=0, end_offset=0)
+        n1 = ExecuteTreeNode(1, value=3, start_offset=0, end_offset=3)
+        n2 = ExecuteTreeNode(2, value=6, start_offset=0, end_offset=6)
+        n3 = ExecuteTreeNode(3, value=3, start_offset=3, end_offset=6)
+        n4 = ExecuteTreeNode(4, value=3, start_offset=3, end_offset=6)
+        root.children = [n1, n2]
+        n1.children = [n3, n4]
+        tpl = ExecuteTree(root, [root, n1, n2, n3, n4])
+        tree_generate(
+            runner, ForwardMode.TREE_DECODE_FLATTEN, None, PROMPT,
+            max_seq_len=20, width=2, depth=2,
+            branch_controller=Branch_Controller(workloads.practical_tree),
+            tree_template=tpl,
+        )
+        return [tuple(s.token_ids) for s in runner.tree.all_finished_seqs]
+
+    monkeypatch.delenv("DEFT_PLAN_PATCH")
+    r = make_runner()
+    want = practical(r)
+    r.reset_state()
+    assert practical(r) == want
+    monkeypatch.setenv("DEFT_PLAN_PATCH", "1")
+    rp = make_runner()
+    assert rp._plan_patch
+    assert practical(rp) == want
+    rp.reset_state()
+    assert practical(rp) == want
+    # the patch path must have actually engaged (device cache populated)
+    assert rp._plan_dev_cache

@@ -776,7 +776,8 @@ def test_paged_flatten_full_block_sentinel_vs_oracle(dtype):
     tree.alloc()
     plan = build_flatten_plan(tree, q_per_kv=qpk, min_token_bucket=256)
     assert plan.paged
-    assert (plan.blk_lo == -1).sum() >= 3, "prompt must yield full blocks"
+    assert (plan.blk_lo < -(1 << 20)).sum() >= 3, \
+        "prompt must yield full blocks"
     assert plan.l_pad > plan.n_leaves, "padded q rows must exist"
 
     S = tree.token_to_kv_pool.size

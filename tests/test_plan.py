@@ -71,14 +71,16 @@ def check_plan_mask(tree, plan):
         attends = (plan.tok_lo <= q) & (q < plan.tok_hi)
         got = set(int(s) for s in plan.kv_idx[attends])
         assert got == path_set, f"leaf {q}: mask set != path set"
-    # block bounds really bound their tokens; blk_lo == -1 is the FULL-block
-    # sentinel (mask provably all-true: every token live with interval
-    # [0, n_leaves)) and must be set exactly on those blocks
+    # block bounds really bound their tokens; blk_lo == FULL_BLOCK_LO is the
+    # FULL-block sentinel (mask provably all-true: every token live with
+    # interval [0, n_leaves)) and must be set exactly on those blocks
+    from deft_tpu.plan.flatten import FULL_BLOCK_LO
+
     nb = plan.num_blocks
     tl = plan.tok_lo.reshape(nb, plan.block_len)
     th = plan.tok_hi.reshape(nb, plan.block_len)
     full = (tl == 0).all(axis=1) & (th == len(tree.leaves)).all(axis=1)
-    assert np.all(plan.blk_lo[full] == -1)
+    assert np.all(plan.blk_lo[full] == FULL_BLOCK_LO)
     assert np.all(plan.blk_lo[~full] == tl.min(axis=1)[~full])
     assert np.all(plan.blk_hi == th.max(axis=1))
     # q-side arrays point at each leaf's latest token
