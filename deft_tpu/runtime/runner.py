@@ -279,7 +279,7 @@ class ModelRunner:
         # has been observed at 2-800 MB/s); gated off under a mesh (plan
         # buffers are replicated there).  DEFT_PLAN_PATCH=0 disables.
         self._plan_patch = (
-            os.environ.get("DEFT_PLAN_PATCH", "0") == "1"
+            os.environ.get("DEFT_PLAN_PATCH", "1") == "1"
             and self.mesh is None
         )
         self._plan_dev_cache: Dict[tuple, list] = {}
