@@ -152,13 +152,119 @@ def tree_generate(
     def resolve_pending():
         resolve_backfills(pending)
 
+    # K-step greedy decode windows (runner.forward_tree_decode_window): a
+    # maximal run of non-structural iterations executes as ONE dispatch of
+    # a jitted lax.scan — one fused plan-patch upload + one RPC per W
+    # steps instead of several per step.  Decisive over the remote-TPU
+    # tunnel (whose per-RPC latency intermittently degrades to 100s of ms)
+    # and a strict improvement on healthy links too (the per-step enqueue
+    # overhead amortizes by W).  Requires the workload to declare its
+    # structural iterations and the single-device plan-patch path.
+    WINDOW = 8
+    use_windows = (
+        structural is not None
+        and getattr(model, "_plan_patch", False)
+        and getattr(model, "mesh", None) is None
+    )
+
+    pre_plan = None  # plan built (and alloc'd) by a window bucket-split
+
     if not stop:
-        for it in range(1, max_gen_len):
+        it = 0
+        while it + 1 < max_gen_len:
+            it += 1
             for name in ("prepare", "branch", "attn_mem", "attn_comp",
                          "traversal", "alloc", "tree_metadata"):
                 GlobalTimer.reset(name)
             step_start = time.perf_counter()
 
+            # ---- window fast path -------------------------------------
+            if (use_windows and pre_plan is None
+                    and (chain is None or chain[0] == "ids")):
+                W = 0
+                while (it + W < max_gen_len and W < WINDOW
+                       and (it + W) not in structural
+                       and (it + W) not in logits_free):
+                    W += 1
+                if W >= 2:
+                    import jax
+
+                    tree = model.tree
+                    plans, subs_per = [], []
+                    sig0 = None
+                    with tracer.span("plan_build_window"):
+                        for j in range(W):
+                            GlobalTimer.start("alloc")
+                            tree.alloc()
+                            GlobalTimer.stop("alloc")
+                            GlobalTimer.start("tree_metadata")
+                            plan = model.build_plan(mode)
+                            GlobalTimer.stop("tree_metadata")
+                            _, sizes, paged = model._pack_plan(mode, plan)
+                            if sig0 is None:
+                                sig0 = (sizes, paged)
+                            elif (sizes, paged) != sig0:
+                                # bucket grew mid-window: this sub-step
+                                # (already alloc'd) runs per-step below
+                                pre_plan = plan
+                                break
+                            plans.append(plan)
+                            subs = []
+                            for leaf in tree.leaves.values():
+                                q = tree.leaf_to_q[leaf.id]
+                                leaf.append_token(0)
+                                subs.append(
+                                    (leaf, len(leaf.token_ids) - 1, q, 0))
+                            subs_per.append(subs)
+                    Wd = len(plans)
+                    if Wd == 0:
+                        pass  # first plan already broke the bucket: step it
+                    else:
+                        q0 = chain[1].greedy_ids_device if chain else None
+                        with tracer.span("decode_window"):
+                            view, fwd_t = model.forward_tree_decode_window(
+                                mode, plans, q0)
+                            view.fetch_async()
+                            t_sync = time.perf_counter()
+                            jax.block_until_ready(view._vals)
+                            fwd_t += time.perf_counter() - t_sync
+                        for j, subs in enumerate(subs_per):
+                            pending.append((view.step_view(j), subs))
+                        chain = ("ids", view)
+                        logits = view
+                        stop = False
+                        for plan in plans:
+                            if mode.is_sequential:
+                                perf_metrics.KV_IO += (
+                                    plan.total_kv * kv_bytes_per_tok)
+                            else:
+                                perf_metrics.KV_IO += (
+                                    plan.n_tokens * kv_bytes_per_tok)
+                                perf_metrics.Mask_IO += (
+                                    plan.n_tokens * 8 * model.cfg.num_layers)
+                        iter_cost = (time.perf_counter() - step_start) * 1000
+                        attn_est = getattr(model, "last_attn_estimate", None)
+                        attn_mem_ms, attn_comp_ms = (
+                            (attn_est[0] * 1000, attn_est[1] * 1000)
+                            if attn_est else (0.0, 0.0))
+                        if attn_est:
+                            perf_metrics.attn_is_estimate = True
+                        for _ in range(Wd):
+                            perf_metrics.update(
+                                iter_time=iter_cost / Wd,
+                                prepare=GlobalTimer.get("prepare") / Wd,
+                                forward=fwd_t * 1000 / Wd,
+                                branch=0.0,
+                                attn_mem=attn_mem_ms,
+                                attn_comp=attn_comp_ms,
+                                traversal=0.0,
+                                alloc=GlobalTimer.get("alloc") / Wd,
+                                tree_metadata=(
+                                    GlobalTimer.get("tree_metadata") / Wd),
+                            )
+                        it += Wd - 1
+                        continue
+            # ---- per-step path ----------------------------------------
             if chain is None and pending:
                 # the step will pack host token values (no device chain) but
                 # placeholders are outstanding — resolve before plan build
@@ -173,12 +279,16 @@ def tree_generate(
 
             GlobalTimer.start("prepare")
             with tracer.span("plan_build"):
-                GlobalTimer.start("alloc")
-                model.tree.alloc()
-                GlobalTimer.stop("alloc")
-                GlobalTimer.start("tree_metadata")
-                plan = model.build_plan(mode)
-                GlobalTimer.stop("tree_metadata")
+                if pre_plan is not None:
+                    # alloc + plan already done by the window bucket-split
+                    plan, pre_plan = pre_plan, None
+                else:
+                    GlobalTimer.start("alloc")
+                    model.tree.alloc()
+                    GlobalTimer.stop("alloc")
+                    GlobalTimer.start("tree_metadata")
+                    plan = model.build_plan(mode)
+                    GlobalTimer.stop("tree_metadata")
             GlobalTimer.stop("prepare")
 
             is_struct = structural is None or it in structural

@@ -139,6 +139,55 @@ class LogitsView:
         return e / e.sum(axis=-1, keepdims=True) + 1e-6
 
 
+class WindowLogits:
+    """K greedy decode sub-steps' top-1 results from ONE window dispatch
+    (forward_tree_decode_window): per-sub-step (R, 1) ids/probs packed as a
+    device (K, R, 2) buffer so the whole window is a single D2H fetch, plus
+    the LAST sub-step's device-resident (R,) greedy ids for chaining the
+    next step/window without a host sync."""
+
+    def __init__(self, packed, last_ids):
+        self._packed = packed      # device (K, R, 2) [ids | bitcast(vals)]
+        self._vals = packed        # drained by block_until_ready(...._vals)
+        self._last_ids = last_ids  # device (R,)
+
+    def fetch_async(self) -> None:
+        try:
+            self._packed.copy_to_host_async()
+        except AttributeError:
+            pass
+
+    @functools.cached_property
+    def _host(self) -> np.ndarray:
+        return np.asarray(self._packed)
+
+    @property
+    def greedy_ids_device(self):
+        return self._last_ids
+
+    def step_view(self, j: int) -> "WindowStepView":
+        return WindowStepView(self, j)
+
+
+class WindowStepView:
+    """LogitsView-compatible (k=1) adapter for sub-step j of a window —
+    resolve_backfills reads .ids/.vals like any step view."""
+
+    k = 1
+
+    def __init__(self, window: WindowLogits, j: int):
+        self._w = window
+        self._j = j
+
+    @property
+    def ids(self) -> np.ndarray:
+        return self._w._host[self._j, :, :1]
+
+    @property
+    def vals(self) -> np.ndarray:
+        return self._w._host[self._j, :, 1:].view(np.float32)
+
+
 class ModelRunner:
     def __init__(
         self,
@@ -424,6 +473,98 @@ class ModelRunner:
         return ragged_prefill_attn_pallas
 
     # -- jitted steps ----------------------------------------------------------
+    def _make_unpack(self, kind: str, sizes: tuple, paged: bool,
+                     override_kind: str):
+        """Build the packed-buffer -> batch unpacker shared by the per-step
+        and K-step-window jitted decoders.  override_kind selects the
+        q_tokens source (see _decode_step); "window" takes q_override as a
+        (q_ids, use_buf_flag) pair — the flag (a traced scalar bool) picks
+        the buffer's own q_tokens for a window's first sub-step when it is
+        not chained from a previous step's device ids."""
+        select = override_kind == "select"
+
+        def q_from(f, q_override):
+            if select:
+                return q_override[f["qrows"], f["qcols"]]
+            if override_kind == "ids":
+                return q_override
+            if override_kind == "window":
+                q_ids, use_buf = q_override
+                return jnp.where(use_buf, f["q_tokens"], q_ids)
+            return f["q_tokens"]
+
+        def unpack(buf, q_override):
+            if kind == "seq" and len(sizes) == 5:
+                # paged seq: (L, nseg_tot, nb, block_len, seg_len)
+                L, nseg_tot, nb, _, _ = sizes
+                fields = [("q_tokens", L), ("q_pos", L),
+                          ("out_loc", L), ("seq_lens", L),
+                          ("seg_src", L * nseg_tot),
+                          ("seg_off", L * nseg_tot),
+                          ("seg_live", L * nseg_tot),
+                          ("blk_live", L * nb)]
+                if select:
+                    fields += [("qrows", L), ("qcols", L)]
+                o = 0
+                f = {}
+                for name, n in fields:
+                    f[name] = jax.lax.dynamic_slice_in_dim(buf, o, n)
+                    o += n
+                return SeqBatch(
+                    q_tokens=q_from(f, q_override),
+                    q_pos=f["q_pos"],
+                    out_loc=f["out_loc"],
+                    paths=jnp.zeros((L, 0), jnp.int32),
+                    seq_lens=f["seq_lens"],
+                    seg_src=f["seg_src"],
+                    seg_off=f["seg_off"],
+                    seg_live=f["seg_live"],
+                    blk_live=f["blk_live"],
+                )
+            if kind == "seq":
+                L, C = sizes
+                fields = [("q_tokens", L), ("q_pos", L),
+                          ("out_loc", L), ("seq_lens", L),
+                          ("paths", L * C)]
+                if select:
+                    fields += [("qrows", L), ("qcols", L)]
+                o = 0
+                f = {}
+                for name, n in fields:
+                    f[name] = jax.lax.dynamic_slice_in_dim(buf, o, n)
+                    o += n
+                return SeqBatch(
+                    q_tokens=q_from(f, q_override),
+                    q_pos=f["q_pos"],
+                    out_loc=f["out_loc"],
+                    paths=f["paths"].reshape(L, C),
+                    seq_lens=f["seq_lens"],
+                )
+            L, T, B, tail = sizes
+            fields = [("q_tokens", L), ("q_pos", L), ("out_loc", L),
+                      ("tok_lo", T), ("tok_hi", T),
+                      ("blk_lo", B), ("blk_hi", B), ("tail", tail)]
+            if select:
+                fields += [("qrows", L), ("qcols", L)]
+            o = 0
+            f = {}
+            for name, n in fields:
+                f[name] = jax.lax.dynamic_slice_in_dim(buf, o, n)
+                o += n
+            return DecodeBatch(
+                q_tokens=q_from(f, q_override),
+                q_pos=f["q_pos"],
+                out_loc=f["out_loc"],
+                kv_idx=jnp.zeros((1,), jnp.int32) if paged else f["tail"],
+                tok_lo=f["tok_lo"],
+                tok_hi=f["tok_hi"],
+                blk_lo=f["blk_lo"],
+                blk_hi=f["blk_hi"],
+                seg_src=f["tail"] if paged else None,
+            )
+
+        return unpack
+
     def _decode_step(self, mode: ForwardMode, paged: bool, sizes: tuple,
                      override_kind: str, logits_kind: str = "topk"):
         """Jitted decode step consuming ONE packed int32 plan buffer.
@@ -471,85 +612,7 @@ class ModelRunner:
             cfg, rope, K = self.cfg, self._rope_apply, self.topk_k
             retain = self.retain_full_logits
             kind = mode.plan_kind
-            select = override_kind == "select"
-
-            def q_from(f, q_override, L):
-                if select:
-                    return q_override[f["qrows"], f["qcols"]]
-                if override_kind == "ids":
-                    return q_override
-                return f["q_tokens"]
-
-            def unpack(buf, q_override):
-                if kind == "seq" and len(sizes) == 5:
-                    # paged seq: (L, nseg_tot, nb, block_len, seg_len)
-                    L, nseg_tot, nb, _, _ = sizes
-                    fields = [("q_tokens", L), ("q_pos", L),
-                              ("out_loc", L), ("seq_lens", L),
-                              ("seg_src", L * nseg_tot),
-                              ("seg_off", L * nseg_tot),
-                              ("seg_live", L * nseg_tot),
-                              ("blk_live", L * nb)]
-                    if select:
-                        fields += [("qrows", L), ("qcols", L)]
-                    o = 0
-                    f = {}
-                    for name, n in fields:
-                        f[name] = jax.lax.dynamic_slice_in_dim(buf, o, n)
-                        o += n
-                    return SeqBatch(
-                        q_tokens=q_from(f, q_override, L),
-                        q_pos=f["q_pos"],
-                        out_loc=f["out_loc"],
-                        paths=jnp.zeros((L, 0), jnp.int32),
-                        seq_lens=f["seq_lens"],
-                        seg_src=f["seg_src"],
-                        seg_off=f["seg_off"],
-                        seg_live=f["seg_live"],
-                        blk_live=f["blk_live"],
-                    )
-                if kind == "seq":
-                    L, C = sizes
-                    fields = [("q_tokens", L), ("q_pos", L),
-                              ("out_loc", L), ("seq_lens", L),
-                              ("paths", L * C)]
-                    if select:
-                        fields += [("qrows", L), ("qcols", L)]
-                    o = 0
-                    f = {}
-                    for name, n in fields:
-                        f[name] = jax.lax.dynamic_slice_in_dim(buf, o, n)
-                        o += n
-                    return SeqBatch(
-                        q_tokens=q_from(f, q_override, L),
-                        q_pos=f["q_pos"],
-                        out_loc=f["out_loc"],
-                        paths=f["paths"].reshape(L, C),
-                        seq_lens=f["seq_lens"],
-                    )
-                L, T, B, tail = sizes
-                fields = [("q_tokens", L), ("q_pos", L), ("out_loc", L),
-                          ("tok_lo", T), ("tok_hi", T),
-                          ("blk_lo", B), ("blk_hi", B), ("tail", tail)]
-                if select:
-                    fields += [("qrows", L), ("qcols", L)]
-                o = 0
-                f = {}
-                for name, n in fields:
-                    f[name] = jax.lax.dynamic_slice_in_dim(buf, o, n)
-                    o += n
-                return DecodeBatch(
-                    q_tokens=q_from(f, q_override, L),
-                    q_pos=f["q_pos"],
-                    out_loc=f["out_loc"],
-                    kv_idx=jnp.zeros((1,), jnp.int32) if paged else f["tail"],
-                    tok_lo=f["tok_lo"],
-                    tok_hi=f["tok_hi"],
-                    blk_lo=f["blk_lo"],
-                    blk_hi=f["blk_hi"],
-                    seg_src=f["tail"] if paged else None,
-                )
-
+            unpack = self._make_unpack(kind, sizes, paged, override_kind)
             moe_gmm = self._moe_gmm
 
             def step(params, k_pool, v_pool, buf, q_override):
@@ -594,6 +657,152 @@ class ModelRunner:
 
             self._jit_cache[key] = jax.jit(step, donate_argnums=(1, 2))
         return self._jit_cache[key]
+
+    def _decode_window(self, mode: ForwardMode, paged: bool, sizes: tuple,
+                       K: int, kc: int):
+        """Jitted K-sub-step greedy decode window: ONE dispatch runs a
+        lax.scan of K chained decode steps.  Per sub-step the scan carry
+        holds the device-resident plan buffer (patched in place from that
+        sub-step's diffed chunks — see forward_tree_decode_window), the KV
+        pools, and the previous sub-step's greedy ids (the q chain).  The
+        window exists to collapse per-iteration host work to ~1/K: over
+        this environment's remote-TPU tunnel each upload/dispatch RPC costs
+        an RTT that intermittently degrades to 100s of ms, and a per-step
+        loop pays several of them per token (observed: p20000 decode at
+        419-710 ms/iter wall with 3-7.5 ms of attention).  Windows are a
+        generally good TPU-native shape regardless: the reference syncs
+        host<->device every step (model_runner.py:415,420)."""
+        attn = self._attn_fn(mode, paged)
+        attn_name = attn.__name__
+        if mode.plan_kind == "seq" and len(sizes) == 5:
+            attn = functools.partial(attn, block_len=sizes[3],
+                                     seg_len=sizes[4])
+        key = (f"window/{mode.plan_kind}/{attn_name}/{paged}/{sizes}"
+               f"/{K}/{kc}")
+        if key not in self._jit_cache:
+            cfg, rope = self.cfg, self._rope_apply
+            unpack = self._make_unpack(mode.plan_kind, sizes, paged,
+                                       "window")
+            moe_gmm = self._moe_gmm
+            CH = self._PATCH_CHUNK
+
+            def window(params, k_pool, v_pool, base_buf, patches, q0,
+                       use_buf0):
+                # base_buf (N,) donated resident plan buffer; patches
+                # (K, kc, CH+1) int32 — column 0 is the chunk index, the
+                # rest the chunk data (fused so the window is ONE upload)
+                def body(carry, patch):
+                    buf, kp, vp, q_ids, use_buf = carry
+                    idx_j = patch[:, 0]
+                    ch_j = patch[:, 1:]
+                    buf = (buf.reshape(-1, CH).at[idx_j].set(ch_j)
+                           .reshape(buf.shape))
+                    batch = unpack(buf, (q_ids, use_buf))
+                    logits, kp, vp = decode_forward(
+                        cfg, params, rope, kp, vp, batch, attn,
+                        compute_logits=True, moe_gmm=moe_gmm,
+                    )
+                    # greedy top-1: identical math to _decode_step's
+                    # "greedy" logits kind (argmax + softmax prob via lse)
+                    m = jnp.max(logits, axis=-1, keepdims=True)
+                    ids = jnp.argmax(logits, axis=-1)[:, None].astype(
+                        jnp.int32)
+                    lse = m + jnp.log(jnp.sum(
+                        jnp.exp(logits - m), axis=-1, keepdims=True))
+                    vals = jnp.exp(m - lse) + 1e-6
+                    packed = jnp.concatenate(
+                        [ids, jax.lax.bitcast_convert_type(vals, jnp.int32)],
+                        axis=-1,
+                    )
+                    return ((buf, kp, vp, ids[:, 0],
+                             jnp.zeros((), jnp.bool_)), packed)
+
+                (buf, kp, vp, last_ids, _), packed = jax.lax.scan(
+                    body, (base_buf, k_pool, v_pool, q0, use_buf0), patches
+                )
+                return packed, last_ids, buf, kp, vp
+
+            self._jit_cache[key] = jax.jit(window, donate_argnums=(1, 2, 3))
+        return self._jit_cache[key]
+
+    def forward_tree_decode_window(self, mode: ForwardMode, plans,
+                                   q0_device=None):
+        """Run len(plans) chained greedy decode steps in ONE dispatch.
+
+        plans must share one shape bucket (caller splits windows at bucket
+        growth and structural events); q0_device is the previous step's
+        device-resident (R,) greedy ids, or None to take sub-step 0's
+        q_tokens from its plan buffer (window start of a fresh chain).
+        Returns (WindowLogits, enqueue_seconds) — non-blocking, like
+        forward_tree_decode(block=False).  Requires the plan-patch path
+        (single device; self._plan_patch)."""
+        assert self._plan_patch and self.mesh is None
+        self.apply_kv_copies()
+        packs = [self._pack_plan(mode, p) for p in plans]
+        buf0, sizes, paged = packs[0]
+        assert all(s == sizes and p == paged for _, s, p in packs[1:]), \
+            "window plans must share one shape bucket"
+        CH = self._PATCH_CHUNK
+        n = len(buf0)
+        n_pad = -(-n // CH) * CH
+        bufs = []
+        for b, _, _ in packs:
+            b = np.asarray(b, dtype=np.int32)
+            if n_pad != n:
+                b = np.concatenate([b, np.zeros(n_pad - n, np.int32)])
+            bufs.append(b)
+        nb = n_pad // CH
+        ckey = (mode.plan_kind, n_pad)
+        cached = self._plan_dev_cache.get(ckey)
+        if cached is None:
+            dev_base = jnp.asarray(bufs[0])
+            prev = bufs[0]
+            self.plan_upload_bytes += bufs[0].nbytes
+        else:
+            prev, dev_base = cached
+        changed = []
+        for b in bufs:
+            c = np.flatnonzero(
+                (b.reshape(nb, CH) != prev.reshape(nb, CH)).any(axis=1)
+            )
+            changed.append(c)
+            prev = b
+        kc = min(nb, max(1, next_pow2(max(len(c) for c in changed))))
+        K = len(bufs)
+        patches = np.zeros((K, kc, CH + 1), np.int32)
+        for j, (b, c) in enumerate(zip(bufs, changed)):
+            # kc >= every len(c) by construction (pow2 of the max, capped
+            # at nb which also bounds len(c))
+            idx = np.zeros(kc, np.int64)
+            idx[: len(c)] = c
+            if len(c):
+                idx[len(c):] = c[0]  # duplicate writes carry identical data
+            patches[j, :, 0] = idx
+            patches[j, :, 1:] = b.reshape(nb, CH)[idx]
+        if self.measure_attention:
+            self.last_attn_estimate = self._measure_attention_bucket(
+                mode, plans[0], sizes, paged
+            )
+        window = self._decode_window(mode, paged, sizes, K, kc)
+        if q0_device is None:
+            q0 = self._upload(np.zeros(plans[0].l_pad, np.int32))
+            use_buf0 = jnp.asarray(True)
+        else:
+            q0 = q0_device
+            use_buf0 = jnp.asarray(False)
+        t0 = time.perf_counter()
+        fused = jnp.asarray(patches)
+        packed, last_ids, dev_buf, self.k_pool, self.v_pool = window(
+            self.params, self.k_pool, self.v_pool, dev_base, fused, q0,
+            use_buf0,
+        )
+        self._plan_dev_cache[ckey] = [bufs[-1], dev_buf]
+        self.plan_upload_bytes += patches.nbytes
+        self.plan_full_bytes += sum(b.nbytes for b in bufs)
+        view = WindowLogits(packed, last_ids)
+        t = time.perf_counter() - t0
+        self.decode_time += t
+        return view, t
 
     def _prefill_step(self):
         key = "prefill"

@@ -609,3 +609,57 @@ def test_plan_patch_upload_matches_full_upload(monkeypatch):
     assert practical(rp) == want
     # the patch path must have actually engaged (device cache populated)
     assert rp._plan_dev_cache
+
+
+def test_window_decode_matches_per_step(monkeypatch):
+    """K-step greedy decode windows (runner.forward_tree_decode_window: one
+    jitted lax.scan dispatch per 8 steps, fused plan-patch upload) must
+    generate exactly the per-step pipeline's tokens — including across
+    bucket-growth window splits and structural (branch) iterations, for
+    both the simple greedy workload and the practical-tree replay."""
+    monkeypatch.setenv("DEFT_PLAN_PATCH", "0")  # per-step full-upload ref
+    ref, _ = run_simple(ForwardMode.TREE_DECODE_FLATTEN)
+    monkeypatch.setenv("DEFT_PLAN_PATCH", "1")
+    runner = make_runner(use_tree_index=True)
+    assert runner._plan_patch
+    from deft_tpu.runtime.runner import ModelRunner, WindowLogits
+
+    calls = {"window": 0}
+    orig = ModelRunner.forward_tree_decode_window
+
+    def spy(self, *a, **k):
+        calls["window"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(ModelRunner, "forward_tree_decode_window", spy)
+    bc = Branch_Controller(workloads.simple_tree)
+    tree_generate(
+        runner, ForwardMode.TREE_DECODE_FLATTEN, None, PROMPT,
+        max_seq_len=24, width=3, depth=0, branch_controller=bc,
+    )
+    got = [tuple(s.token_ids) for s in runner.tree.all_finished_seqs]
+    assert got == ref
+    assert calls["window"] >= 1, "window path must engage on greedy runs"
+
+    # practical-tree replay: windows between branch/prune events; small
+    # min_token_bucket forces bucket growth mid-run (window splits)
+    root = ExecuteTreeNode(0, value=1, start_offset=0, end_offset=0)
+    n1 = ExecuteTreeNode(1, value=14, start_offset=0, end_offset=14)
+    n2 = ExecuteTreeNode(2, value=20, start_offset=0, end_offset=20)
+    root.children = [n1, n2]
+
+    def run_practical():
+        tpl = ExecuteTree(root, [root, n1, n2])
+        r = make_runner()
+        tree_generate(
+            r, ForwardMode.TREE_DECODE_FLATTEN, None, PROMPT,
+            max_seq_len=36, width=2, depth=2,
+            branch_controller=Branch_Controller(workloads.practical_tree),
+            tree_template=tpl,
+        )
+        return [tuple(s.token_ids) for s in r.tree.all_finished_seqs]
+
+    monkeypatch.setenv("DEFT_PLAN_PATCH", "0")
+    want = run_practical()
+    monkeypatch.setenv("DEFT_PLAN_PATCH", "1")
+    assert run_practical() == want
