@@ -8,6 +8,7 @@ controller, record PerfMetrics; stop on controller signal or max_gen_len.
 
 from __future__ import annotations
 
+import sys
 import time
 from typing import Optional
 
@@ -169,10 +170,23 @@ def tree_generate(
 
     pre_plan = None  # plan built (and alloc'd) by a window bucket-split
 
+    # liveness heartbeat: the remote-device transport can WEDGE a process
+    # outright (all threads futex-waiting — observed repeatedly on this
+    # environment); a periodic flushed line lets harnesses (experiments/
+    # tpu_session_r4c.sh run_wd) distinguish a wedge from a long compile
+    # and kill/retry the phase instead of burning its whole timeout.
+    _hb_last = time.perf_counter()
+
     if not stop:
         it = 0
         while it + 1 < max_gen_len:
             it += 1
+            now = time.perf_counter()
+            if now - _hb_last > 60.0:
+                _hb_last = now
+                print(f"[tree_generate] iter {it}/{max_gen_len} "
+                      f"tokens={model.tree.get_tree_token_number()}",
+                      file=sys.stderr, flush=True)
             for name in ("prepare", "branch", "attn_mem", "attn_comp",
                          "traversal", "alloc", "tree_metadata"):
                 GlobalTimer.reset(name)

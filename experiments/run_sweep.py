@@ -60,6 +60,10 @@ def main() -> int:
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the throwaway warmup generation (measured "
                     "TPOT then includes every in-run jit compile)")
+    ap.add_argument("--skip-existing", action="store_true",
+                    help="skip modes whose per-cell dump already exists "
+                    "(watchdog retries resume at the first missing mode; "
+                    "the transport can wedge a phase mid-generation)")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -145,6 +149,20 @@ def main() -> int:
         if mode_name == "node_chunk":
             attn_cfg = AttentionConfig(block_len=attn_cfg.block_len,
                                        node_chunk_len=attn_cfg.block_len)
+        out_file = os.path.join(
+            args.out,
+            f"{args.suite}_{mode_name}_{args.model}"
+            f"_w{width}_p{prompt_len}_s{prompt_len + gen_len}.json",
+        )
+        if args.skip_existing and os.path.exists(out_file):
+            with open(out_file) as f:
+                dj = json.load(f)
+            rows.append((mode_name, dj["TPOT"], dj["decode_latency"],
+                         dj["attention_latency"], dj["KV_IO"],
+                         dj["generated_len"]))
+            print(f"[{args.suite}/{mode_name}] SKIP (dump exists): "
+                  f"TPOT={dj['TPOT']:.4f} ms/tok", flush=True)
+            continue
         ecfg = EngineConfig(
             kv_pool_slots=slots,
             max_requests=max(64, 2 * width),
@@ -161,11 +179,6 @@ def main() -> int:
         rng = np.random.default_rng(0)
         prompt = [int(t) for t in
                   rng.integers(4, cfg.vocab_size - 4, prompt_len)]
-        out_file = os.path.join(
-            args.out,
-            f"{args.suite}_{mode_name}_{args.model}"
-            f"_w{width}_p{prompt_len}_s{prompt_len + gen_len}.json",
-        )
         fn = {
             "Simple_Tree": workloads.simple_tree,
             "Practical_Tree": workloads.practical_tree,
