@@ -1,0 +1,70 @@
+#!/bin/bash
+# Round-4 follow-up: re-run the phases that wedged during take 3
+# (transport was unhealthy 06:56-08:30; phases 1-2 burned all three
+# watchdog attempts during model init and produced no cells).
+# --skip-existing resumes: completed modes are skipped for free.
+set -u
+cd "$(dirname "$0")/.."
+OUT=experiments/results_r4
+mkdir -p "$OUT"
+export DEFT_PLAN_PATCH=1
+
+run_wd() {
+  local stall=$1 tmo=$2 log=$3; shift 4
+  local attempt rc pid start now age
+  for attempt in 1 2 3; do
+    : > "$log"
+    "$@" >> "$log" 2>&1 &
+    pid=$!
+    start=$(date +%s)
+    while kill -0 "$pid" 2>/dev/null; do
+      sleep 30
+      now=$(date +%s)
+      age=$(( now - $(stat -c %Y "$log") ))
+      if (( age > stall )); then
+        echo "  [run_wd] STALL ${age}s (attempt $attempt) - killing $pid"
+        kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
+        break
+      fi
+      if (( now - start > tmo )); then
+        echo "  [run_wd] TIMEOUT ${tmo}s (attempt $attempt) - killing $pid"
+        kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
+        break
+      fi
+    done
+    wait "$pid"; rc=$?
+    tail -6 "$log"
+    if (( rc == 0 )); then return 0; fi
+    echo "  [run_wd] attempt $attempt exited rc=$rc"
+  done
+  return 1
+}
+
+echo "== sanity =="
+timeout 180 python -c "
+import jax, jax.numpy as jnp, time, numpy as np
+print('devices:', jax.devices())
+f = jax.jit(lambda x: x * 1.0000001)
+x = jnp.zeros((128,)); jax.block_until_ready(f(x))
+t0 = time.perf_counter()
+for _ in range(10): jax.block_until_ready(f(x))
+print(f'dispatch RTT {((time.perf_counter()-t0)/10*1e3):.1f} ms')
+" || { echo 'TPU NOT HEALTHY'; exit 1; }
+
+echo "== R1. reasoning sorting128ToT p4000 @ 8B int8-KV (BASELINE row 1) =="
+run_wd 420 5400 "$OUT/log_reasoning8b.txt" -- \
+  python experiments/run_sweep.py --suite reasoning --model 8b \
+    --modes flatten seq --prompt-len 4000 --weight-dtype int8 --kv-dtype int8 \
+    --skip-existing \
+    --dataset /root/reference/dataset/generation/Reasoning/sorting128ToT.json \
+    --out "$OUT/reasoning_sorting128ToT_8b_int8kv"
+
+echo "== R2. p20000 flatten/seq @ 8B int8-KV, full s22000 =="
+run_wd 420 7200 "$OUT/log_p20000.txt" -- \
+  python experiments/run_sweep.py --suite reasoning --model 8b \
+    --modes flatten seq --gen-len 2000 \
+    --prompt-len 20000 --weight-dtype int8 --kv-dtype int8 --skip-existing \
+    --dataset /root/reference/dataset/generation/Reasoning/sorting128ToT.json \
+    --out "$OUT/longctx_p20000_s22000"
+
+echo "== r4d session done =="
