@@ -1,8 +1,9 @@
 #!/bin/bash
 # Round-4 follow-up: re-run the phases that wedged during take 3
 # (transport was unhealthy 06:56-08:30; phases 1-2 burned all three
-# watchdog attempts during model init and produced no cells).
-# --skip-existing resumes: completed modes are skipped for free.
+# watchdog attempts — the kills hit during remote 8B compiles that the
+# degraded tunnel stretched past the 420 s stall threshold, so this take
+# uses stall=900).  --skip-existing resumes: completed modes skip free.
 set -u
 cd "$(dirname "$0")/.."
 OUT=experiments/results_r4
@@ -52,7 +53,7 @@ print(f'dispatch RTT {((time.perf_counter()-t0)/10*1e3):.1f} ms')
 " || { echo 'TPU NOT HEALTHY'; exit 1; }
 
 echo "== R1. reasoning sorting128ToT p4000 @ 8B int8-KV (BASELINE row 1) =="
-run_wd 420 5400 "$OUT/log_reasoning8b.txt" -- \
+run_wd 900 7200 "$OUT/log_reasoning8b.txt" -- \
   python experiments/run_sweep.py --suite reasoning --model 8b \
     --modes flatten seq --prompt-len 4000 --weight-dtype int8 --kv-dtype int8 \
     --skip-existing \
@@ -60,11 +61,19 @@ run_wd 420 5400 "$OUT/log_reasoning8b.txt" -- \
     --out "$OUT/reasoning_sorting128ToT_8b_int8kv"
 
 echo "== R2. p20000 flatten/seq @ 8B int8-KV, full s22000 =="
-run_wd 420 7200 "$OUT/log_p20000.txt" -- \
+run_wd 900 9000 "$OUT/log_p20000.txt" -- \
   python experiments/run_sweep.py --suite reasoning --model 8b \
     --modes flatten seq --gen-len 2000 \
     --prompt-len 20000 --weight-dtype int8 --kv-dtype int8 --skip-existing \
     --dataset /root/reference/dataset/generation/Reasoning/sorting128ToT.json \
     --out "$OUT/longctx_p20000_s22000"
+
+echo "== R3. backstop: any p20000 mode cell take 3 lost =="
+run_wd 900 9000 "$OUT/log_p20000_modes.txt" -- \
+  python experiments/run_sweep.py --suite reasoning --model 8b \
+    --modes node_chunk node tree_index --gen-len 2000 \
+    --prompt-len 20000 --weight-dtype int8 --kv-dtype int8 --skip-existing \
+    --dataset /root/reference/dataset/generation/Reasoning/sorting128ToT.json \
+    --out "$OUT/longctx_p20000_modes"
 
 echo "== r4d session done =="
