@@ -94,14 +94,6 @@ def _paged_kernel(
     else:
         o_ref = refs[0]
         refs = refs[1:]
-    (kbuf,       # VMEM (2, BLOCK, Hkv*D) pool dtype
-     vbuf,       # VMEM (2, BLOCK, Hkv*D)
-     sem,        # DMA sems (2, 2, nseg)
-     qpad_ref,   # VMEM (Hkv, Rq, gw) — lane-slotted queries
-     acc_ref,    # VMEM (Hkv, Rq, gw) f32 (pair-major accumulators)
-     m_ref,      # VMEM (Hkv, Rq, gw) f32
-     l_ref,      # VMEM (Hkv, Rq, gw) f32
-     ) = refs
     b = pl.program_id(0)
     li = li_ref[0]
     nseg = block_len // seg_len
@@ -110,6 +102,27 @@ def _paged_kernel(
     # (largest divisor of num_kv_heads — see flatten_attn.head_pack)
     pack = head_pack(D, num_kv_heads)
     gw = pack * D
+    # VMEM budget (big-Rq buckets — e.g. spec-decode ts256 at 8B has
+    # Rq=1024 — hit the 16 MB scoped-vmem limit with naive scratch):
+    # - m and l each live in ONE lane but were allocated (Hkv, Rq, gw) f32;
+    #   they share a single buffer now (m = lane 0, l = lane 1),
+    # - when pack == 1 the lane-slotted q copy IS the (Hkv, Rq, D) output
+    #   buffer's shape/dtype, so the scaled q is staged in o_ref (finish
+    #   overwrites it after the last block's update) instead of a scratch,
+    # - when partial and pack == 1, acc accumulates directly in acc_out.
+    kbuf, vbuf, sem = refs[:3]   # (2, BLOCK, Hkv*D) x2 + DMA sems
+    refs = refs[3:]
+    if pack == 1 and not partial:
+        qpad_ref = o_ref         # staged q (overwritten at finish)
+    else:
+        qpad_ref = refs[0]       # VMEM (Hkv, Rq, gw) lane-slotted queries
+        refs = refs[1:]
+    if partial and pack == 1:
+        acc_ref = acc_out        # accumulate in place
+    else:
+        acc_ref = refs[0]        # VMEM (Hkv, Rq, gw) f32 pair-major
+        refs = refs[1:]
+    (ml_ref,) = refs             # VMEM (Hkv, Rq, gw) f32: m@lane0, l@lane1
 
     def seg_copies(bb, slot):
         copies = []
@@ -141,8 +154,8 @@ def _paged_kernel(
 
     @pl.when(b == 0)
     def _init():
-        m_ref[...] = jnp.full_like(m_ref, _NEG)
-        l_ref[...] = jnp.zeros_like(l_ref)
+        lane = jax.lax.broadcasted_iota(jnp.int32, ml_ref.shape, 2)
+        ml_ref[...] = jnp.where(lane == 0, _NEG, 0.0)
         acc_ref[...] = jnp.zeros_like(acc_ref)
         rq = q_ref.shape[1]
         s2 = scale * _LOG2E  # softmax scale + exp2 base folded into q
@@ -193,7 +206,7 @@ def _paged_kernel(
                 preferred_element_type=jnp.float32,
             )
             sm = jnp.where(mask, s, _NEG) if masked else s
-            m_prev = m_ref[h, rs, :1]
+            m_prev = ml_ref[h, rs, :1]
             m_new = jnp.maximum(
                 jnp.maximum(m_prev,
                             jnp.max(sm, axis=-1, keepdims=True)),
@@ -201,7 +214,7 @@ def _paged_kernel(
             )
             p = jnp.exp2(sm - m_new)
             alpha = jnp.exp2(m_prev - m_new)
-            l_new = l_ref[h, rs, :1] * alpha + jnp.sum(
+            l_new = ml_ref[h, rs, 1:2] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
             )
             v2 = vbuf[slot, :, g * gw:(g + 1) * gw]
@@ -209,8 +222,8 @@ def _paged_kernel(
                 p.astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m_ref[h, rs, :1] = m_new
-            l_ref[h, rs, :1] = l_new
+            ml_ref[h, rs, :1] = m_new
+            ml_ref[h, rs, 1:2] = l_new
 
     # Two block fast paths, keyed off per-block plan metadata:
     # - narrow-q: blocks serving few leaves (per-leaf suffix runs — MOST
@@ -262,16 +275,17 @@ def _paged_kernel(
             i = h % pack
             if partial:
                 # unnormalized (acc, m, l) for the sp-axis LSE merge; only
-                # lane 0 of m/l is live, so broadcast here (finish-only
+                # lanes 0/1 of ml are live, so broadcast here (finish-only
                 # cost), converting m back to the natural-log domain the
                 # cross-chip merge uses (parallel/engine.py)
-                acc_out[h] = acc_ref[h, :, i * D:(i + 1) * D]
+                if acc_ref is not acc_out:
+                    acc_out[h] = acc_ref[h, :, i * D:(i + 1) * D]
                 m_out[h] = jnp.broadcast_to(
-                    m_ref[h, :, :1] * _LN2, (acc_out.shape[1], D))
+                    ml_ref[h, :, :1] * _LN2, (acc_out.shape[1], D))
                 l_out[h] = jnp.broadcast_to(
-                    l_ref[h, :, :1], (acc_out.shape[1], D))
+                    ml_ref[h, :, 1:2], (acc_out.shape[1], D))
             else:
-                l = l_ref[h, :, :1]
+                l = ml_ref[h, :, 1:2]
                 o_ref[h] = (
                     acc_ref[h, :, i * D:(i + 1) * D]
                     / jnp.where(l == 0.0, 1.0, l)
@@ -306,6 +320,23 @@ def _paged_call(qf, k_pool, v_pool, li, seg_src, tok_lo, tok_hi, blk_lo,
     )
     out_spec = pl.BlockSpec((Hkv, Rq, D), lambda b, *_: (0, 0, 0))
     fstate = jax.ShapeDtypeStruct((Hkv, Rq, D), jnp.float32)
+    pack = head_pack(D, Hkv)
+    # scratch layout mirrors the kernel's VMEM-budget elisions (see
+    # _paged_kernel): qpad is staged in o_ref when pack == 1 (non-partial),
+    # acc accumulates in acc_out when pack == 1 (partial), and m/l share
+    # one lane-packed buffer — together ~6 MB less scoped VMEM at the
+    # spec-decode ts256 8B bucket (Rq=1024), which otherwise OOMs the
+    # 16 MB limit.
+    scratch = [
+        pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
+        pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
+        pltpu.SemaphoreType.DMA((2, 2, block_len // seg_len)),
+    ]
+    if not (pack == 1 and not partial):
+        scratch.append(pltpu.VMEM((Hkv, Rq, gw), qf.dtype))
+    if not (partial and pack == 1):
+        scratch.append(pltpu.VMEM((Hkv, Rq, gw), jnp.float32))
+    scratch.append(pltpu.VMEM((Hkv, Rq, gw), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nb,),
@@ -317,15 +348,7 @@ def _paged_call(qf, k_pool, v_pool, li, seg_src, tok_lo, tok_hi, blk_lo,
             pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
         ],
         out_specs=(out_spec, out_spec, out_spec) if partial else out_spec,
-        scratch_shapes=[
-            pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
-            pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, block_len // seg_len)),
-            pltpu.VMEM((Hkv, Rq, gw), qf.dtype),
-            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
-            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
-            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,

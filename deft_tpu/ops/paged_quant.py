@@ -50,11 +50,6 @@ def _paged_q_kernel(
     else:
         o_ref = refs[0]
         refs = refs[1:]
-    (kbuf, vbuf,                 # VMEM (2, BLOCK, Hkv*D) int8
-     ksbuf, vsbuf,               # VMEM (2, Hkv, BLOCK) f32
-     sem,                        # DMA sems (2, 4, nseg)
-     qpad_ref, acc_ref, m_ref, l_ref,
-     ) = refs
     b = pl.program_id(0)
     li = li_ref[0]
     nseg = block_len // seg_len
@@ -62,6 +57,26 @@ def _paged_q_kernel(
     D = head_dim
     pack = head_pack(D, Hkv)
     gw = pack * D
+    # VMEM-budget elisions — same scheme as paged_flatten_attn._paged_kernel
+    # (m/l share one lane-packed buffer; pack==1 stages q in o_ref /
+    # accumulates in acc_out): the spec-decode ts256 8B bucket (Rq=1024)
+    # otherwise exceeds the 16 MB scoped-vmem limit.
+    (kbuf, vbuf,                 # VMEM (2, BLOCK, Hkv*D) int8
+     ksbuf, vsbuf,               # VMEM (2, Hkv, BLOCK) f32
+     sem,                        # DMA sems (2, 4, nseg)
+     ) = refs[:5]
+    refs = refs[5:]
+    if pack == 1 and not partial:
+        qpad_ref = o_ref         # staged q (overwritten at finish)
+    else:
+        qpad_ref = refs[0]       # VMEM (Hkv, Rq, gw) lane-slotted queries
+        refs = refs[1:]
+    if partial and pack == 1:
+        acc_ref = acc_out        # accumulate in place
+    else:
+        acc_ref = refs[0]        # VMEM (Hkv, Rq, gw) f32
+        refs = refs[1:]
+    (ml_ref,) = refs             # VMEM (Hkv, Rq, gw) f32: m@lane0, l@lane1
 
     def seg_copies(bb, slot):
         copies = []
@@ -94,8 +109,8 @@ def _paged_q_kernel(
 
     @pl.when(b == 0)
     def _init():
-        m_ref[...] = jnp.full_like(m_ref, _NEG)
-        l_ref[...] = jnp.zeros_like(l_ref)
+        lane = jax.lax.broadcasted_iota(jnp.int32, ml_ref.shape, 2)
+        ml_ref[...] = jnp.where(lane == 0, _NEG, 0.0)
         acc_ref[...] = jnp.zeros_like(acc_ref)
         rq = q_ref.shape[1]
         s2 = scale * _LOG2E  # softmax scale + exp2 base folded into q
@@ -143,7 +158,7 @@ def _paged_q_kernel(
                 preferred_element_type=jnp.float32,
             ) * ks_row
             sm = jnp.where(mask, s, _NEG) if masked else s
-            m_prev = m_ref[h, rs, :1]
+            m_prev = ml_ref[h, rs, :1]
             m_new = jnp.maximum(
                 jnp.maximum(m_prev,
                             jnp.max(sm, axis=-1, keepdims=True)),
@@ -151,7 +166,7 @@ def _paged_q_kernel(
             )
             p = jnp.exp2(sm - m_new)
             alpha = jnp.exp2(m_prev - m_new)
-            l_new = l_ref[h, rs, :1] * alpha + jnp.sum(
+            l_new = ml_ref[h, rs, 1:2] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
             )
             v2 = vbuf[slot, :, g * gw:(g + 1) * gw].astype(qpad_ref.dtype)
@@ -160,8 +175,8 @@ def _paged_q_kernel(
                 (p * vs_row).astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m_ref[h, rs, :1] = m_new
-            l_ref[h, rs, :1] = l_new
+            ml_ref[h, rs, :1] = m_new
+            ml_ref[h, rs, 1:2] = l_new
 
     # narrow-q window + mask-free full blocks (blk_lo = FULL_BLOCK_LO plan
     # sentinel, threshold test — dp shifts make small negatives possible on
@@ -204,13 +219,14 @@ def _paged_q_kernel(
         for h in range(num_kv_heads):
             i = h % pack
             if partial:
-                # lane 0 of m/l is live; broadcast at finish, m back to
+                # lanes 0/1 of ml are live; broadcast at finish, m back to
                 # the natural-log domain the sp merge uses
-                acc_out[h] = acc_ref[h, :, i * D:(i + 1) * D]
-                m_out[h] = jnp.broadcast_to(m_ref[h, :, :1] * _LN2, (rq, D))
-                l_out[h] = jnp.broadcast_to(l_ref[h, :, :1], (rq, D))
+                if acc_ref is not acc_out:
+                    acc_out[h] = acc_ref[h, :, i * D:(i + 1) * D]
+                m_out[h] = jnp.broadcast_to(ml_ref[h, :, :1] * _LN2, (rq, D))
+                l_out[h] = jnp.broadcast_to(ml_ref[h, :, 1:2], (rq, D))
             else:
-                l = l_ref[h, :, :1]
+                l = ml_ref[h, :, 1:2]
                 o_ref[h] = (
                     acc_ref[h, :, i * D:(i + 1) * D]
                     / jnp.where(l == 0.0, 1.0, l)
@@ -236,6 +252,20 @@ def _paged_q_call(qf, k_pool, v_pool, k_scale, v_scale, li, seg_src,
     )
     out_spec = pl.BlockSpec((Hkv, Rq, D), lambda b, *_: (0, 0, 0))
     fstate = jax.ShapeDtypeStruct((Hkv, Rq, D), jnp.float32)
+    pack = head_pack(D, Hkv)
+    # conditional scratch — see _paged_q_kernel's VMEM-budget elisions
+    scratch = [
+        pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
+        pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
+        pltpu.VMEM((2, Hkv, block_len), jnp.float32),
+        pltpu.VMEM((2, Hkv, block_len), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 4, block_len // seg_len)),
+    ]
+    if not (pack == 1 and not partial):
+        scratch.append(pltpu.VMEM((Hkv, Rq, gw), qf.dtype))
+    if not (partial and pack == 1):
+        scratch.append(pltpu.VMEM((Hkv, Rq, gw), jnp.float32))
+    scratch.append(pltpu.VMEM((Hkv, Rq, gw), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nb,),
@@ -249,17 +279,7 @@ def _paged_q_call(qf, k_pool, v_pool, k_scale, v_scale, li, seg_src,
             pl.BlockSpec((1, block_len), lambda b, *_: (0, b)),
         ],
         out_specs=(out_spec, out_spec, out_spec) if partial else out_spec,
-        scratch_shapes=[
-            pltpu.VMEM((2, block_len, Hkv * D), k_pool.dtype),
-            pltpu.VMEM((2, block_len, Hkv * D), v_pool.dtype),
-            pltpu.VMEM((2, Hkv, block_len), jnp.float32),
-            pltpu.VMEM((2, Hkv, block_len), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4, block_len // seg_len)),
-            pltpu.VMEM((Hkv, Rq, gw), qf.dtype),
-            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
-            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
-            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,

@@ -1,0 +1,59 @@
+"""AOT-compile the paged decode kernels at the largest production shapes
+WITHOUT running them — a fast canary for Mosaic lowering + scoped-VMEM
+regressions before a long measurement session burns watchdog attempts on
+them.
+
+The headline case is the spec-decode ts256 bucket at 8B (Hkv=8, Rq=1024,
+D=128): with naive scratch it needs ~18.7 MB scoped VMEM vs the 16 MB
+limit (observed live in the round-4 take-3 session), which the lane-packed
+m/l state + staged-q elisions in ops/paged_{flatten_attn,quant}.py fix.
+
+Usage:  python experiments/compile_canary.py          # TPU
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from deft_tpu.ops.paged_flatten_attn import paged_flatten_attention
+from deft_tpu.ops.paged_quant import paged_flatten_attention_q
+
+
+def canary(name, fn, args, **kw):
+    # fn is already jax.jit-wrapped with the right static_argnames
+    try:
+        fn.lower(*args, **kw).compile()
+        print(f"[canary] {name}: OK")
+        return True
+    except Exception as e:  # noqa: BLE001 — report and fail the session
+        print(f"[canary] {name}: FAIL {type(e).__name__}: {str(e)[:400]}")
+        return False
+
+
+def main():
+    L, S, Hkv, D = 2, 4096, 8, 128     # pool rows don't affect VMEM budget
+    T, BLOCK, SEG = 2048, 256, 128
+    nb, nseg = T // BLOCK, BLOCK // SEG
+    ok = True
+    for rq in (1024, 2048):
+        qf = jnp.zeros((Hkv, rq, D), jnp.bfloat16)
+        li = jnp.zeros((), jnp.int32)
+        seg = jnp.zeros((nb * nseg,), jnp.int32)
+        lo = jnp.zeros((T,), jnp.int32)
+        hi = jnp.ones((T,), jnp.int32)
+        blo = jnp.zeros((nb,), jnp.int32)
+        bhi = jnp.ones((nb,), jnp.int32)
+        kw = dict(scale=0.088, qpk=4, block_len=BLOCK, seg_len=SEG)
+        kp = jnp.zeros((L, S, Hkv * D), jnp.bfloat16)
+        ok &= canary(f"bf16 Rq={rq}", paged_flatten_attention,
+                     (qf, kp, kp, li, seg, lo, hi, blo, bhi), **kw)
+        kq = jnp.zeros((L, S, Hkv * D), jnp.int8)
+        ks = jnp.zeros((L, Hkv, S), jnp.float32)
+        ok &= canary(f"int8 Rq={rq}", paged_flatten_attention_q,
+                     (qf, kq, kq, ks, ks, li, seg, lo, hi, blo, bhi), **kw)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

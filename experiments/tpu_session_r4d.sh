@@ -52,6 +52,11 @@ for _ in range(10): jax.block_until_ready(f(x))
 print(f'dispatch RTT {((time.perf_counter()-t0)/10*1e3):.1f} ms')
 " || { echo 'TPU NOT HEALTHY'; exit 1; }
 
+echo "== R0. compile canary: big-Rq kernel VMEM fix =="
+timeout 900 python experiments/compile_canary.py || {
+  echo 'CANARY FAILED - ts256 cells will not compile; continuing with the rest'
+}
+
 echo "== R1. reasoning sorting128ToT p4000 @ 8B int8-KV (BASELINE row 1) =="
 run_wd 900 7200 "$OUT/log_reasoning8b.txt" -- \
   python experiments/run_sweep.py --suite reasoning --model 8b \
@@ -67,6 +72,14 @@ run_wd 900 9000 "$OUT/log_p20000.txt" -- \
     --prompt-len 20000 --weight-dtype int8 --kv-dtype int8 --skip-existing \
     --dataset /root/reference/dataset/generation/Reasoning/sorting128ToT.json \
     --out "$OUT/longctx_p20000_s22000"
+
+echo "== R2b. speculative ts256 @ 8B int8-KV (VMEM-OOMed in take 3; fixed) =="
+run_wd 900 4800 "$OUT/log_spec256.txt" -- \
+  python experiments/run_sweep.py --suite speculative --model 8b \
+    --modes flatten seq --prompt-len 1000 --weight-dtype int8 --kv-dtype int8 \
+    --skip-existing \
+    --dataset /root/reference/dataset/generation/Speculative_Decoding/tree_size256.json \
+    --out "$OUT/spec_ts256_8b_int8kv"
 
 echo "== R3. backstop: any p20000 mode cell take 3 lost =="
 run_wd 900 9000 "$OUT/log_p20000_modes.txt" -- \
