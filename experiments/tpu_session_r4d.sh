@@ -89,4 +89,9 @@ run_wd 900 9000 "$OUT/log_p20000_modes.txt" -- \
     --dataset /root/reference/dataset/generation/Reasoning/sorting128ToT.json \
     --out "$OUT/longctx_p20000_modes"
 
+echo "== R4. kernel-lab re-measure (negative/zero deltas in take 3 = tunnel noise) =="
+run_wd 900 4800 "$OUT/kernel_lab_r4d.txt" -- \
+  python experiments/kernel_lab.py \
+    v0_b512 full_b512 v0_b1024 full_b1024 deep_qw32_b1024 qfull_b512_seg512
+
 echo "== r4d session done =="
