@@ -94,4 +94,32 @@ run_wd 900 4800 "$OUT/kernel_lab_r4d.txt" -- \
   python experiments/kernel_lab.py \
     v0_b512 full_b512 v0_b1024 full_b1024 deep_qw32_b1024 qfull_b512_seg512
 
+echo "== R5. MoE second shape + attribution (skip-existing; retries take 3) =="
+if [ ! -f "$OUT/moe_w50_p6000/few_shot_summary.json" ]; then
+run_wd 900 3600 "$OUT/log_moe_fs.txt" -- \
+  python experiments/run_sweep.py --suite few_shot --model mixtral-6l \
+    --modes flatten seq --width 50 --prompt-len 6000 --gen-len 200 \
+    --weight-dtype int8 --skip-existing \
+    --out "$OUT/moe_w50_p6000"
+fi
+if [ ! -f "$OUT/moe_reasoning_p2000/reasoning_summary.json" ]; then
+run_wd 900 3600 "$OUT/log_moe_reason.txt" -- \
+  python experiments/run_sweep.py --suite reasoning --model mixtral-6l \
+    --modes flatten seq --prompt-len 2000 --weight-dtype int8 --skip-existing \
+    --dataset /root/reference/dataset/generation/Reasoning/sorting128ToT.json \
+    --out "$OUT/moe_reasoning_p2000"
+fi
+if [ ! -s "$OUT/microbench_moe_int8.txt" ] || ! grep -q residual "$OUT/microbench_moe_int8.txt"; then
+run_wd 900 2400 "$OUT/microbench_moe_int8.txt" -- \
+  python experiments/microbench_step.py 32 2000 mixtral-6l int8
+fi
+
+echo "== R6. fresh bench artifacts at HEAD (always: the kernel fix landed today) =="
+timeout 2400 python bench.py 2> "$OUT/bench_stderr.txt" | tee "$OUT/bench_stdout.txt"
+tail -4 "$OUT/bench_stderr.txt"
+if ! grep -q residual "$OUT/microbench_8b_int8_r4.txt" 2>/dev/null; then
+run_wd 900 2400 "$OUT/microbench_8b_int8_r4.txt" -- \
+  python experiments/microbench_step.py 50 4000 8b int8
+fi
+
 echo "== r4d session done =="
