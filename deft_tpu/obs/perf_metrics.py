@@ -170,6 +170,25 @@ class PerfMetrics:
             with open(self.output_file, "w") as f:
                 json.dump(self.as_dict(), f)
 
+    def dump_partial(self) -> None:
+        """Write the current (mid-generation) aggregates to
+        ``output_file + '.partial'`` — atomically, so a kill mid-write never
+        leaves a truncated JSON.  Harnesses that lose a run to a transport
+        wedge (tpu_session run_wd kills) keep a usable partial measurement
+        instead of an empty results directory (VERDICT r4 missing 1-3).
+        The final dump() keeps writing the canonical file; '.partial' files
+        are never read by --skip-existing resume logic."""
+        if self.output_file is None:
+            return
+        d = self.as_dict()
+        d["partial"] = True
+        tmp = self.output_file + ".partial.tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+        import os
+
+        os.replace(tmp, self.output_file + ".partial")
+
     def print_latency(self) -> str:
         """Human-readable latency summary (reference: tabulated table,
         perf_metrics.py:165-219)."""

@@ -187,7 +187,8 @@ def _paged_kernel(
         state update an identity), and skipped rows' masked updates are
         identities too — so narrowing the window never changes o.
 
-        masked=False is the FULL-block fast path (blk_lo == -1 sentinel,
+        masked=False is the FULL-block fast path (blk_lo = FULL_BLOCK_LO
+        sentinel, threshold-tested as blk_lo < -(1<<20),
         plan/flatten.py): the plan proved every token in this block is
         live with interval [0, n_leaves), so the mask is all-true for
         every live row and the mask build + where pass are skipped.

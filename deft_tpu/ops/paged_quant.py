@@ -139,7 +139,7 @@ def _paged_q_kernel(
         """Online-softmax update for q rows [r0, r0 + rw) — see
         paged_flatten_attn.update_heads for the exactness arguments of the
         narrow window (skipped rows' masked updates are identities) and
-        the mask-free full-block path (masked=False; blk_lo == -1 plan
+        the mask-free full-block path (masked=False; blk_lo = FULL_BLOCK_LO plan
         sentinel proves the mask all-true for live rows)."""
         rs = pl.ds(r0, rw)
         if masked:

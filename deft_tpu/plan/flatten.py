@@ -72,7 +72,8 @@ class FlattenPlan:
     tok_lo: np.ndarray      # (T_pad,) int32 leaf-interval lo (pad -> 2^30)
     tok_hi: np.ndarray      # (T_pad,) int32 leaf-interval hi (pad -> 0)
     blk_lo: np.ndarray      # (B,) int32 per-block min lo (tile-skip bound;
-    #                         -1 = mask-free FULL block, see build sentinel)
+    #                         FULL_BLOCK_LO = mask-free FULL block, tested
+    #                         via threshold blk_lo < -(1<<20), not equality)
     blk_hi: np.ndarray      # (B,) int32 per-block max hi
     # Query side, DFS leaf order, padded to L_pad:
     q_tokens: np.ndarray    # (L_pad,) int32 last token id per leaf

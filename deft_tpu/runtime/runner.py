@@ -767,6 +767,17 @@ class ModelRunner:
             )
             changed.append(c)
             prev = b
+        # kc pads EVERY sub-step's patch to the largest diff; after a
+        # structural step the first sub-step's diff (vs the stale device
+        # buffer) can be huge while the rest are appends — in that case
+        # ship buf[0] whole as the new base (like _upload_plan's >nb/4
+        # full-upload fallback) so kc sizes to the append diffs only
+        # (ADVICE r4).  Mid-window diffs stay small by construction
+        # (windows are greedy appends in one shape bucket).
+        if len(changed[0]) > nb // 4:
+            dev_base = jnp.asarray(bufs[0])
+            self.plan_upload_bytes += bufs[0].nbytes
+            changed[0] = np.zeros(0, np.int64)
         kc = min(nb, max(1, next_pow2(max(len(c) for c in changed))))
         K = len(bufs)
         patches = np.zeros((K, kc, CH + 1), np.int32)

@@ -748,7 +748,8 @@ def test_paged_quant_narrow_q_window_vs_oracle(qwin):
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_paged_flatten_full_block_sentinel_vs_oracle(dtype):
-    """Mask-free FULL-block fast path (blk_lo == -1 plan sentinel): a long
+    """Mask-free FULL-block fast path (blk_lo = FULL_BLOCK_LO plan sentinel,
+    threshold-tested): a long
     shared prompt yields whole blocks where every token is live with
     interval [0, n_leaves); the plan must mark them and the kernels (bf16,
     int8, and the mesh partial variant) must stay exact — including the
