@@ -982,8 +982,9 @@ class ModelRunner:
         # 3x padding still beat the gather-dequant fallback (which reads
         # ~3x AND materializes a dequantized bf16 copy; measured 15 vs
         # 2.2 ms/step at the 8B bench shape, kernel_lab + r3 bench).
-        if self.kv_quantized and kind in ("flatten", "seq", "node"):
-            if kind in ("flatten", "node"):
+        if self.kv_quantized and kind in ("flatten", "seq", "node",
+                                          "tree_index"):
+            if kind in ("flatten", "node", "tree_index"):
                 kw["seg_len"] = (512, 256, 128)
                 kw["waste_limit"] = (1.1, 1.2, 3.0)
             else:

@@ -11,7 +11,10 @@ m/l state + staged-q elisions in ops/paged_{flatten_attn,quant}.py fix.
 Usage:  python experiments/compile_canary.py          # TPU
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

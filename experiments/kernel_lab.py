@@ -541,6 +541,273 @@ def sentinel(builder):
     return build
 
 
+def _lab2_kernel(
+    li_ref, seg_src_ref, sub_lo_ref, sub_hi_ref,
+    q_ref, k_pool_ref, v_pool_ref, lo_ref, hi_ref,
+    o_ref, kbuf, vbuf, sem, qpad_ref, acc_ref, ml_ref,
+    *, scale, qpk, prog_len, sub_len, seg_len, num_blocks, num_kv_heads,
+    head_dim, tq,
+):
+    """Variant K2/TQ: ``prog_len`` tokens per grid program (one
+    double-buffered DMA set per program — amortizes per-program fixed
+    costs), with mask/full/dead dispatch at ``sub_len`` granularity inside
+    the program (so big programs keep small-block skip granularity), and
+    optional Rq-TILE skipping (``tq``): masked sub-blocks update only the
+    q-row tiles intersecting [sub_lo, sub_hi) * qpk — the exact
+    generalization of the narrow-q window to blocks serving mid-size leaf
+    ranges.  All paths are exact (skipped tiles' updates are identities:
+    interval masks send them to p=0)."""
+    _NEG = -1e30
+    b = pl.program_id(0)
+    li = li_ref[0]
+    nseg = prog_len // seg_len
+    nsub = prog_len // sub_len
+    from deft_tpu.ops.flatten_attn import head_pack
+
+    pack = head_pack(head_dim, num_kv_heads)
+    gw = pack * head_dim
+    Dh = head_dim
+    rq = q_ref.shape[1]
+
+    def sub_live(bb, s):
+        return sub_lo_ref[bb * nsub + s] < sub_hi_ref[bb * nsub + s]
+
+    def any_live(bb):
+        a = sub_live(bb, 0)
+        for s in range(1, nsub):
+            a = a | sub_live(bb, s)
+        return a
+
+    def seg_copies(bb, slot):
+        copies = []
+        for j in range(nseg):
+            src = pl.multiple_of(seg_src_ref[bb * nseg + j], seg_len)
+            dst = pl.ds(j * seg_len, seg_len)
+            copies.append(pltpu.make_async_copy(
+                k_pool_ref.at[li, pl.ds(src, seg_len), :],
+                kbuf.at[slot, dst, :], sem.at[slot, 0, j]))
+            copies.append(pltpu.make_async_copy(
+                v_pool_ref.at[li, pl.ds(src, seg_len), :],
+                vbuf.at[slot, dst, :], sem.at[slot, 1, j]))
+        return copies
+
+    def issue(bb, slot):
+        @pl.when(any_live(bb))
+        def _():
+            for c in seg_copies(bb, slot):
+                c.start()
+
+    @pl.when(b == 0)
+    def _init():
+        lane = jax.lax.broadcasted_iota(jnp.int32, ml_ref.shape, 2)
+        ml_ref[...] = jnp.where(lane == 0, _NEG, 0.0)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        s2 = scale * 1.4426950408889634
+        for h in range(num_kv_heads):
+            i = h % pack
+            parts = []
+            if i:
+                parts.append(jnp.zeros((rq, i * Dh), q_ref.dtype))
+            parts.append((q_ref[h].astype(jnp.float32) * s2).astype(
+                q_ref.dtype))
+            if pack - 1 - i:
+                parts.append(jnp.zeros((rq, (pack - 1 - i) * Dh),
+                                       q_ref.dtype))
+            qpad_ref[h] = (
+                jnp.concatenate(parts, axis=1) if len(parts) > 1
+                else parts[0])
+        issue(0, 0)
+
+    @pl.when(b + 1 < num_blocks)
+    def _prefetch():
+        issue(b + 1, (b + 1) % 2)
+
+    def update_heads(slot, s, r0, rw, masked=True):
+        c0 = s * sub_len
+        rs = pl.ds(r0, rw)
+        if masked:
+            leaf = (jax.lax.broadcasted_iota(jnp.int32, (rw, sub_len), 0)
+                    + r0) // qpk
+            lo = lo_ref[:, c0:c0 + sub_len]
+            hi = hi_ref[:, c0:c0 + sub_len]
+            mask = (lo <= leaf) & (leaf < hi)
+        for h in range(num_kv_heads):
+            g = h // pack
+            k2 = kbuf[slot, c0:c0 + sub_len, g * gw:(g + 1) * gw]
+            sdot = jax.lax.dot_general(
+                qpad_ref[h, rs, :], k2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sm = jnp.where(mask, sdot, _NEG) if masked else sdot
+            m_prev = ml_ref[h, rs, :1]
+            m_new = jnp.maximum(
+                jnp.maximum(m_prev, jnp.max(sm, axis=-1, keepdims=True)),
+                -1e5)
+            p = jnp.exp2(sm - m_new)
+            alpha = jnp.exp2(m_prev - m_new)
+            l_new = ml_ref[h, rs, 1:2] * alpha + jnp.sum(
+                p, axis=-1, keepdims=True)
+            v2 = vbuf[slot, c0:c0 + sub_len, g * gw:(g + 1) * gw]
+            acc_ref[h, rs, :] = (acc_ref[h, rs, :] * alpha
+                                 + jax.lax.dot_general(
+                p.astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            ml_ref[h, rs, :1] = m_new
+            ml_ref[h, rs, 1:2] = l_new
+
+    @pl.when(any_live(b))
+    def _compute():
+        slot = b % 2
+        for c in seg_copies(b, slot):
+            c.wait()
+        for s in range(nsub):
+            is_full = sub_lo_ref[b * nsub + s] < -(1 << 20)
+
+            @pl.when(sub_live(b, s) & is_full)
+            def _full(s=s):
+                update_heads(slot, s, 0, rq, masked=False)
+
+            if tq:
+                ntile = rq // tq
+                for t in range(ntile):
+                    r0, r1 = t * tq, (t + 1) * tq
+                    hit = ((sub_lo_ref[b * nsub + s] * qpk < r1)
+                           & (sub_hi_ref[b * nsub + s] * qpk > r0))
+
+                    @pl.when(sub_live(b, s) & ~is_full & hit)
+                    def _tile(s=s, t=t):
+                        update_heads(slot, s, t * tq, tq)
+            else:
+                @pl.when(sub_live(b, s) & ~is_full)
+                def _masked(s=s):
+                    update_heads(slot, s, 0, rq)
+
+    @pl.when(b == num_blocks - 1)
+    def _finish():
+        for h in range(num_kv_heads):
+            i = h % pack
+            l = ml_ref[h, :, 1:2]
+            o_ref[h] = (
+                acc_ref[h, :, i * Dh:(i + 1) * Dh]
+                / jnp.where(l == 0.0, 1.0, l)
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("prog_len", "sub_len", "seg_len", "tq"))
+def _lab2_call(q, kp, vp, li, seg_src, tok_lo, tok_hi, sub_lo, sub_hi,
+               *, prog_len, sub_len, seg_len, tq):
+    from deft_tpu.ops.flatten_attn import _interpret, head_pack
+
+    Hkv, Rq, Dh = q.shape
+    gw = head_pack(Dh, Hkv) * Dh
+    T = tok_lo.shape[0]
+    nb = T // prog_len
+    kernel = functools.partial(
+        _lab2_kernel, scale=Dh ** -0.5, qpk=QPK, prog_len=prog_len,
+        sub_len=sub_len, seg_len=seg_len, num_blocks=nb, num_kv_heads=Hkv,
+        head_dim=Dh, tq=tq)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((Hkv, Rq, Dh), lambda b, *_: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, prog_len), lambda b, *_: (0, b)),
+            pl.BlockSpec((1, prog_len), lambda b, *_: (0, b)),
+        ],
+        out_specs=pl.BlockSpec((Hkv, Rq, Dh), lambda b, *_: (0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, prog_len, Hkv * Dh), kp.dtype),
+            pltpu.VMEM((2, prog_len, Hkv * Dh), vp.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, prog_len // seg_len)),
+            pltpu.VMEM((Hkv, Rq, gw), q.dtype),
+            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
+            pltpu.VMEM((Hkv, Rq, gw), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Hkv, Rq, Dh), q.dtype),
+        interpret=_interpret(),
+    )(li.reshape(1).astype(jnp.int32), seg_src, sub_lo, sub_hi,
+      q, kp, vp, tok_lo.reshape(1, T), tok_hi.reshape(1, T))
+
+
+def make_k2_variant(prog_len, sub_len, tq, sentinel_subs=True):
+    """Run the case at prog_len-per-program with sub_len dispatch; derives
+    sub-granular lo/hi (+ FULL sentinel) from the case's token arrays and a
+    seg table over the whole span (case seg tables are SEG-aligned linear)."""
+    def fn(q, kp, vp, li, case):
+        from deft_tpu.plan.flatten import FULL_BLOCK_LO
+
+        T = case["tok_lo"].shape[0]
+        tl = np.asarray(case["tok_lo"]).reshape(-1, sub_len)
+        th = np.asarray(case["tok_hi"]).reshape(-1, sub_len)
+        sub_lo = tl.min(1)
+        sub_hi = th.max(1)
+        dead = ~(sub_lo < sub_hi)
+        if sentinel_subs:
+            full = (tl == 0).all(1) & (th == LEAVES).all(1)
+            sub_lo = np.where(full & ~dead, FULL_BLOCK_LO, sub_lo)
+        nseg = T // SEG
+        seg_src = (np.arange(nseg, dtype=np.int32) * SEG) % (
+            kp.shape[1] - SEG)
+        return _lab2_call(
+            q, kp, vp, li, jnp.asarray(seg_src), case["tok_lo"],
+            case["tok_hi"], jnp.asarray(sub_lo), jnp.asarray(sub_hi),
+            prog_len=prog_len, sub_len=sub_len, seg_len=SEG, tq=tq)
+    return fn
+
+
+def _probe_kernel(o_ref, buf, *, passes, rq, width):
+    """VPU floor probe: `passes` exp2 sweeps over an (rq, width) f32 VMEM
+    tile per grid step — isolates the transcendental throughput that bounds
+    the exact flatten kernel's score math."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        buf[...] = jnp.full_like(buf, -0.5)
+
+    acc = buf[...]
+    for _ in range(passes):
+        acc = jnp.exp2(acc * -0.9999)
+    buf[...] = acc
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _f():
+        o_ref[0, :, :] = acc[:, : o_ref.shape[2]]
+
+
+def make_exp2_probe(passes_per_block):
+    """ms/step for JUST the exp2 passes the bench shape's live blocks do:
+    live_blocks grid steps x (8 heads x 1 exp2 over (Rq, BLOCK))."""
+    @functools.partial(jax.jit, static_argnames=("nb", "passes", "width"))
+    def call(nb, passes, width):
+        from deft_tpu.ops.flatten_attn import _interpret
+
+        return pl.pallas_call(
+            functools.partial(_probe_kernel, passes=passes, rq=RQ,
+                              width=width),
+            grid=(nb,),
+            out_specs=pl.BlockSpec((1, RQ, D), lambda b: (0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((1, RQ, D), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((RQ, width), jnp.float32)],
+            interpret=_interpret(),
+        )()
+
+    def fn(q, kp, vp, li, case):
+        nb = max(1, case["live_blocks"])
+        o = call(nb, passes_per_block, case["block_len"])
+        return jnp.broadcast_to(o, (HKV, RQ, D)).astype(q.dtype)
+    return fn
+
+
+def build_case_probe(block_len, rng):
+    return build_case(block_len, rng)
+
+
 VARIANTS = {
     "v0_b128": (v0_production, 128, build_case),
     "vB_b128": (vB_passes, 128, build_case),
@@ -579,6 +846,23 @@ VARIANTS = {
     # bigger blocks alone (per-block fixed-cost amortization beyond b512)
     "v0_b1024": (v0_production, 1024, build_case),
     "deep_qw32_b1024": (make_qwin_variant(32), 1024, build_case_deep),
+    # r5: two 512-token KV blocks per program (one DMA set + one program's
+    # fixed costs per 1024 tokens, mask/full/dead dispatch still at 512) —
+    # VERDICT r4 item 5 "two KV blocks per program"
+    "k2_b1024s512": (make_k2_variant(1024, 512, 0), 1024, build_case),
+    "k2_b2048s512": (make_k2_variant(2048, 512, 0), 2048, build_case),
+    "deep_k2_b1024s512": (make_k2_variant(1024, 512, 0), 1024,
+                          build_case_deep),
+    # r5: Rq-tile skipping (VERDICT r4 item 5) — masked sub-blocks update
+    # only leaf-interval-intersecting q tiles; exact by interval masking
+    "tq64_b512s512": (make_k2_variant(512, 512, 64), 512, build_case),
+    "deep_tq64_b512": (make_k2_variant(512, 512, 64), 512, build_case_deep),
+    "deep_k2tq64_b1024": (make_k2_variant(1024, 512, 64), 1024,
+                          build_case_deep),
+    # r5: VPU transcendental floor — 8 exp2 passes (one per head) over an
+    # (Rq, BLOCK) tile per live block, nothing else; pins the exact
+    # kernel's score-math speed-of-light next to the DMA floor note
+    "probe_exp2_b512": (make_exp2_probe(8), 512, build_case_probe),
 }
 
 
@@ -592,20 +876,30 @@ def main():
     refs = {}
     for name in names:
         fn, bl, builder = VARIANTS[name]
+        if bl > T_PAD:
+            print(f"{name:10s} SKIP (block {bl} > T_PAD {T_PAD})",
+                  flush=True)
+            continue
         key = (builder.__name__, bl)
         if key not in cases:
             # fresh seed per case: cross-block-size outputs must compare
             cases[key] = builder(bl, np.random.default_rng(0))
         case = cases[key]
-        out = np.asarray(
-            fn(case["q"], case["k_pool"], case["v_pool"],
-               jnp.asarray(LAYERS - 1, jnp.int32), case))
-        # sentinel cases must produce the same output as the unsentineled
-        # builder (mask-free path is exact) -> share its reference
-        ref_out = refs.setdefault(builder.__name__.replace("sent_", ""), out)
-        err = np.abs(out.astype(np.float64)
-                     - ref_out.astype(np.float64)).max()
-        ms = 0.0 if check_only else time_step(fn, case)
+        try:
+            out = np.asarray(
+                fn(case["q"], case["k_pool"], case["v_pool"],
+                   jnp.asarray(LAYERS - 1, jnp.int32), case))
+            # sentinel cases must produce the same output as the
+            # unsentineled builder (mask-free path is exact) -> share ref
+            ref_out = refs.setdefault(
+                builder.__name__.replace("sent_", ""), out)
+            err = np.abs(out.astype(np.float64)
+                         - ref_out.astype(np.float64)).max()
+            ms = 0.0 if check_only else time_step(fn, case)
+        except Exception as e:  # e.g. scoped-VMEM OOM on huge programs
+            print(f"{name:10s} block={bl:4d} FAIL: {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+            continue
         print(f"{name:10s} block={bl:4d} live_blocks={case['live_blocks']:3d}"
               f"  {ms:7.3f} ms/step (32L)   max|diff vs v0|={err:.2e}",
               flush=True)

@@ -210,6 +210,62 @@ def test_paged_flatten_kernel_vs_oracle(dtype):
     assert rel_err(np.asarray(got)[live], np.asarray(want)[live]) < tol
 
 
+def test_paged_tree_index_kernel_vs_oracle():
+    """tree_index plans (TreeIndexPool-row sourced, node-aligned) must ride
+    the same in-kernel DMA path as node plans and match the dense oracle —
+    the VERDICT r4 weak-2 fix (tree_index used to fall to the XLA gather)."""
+    from deft_tpu.core import (ReqToTokenPool, TokenKVPool, TreeCache,
+                               TreeIndexPool)
+    from deft_tpu.ops.flatten_attn import fold_q, unfold_o
+    from deft_tpu.ops.paged_flatten_attn import paged_flatten_attention
+    from deft_tpu.plan import build_tree_index_plan
+
+    rng = np.random.default_rng(5)
+    Hq, Hkv, D = 8, 2, 64
+    tree = TreeCache(TokenKVPool(8192), ReqToTokenPool(64, 2048),
+                     TreeIndexPool(64, 2048))
+    tree.init_prompt(list(range(150)))
+    for i, c in enumerate(tree.branch(tree.root, 4)):
+        c.append_token(50 + i)
+    for _ in range(30):
+        tree.alloc()
+        for leaf in list(tree.leaves.values()):
+            leaf.append_token(int(rng.integers(1, 400)))
+    tree.cut(sorted(tree.leaves.values(), key=lambda x: x.id)[0])
+    tree.alloc()
+    plan = build_tree_index_plan(tree, q_per_kv=Hq // Hkv,
+                                 min_token_bucket=256)
+    assert plan.paged, "tree_index plan should be seg-aligned (paged)"
+
+    S = tree.token_to_kv_pool.size
+    dtype = jnp.float32
+    k_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), dtype)
+    v_pool = jnp.asarray(rng.standard_normal((1, S, Hkv * D)), dtype)
+    R = plan.l_pad
+    q = jnp.asarray(rng.standard_normal((R, Hq, D)), dtype)
+    scale = D**-0.5
+
+    kt = k_pool[0][plan.kv_idx].reshape(-1, Hkv, D)
+    vt = v_pool[0][plan.kv_idx].reshape(-1, Hkv, D)
+    want = dense_tree_attention(
+        q, kt, vt, jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi), scale
+    )
+    got = unfold_o(
+        paged_flatten_attention(
+            fold_q(q, Hkv), k_pool, v_pool,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(plan.seg_src),
+            jnp.asarray(plan.tok_lo), jnp.asarray(plan.tok_hi),
+            jnp.asarray(plan.blk_lo), jnp.asarray(plan.blk_hi),
+            scale=scale, qpk=Hq // Hkv,
+            block_len=plan.block_len, seg_len=plan.seg_len,
+        ),
+        R,
+    )
+    live = np.arange(R) < plan.n_leaves
+    assert rel_err(np.asarray(got)[live], np.asarray(want)[live]) < 2e-5
+
+
 @pytest.mark.parametrize("dtype", [jnp.float32])
 def test_paged_quant_kernel_vs_dequant_oracle(dtype):
     """int8 paged kernel must match the XLA dequant-gather oracle exactly
