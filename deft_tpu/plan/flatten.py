@@ -88,6 +88,12 @@ class FlattenPlan:
     seg_src: Optional[np.ndarray] = None
     seg_len: int = 0
     paged: bool = False     # eligible for the in-kernel DMA gather path
+    # Compact upload form (paged plans): (R, 4) int32 rows
+    # [layout_off, pool_src, lo, hi] covering [0, n_live_pad) — kv_idx,
+    # tok_lo/hi, seg_src and blk arrays are all re-derivable from this
+    # table + the tail rule (see _fill with_runs / runner unpack).
+    run_table: Optional[np.ndarray] = None
+    n_live_pad: int = 0     # tokens covered by runs (seg-aligned layout end)
 
     @property
     def t_pad(self) -> int:
@@ -248,20 +254,37 @@ def _align_groups(groups, seg_len, pool_size, block_len: int = 0):
     return out, total, ok
 
 
-def _fill(groups, total, seg_len) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _fill(groups, total, seg_len, with_runs: bool = False):
     """Pass 2 of _assemble: materialize (kv_idx, tok_lo, tok_hi) from the
-    layout with vectorized slice writes."""
+    layout with vectorized slice writes.
+
+    with_runs=True additionally returns the layout as a RUN TABLE — one
+    (layout_offset, pool_src, lo, hi) row per linear-address piece, covering
+    [0, total) exactly (kv_idx[off + i] == src + i within each run).  The
+    runner's compact plan upload ships this O(runs) table instead of the
+    O(tokens) per-token arrays and re-expands them on device
+    (runtime/runner.py unpack) — decisive when the host<->device link is
+    slow, and strictly less upload traffic always."""
     kv = np.empty(total, dtype=np.int32)
     lo_a = np.empty(total, dtype=np.int32)
     hi_a = np.empty(total, dtype=np.int32)
+    runs: List[Tuple[int, int, int, int]] = [] if with_runs else None
     pos = 0
     for extents, pad in groups:
         if extents is None:
             if seg_len:
-                # seg-tiled scratch reads keep segments contiguous
+                # seg-tiled scratch reads keep segments contiguous; block
+                # pads start seg-aligned with seg-multiple length (group
+                # pads close every group on a seg boundary), so each
+                # seg-length slice is one linear run from scratch base 0
                 kv[pos : pos + pad] = np.arange(pad, dtype=np.int32) % seg_len
+                if with_runs:
+                    for k in range(0, pad, seg_len):
+                        runs.append((pos + k, 0, _EMPTY_LO, 0))
             else:
                 kv[pos : pos + pad] = DUMP_SLOT
+                if with_runs:
+                    runs.append((pos, DUMP_SLOT, _EMPTY_LO, 0))
             lo_a[pos : pos + pad] = _EMPTY_LO
             hi_a[pos : pos + pad] = 0
             pos += pad
@@ -270,6 +293,8 @@ def _fill(groups, total, seg_len) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
             kv[pos : pos + pn] = np.arange(ps, ps + pn, dtype=np.int32)
             lo_a[pos : pos + pn] = lo
             hi_a[pos : pos + pn] = hi
+            if with_runs:
+                runs.append((pos, ps, lo, hi))
             pos += pn
         if pad:
             # addresses the segment DMA over-reads; masked out
@@ -277,8 +302,12 @@ def _fill(groups, total, seg_len) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
             kv[pos : pos + pad] = np.arange(end, end + pad, dtype=np.int32)
             lo_a[pos : pos + pad] = _EMPTY_LO
             hi_a[pos : pos + pad] = 0
+            if with_runs:
+                runs.append((pos, end, _EMPTY_LO, 0))
             pos += pad
     assert pos == total
+    if with_runs:
+        return kv, lo_a, hi_a, runs
     return kv, lo_a, hi_a
 
 
@@ -372,7 +401,8 @@ def build_flatten_plan(
         ok = in_bounds and total <= wlim * waste_base
         if ok:
             seg = cand
-            kv_idx, tok_lo, tok_hi = _fill(groups, total, cand)
+            kv_idx, tok_lo, tok_hi, runs = _fill(groups, total, cand,
+                                                 with_runs=True)
             break
     if not seg:
         kv_idx, tok_lo, tok_hi = _assemble(
@@ -415,11 +445,15 @@ def build_flatten_plan(
 
     seg_src = None
     paged = False
+    run_table = None
+    n_live_pad = 0
     if seg:
         view = kv_idx.reshape(-1, seg)
         if bool(np.all(np.diff(view, axis=1) == 1)):
             seg_src = np.ascontiguousarray(view[:, 0])
             paged = True
+            run_table = np.asarray(runs, dtype=np.int32).reshape(-1, 4)
+            n_live_pad = n_tokens  # pre-bucket layout length (seg-aligned)
 
     q_tokens, q_pos, out_loc = _leaf_arrays(tree, order, leaf_to_q, l_pad)
     return FlattenPlan(
@@ -437,4 +471,6 @@ def build_flatten_plan(
         seg_src=seg_src,
         seg_len=seg if paged else 0,
         paged=paged,
+        run_table=run_table,
+        n_live_pad=n_live_pad,
     )

@@ -53,7 +53,8 @@ from deft_tpu.plan import (
     pad_token_count,
 )
 from deft_tpu.plan.padding import next_pow2
-from deft_tpu.plan.flatten import FlattenPlan
+from deft_tpu.plan.flatten import (FULL_BLOCK_LO, FlattenPlan,
+                                   _EMPTY_LO as _EMPTY_LO_I)
 from deft_tpu.plan.seq import SeqPlan
 from deft_tpu.runtime.modes import ForwardMode
 from deft_tpu.ops import attn_impls
@@ -331,6 +332,20 @@ class ModelRunner:
             os.environ.get("DEFT_PLAN_PATCH", "1") == "1"
             and self.mesh is None
         )
+        # Compact plan uploads: paged flatten-family plans ship their
+        # O(runs) run table (plan.run_table) + query arrays, and the jitted
+        # step re-expands tok_lo/tok_hi/seg_src/blk arrays ON DEVICE — the
+        # per-step H2D payload becomes O(tree structure) instead of
+        # O(padded tokens) (~450 ints vs ~50k at p4000).  Structural steps
+        # (branch/prune) rewrite most of the per-token arrays (the DFS
+        # layout shifts), which under a degraded link made every post-
+        # structural upload a ~full-buffer ship — measured as a constant
+        # ~2.5 s stall per 8-step window for a whole 3708-iter reasoning
+        # run (results_r4 dump).  DEFT_COMPACT_PLAN=0 disables.
+        self._compact_plan = (
+            os.environ.get("DEFT_COMPACT_PLAN", "1") == "1"
+            and self.mesh is None
+        )
         self._plan_dev_cache: Dict[tuple, list] = {}
         # H2D bytes actually shipped for plans vs what full uploads would
         # have cost (patch-effectiveness accounting, results READMEs)
@@ -539,6 +554,59 @@ class ModelRunner:
                     out_loc=f["out_loc"],
                     paths=f["paths"].reshape(L, C),
                     seq_lens=f["seq_lens"],
+                )
+            if len(sizes) == 5:
+                # compact paged flatten/node/tree_index: header + query
+                # arrays + (R, 4) run table shipped column-major; the
+                # per-token tok_lo/tok_hi, the DMA segment table and the
+                # per-block skip/sentinel metadata are re-expanded HERE, on
+                # device — upload is O(runs), expansion is exact
+                # (tests/test_plan.py::test_compact_plan_expansion)
+                L, T, B, R, seg_len = sizes
+                block_len = T // B
+                fields = [("hdr", 2), ("q_tokens", L), ("q_pos", L),
+                          ("out_loc", L), ("run_off", R), ("run_src", R),
+                          ("run_lo", R), ("run_hi", R)]
+                if select:
+                    fields += [("qrows", L), ("qcols", L)]
+                o = 0
+                f = {}
+                for name, n in fields:
+                    f[name] = jax.lax.dynamic_slice_in_dim(buf, o, n)
+                    o += n
+                n_live = f["hdr"][0]
+                n_leaves = f["hdr"][1]
+                idx = jnp.arange(T, dtype=jnp.int32)
+                rid = jnp.searchsorted(f["run_off"], idx, side="right") - 1
+                rid = jnp.clip(rid, 0, R - 1)
+                tok_lo = f["run_lo"][rid]
+                tok_hi = f["run_hi"][rid]
+                addr = f["run_src"][rid] + (idx - f["run_off"][rid])
+                # bucket tail rule: [n_live, T) reads the scratch area
+                # seg-tiled with empty intervals (same values plan/flatten
+                # writes host-side)
+                in_tail = idx >= n_live
+                tok_lo = jnp.where(in_tail, _EMPTY_LO_I, tok_lo)
+                tok_hi = jnp.where(in_tail, 0, tok_hi)
+                addr = jnp.where(in_tail, idx % seg_len, addr)
+                seg_src = addr.reshape(-1, seg_len)[:, 0]
+                tl2 = tok_lo.reshape(B, block_len)
+                th2 = tok_hi.reshape(B, block_len)
+                blk_lo = tl2.min(axis=1)
+                blk_hi = th2.max(axis=1)
+                full = ((tl2 == 0).all(axis=1)
+                        & (th2 == n_leaves).all(axis=1) & (n_leaves > 0))
+                blk_lo = jnp.where(full, jnp.int32(FULL_BLOCK_LO), blk_lo)
+                return DecodeBatch(
+                    q_tokens=q_from(f, q_override),
+                    q_pos=f["q_pos"],
+                    out_loc=f["out_loc"],
+                    kv_idx=jnp.zeros((1,), jnp.int32),
+                    tok_lo=tok_lo,
+                    tok_hi=tok_hi,
+                    blk_lo=blk_lo,
+                    blk_hi=blk_hi,
+                    seg_src=seg_src,
                 )
             L, T, B, tail = sizes
             fields = [("q_tokens", L), ("q_pos", L), ("out_loc", L),
@@ -1092,6 +1160,27 @@ class ModelRunner:
             return buf, (plan.l_pad, plan.c_pad), False
         assert isinstance(plan, FlattenPlan)
         paged = self._use_paged(mode, plan)
+        if paged and self._compact_plan and plan.run_table is not None:
+            # compact form: header + query arrays + pow2-padded run table;
+            # tok_lo/tok_hi/seg_src/blk_lo/blk_hi are re-expanded on device
+            # (see _make_unpack) — exact by construction, tested in
+            # tests/test_plan.py::test_compact_plan_expansion
+            R = len(plan.run_table)
+            r_pad = max(64, next_pow2(R))
+            rt = np.zeros((r_pad, 4), np.int32)
+            rt[:R] = plan.run_table
+            # pad rows: off beyond every live index so searchsorted never
+            # lands on them; empty interval + scratch src keep them inert
+            rt[R:, 0] = plan.n_live_pad
+            rt[R:, 2] = _EMPTY_LO_I
+            buf = np.concatenate([
+                np.asarray([plan.n_live_pad, plan.n_leaves], np.int32),
+                plan.q_tokens, plan.q_pos, plan.out_loc,
+                rt.T.reshape(-1),  # column-major: off | src | lo | hi
+            ])
+            sizes = (plan.l_pad, plan.t_pad, plan.num_blocks, r_pad,
+                     plan.seg_len)
+            return buf, sizes, True
         tail = plan.seg_src if paged else plan.kv_idx
         buf = np.concatenate([
             plan.q_tokens, plan.q_pos, plan.out_loc,
