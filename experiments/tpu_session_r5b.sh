@@ -3,11 +3,11 @@
 #   K1. kernel-lab r5: the r4d wedge-lost set + two-blocks-per-program,
 #       Rq-tile skipping, exp2 VPU-floor probe
 #   K2. decode-step residual attribution at the 8B w50 bucket
-#   K3. tree_index p20000 re-measure (now paged)
 #   K4. attention-estimator validation: per-iteration timed decode vs the
 #       attn_is_estimate figure at the headline bucket
-#   K5. MoE: mesh decode cell + attribution re-run
-#   K6. bench.py at HEAD
+#   K5. MoE attribution re-run
+# (tree_index p20000, MoE mesh cell and bench run in the health-gated
+#  phase 1b: they are end-to-end cells and need a healthy transport)
 # Usage: tpu_session_r5b.sh <repo_snapshot_dir> <results_out_dir>
 set -u
 SNAP=${1:?snapshot dir}
@@ -61,14 +61,6 @@ echo "== K2. 8B decode residual attribution =="
 run_wd 900 2400 "$OUT/microbench_8b_int8_r5.txt" -- \
   python experiments/microbench_step.py 50 4000 8b int8
 
-echo "== K3. tree_index p20000 re-measure (paged plans) =="
-run_wd 900 9000 "$OUT/log_p20000_ti.txt" -- \
-  python experiments/run_sweep.py --suite reasoning --model 8b \
-    --modes tree_index node --gen-len 800 \
-    --prompt-len 20000 --weight-dtype int8 --kv-dtype int8 --skip-existing \
-    --dataset /root/reference/dataset/generation/Reasoning/sorting128ToT.json \
-    --out "$OUT/longctx_p20000_ti"
-
 echo "== K4. estimator validation: per-iter timed run at the headline bucket =="
 run_wd 900 3600 "$OUT/log_estcheck.txt" -- \
   python experiments/estimator_check.py
@@ -78,9 +70,5 @@ if [ ! -s "$OUT/microbench_moe_int8_r5.txt" ]; then
 run_wd 900 2400 "$OUT/microbench_moe_int8_r5.txt" -- \
   python experiments/microbench_step.py 32 2000 mixtral-6l int8
 fi
-
-echo "== K6. bench at HEAD =="
-timeout 2400 python bench.py 2> "$OUT/bench_stderr.txt" | tee "$OUT/bench_stdout.txt"
-tail -4 "$OUT/bench_stderr.txt"
 
 echo "== r5 phase-2 session done =="
