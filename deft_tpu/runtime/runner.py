@@ -347,6 +347,7 @@ class ModelRunner:
             and self.mesh is None
         )
         self._plan_dev_cache: Dict[tuple, list] = {}
+        self._const_dev_cache: Dict = {}
         # H2D bytes actually shipped for plans vs what full uploads would
         # have cost (patch-effectiveness accounting, results READMEs)
         self.plan_upload_bytes = 0
@@ -727,7 +728,7 @@ class ModelRunner:
         return self._jit_cache[key]
 
     def _decode_window(self, mode: ForwardMode, paged: bool, sizes: tuple,
-                       K: int, kc: int):
+                       K: int, kc: int, use_buf0: bool = False):
         """Jitted K-sub-step greedy decode window: ONE dispatch runs a
         lax.scan of K chained decode steps.  Per sub-step the scan carry
         holds the device-resident plan buffer (patched in place from that
@@ -746,16 +747,21 @@ class ModelRunner:
             attn = functools.partial(attn, block_len=sizes[3],
                                      seg_len=sizes[4])
         key = (f"window/{mode.plan_kind}/{attn_name}/{paged}/{sizes}"
-               f"/{K}/{kc}")
+               f"/{K}/{kc}/{use_buf0}")
         if key not in self._jit_cache:
             cfg, rope = self.cfg, self._rope_apply
             unpack = self._make_unpack(mode.plan_kind, sizes, paged,
                                        "window")
             moe_gmm = self._moe_gmm
             CH = self._PATCH_CHUNK
+            # use_buf0 is a STATIC jit-key flag (in-trace constant below):
+            # shipping it as a fresh device scalar cost one H2D transfer
+            # per window, and under a degraded tunnel every small transfer
+            # carries a large fixed cost (measured ~300 ms backlog per
+            # enqueued iteration, results_r5 transport_stall dump)
+            use_buf0_const = bool(use_buf0)
 
-            def window(params, k_pool, v_pool, base_buf, patches, q0,
-                       use_buf0):
+            def window(params, k_pool, v_pool, base_buf, patches, q0):
                 # base_buf (N,) donated resident plan buffer; patches
                 # (K, kc, CH+1) int32 — column 0 is the chunk index, the
                 # rest the chunk data (fused so the window is ONE upload)
@@ -786,7 +792,10 @@ class ModelRunner:
                              jnp.zeros((), jnp.bool_)), packed)
 
                 (buf, kp, vp, last_ids, _), packed = jax.lax.scan(
-                    body, (base_buf, k_pool, v_pool, q0, use_buf0), patches
+                    body,
+                    (base_buf, k_pool, v_pool, q0,
+                     jnp.asarray(use_buf0_const)),
+                    patches,
                 )
                 return packed, last_ids, buf, kp, vp
 
@@ -862,18 +871,16 @@ class ModelRunner:
             self.last_attn_estimate = self._measure_attention_bucket(
                 mode, plans[0], sizes, paged
             )
-        window = self._decode_window(mode, paged, sizes, K, kc)
-        if q0_device is None:
-            q0 = self._upload(np.zeros(plans[0].l_pad, np.int32))
-            use_buf0 = jnp.asarray(True)
+        use_buf0 = q0_device is None
+        window = self._decode_window(mode, paged, sizes, K, kc, use_buf0)
+        if use_buf0:
+            q0 = self._q0_zeros(plans[0].l_pad)
         else:
             q0 = q0_device
-            use_buf0 = jnp.asarray(False)
         t0 = time.perf_counter()
         fused = jnp.asarray(patches)
         packed, last_ids, dev_buf, self.k_pool, self.v_pool = window(
             self.params, self.k_pool, self.v_pool, dev_base, fused, q0,
-            use_buf0,
         )
         self._plan_dev_cache[ckey] = [bufs[-1], dev_buf]
         self.plan_upload_bytes += patches.nbytes
@@ -928,6 +935,25 @@ class ModelRunner:
 
             self._jit_cache[key] = jax.jit(step, donate_argnums=(1, 2))
         return self._jit_cache[key]
+
+    # constant device arrays reused across steps: re-uploading them cost
+    # one fresh H2D transfer per call, and under a degraded tunnel every
+    # small transfer carries a large fixed cost (results_r5 transport
+    # stall analysis)
+    def _q0_zeros(self, l_pad: int):
+        key = ("q0_zeros", l_pad)
+        dev = self._const_dev_cache.get(key)
+        if dev is None:
+            dev = self._upload(np.zeros(l_pad, np.int32))
+            self._const_dev_cache[key] = dev
+        return dev
+
+    def _empty_override(self):
+        dev = self._const_dev_cache.get("empty_override")
+        if dev is None:
+            dev = self._upload(np.zeros((0,), np.int32))
+            self._const_dev_cache["empty_override"] = dev
+        return dev
 
     # -- public API ---------------------------------------------------------------
     def _upload(self, arr):
@@ -1231,18 +1257,24 @@ class ModelRunner:
         idx[: len(changed)] = changed
         idx[len(changed):] = changed[0]
         chunks = buf.reshape(nb, CH)[idx]
+        # idx + chunks ride ONE fused transfer: under a degraded tunnel
+        # each small H2D carries a large fixed cost (results_r5 transport
+        # stall analysis), so per-step transfer COUNT is what matters
+        fused = np.concatenate([idx, chunks.reshape(-1)])
         jit_key = f"planpatch/{n_pad}/{k_pad}"
         if jit_key not in self._jit_cache:
 
-            @functools.partial(jax.jit, donate_argnums=(0,))
-            def patch(dev, chunks, idx):
-                return (dev.reshape(-1, CH).at[idx].set(chunks)
+            @functools.partial(jax.jit, donate_argnums=(0,),
+                               static_argnums=(2,))
+            def patch(dev, fused, kp):
+                idx_ = fused[:kp]
+                chunks_ = fused[kp:].reshape(kp, CH)
+                return (dev.reshape(-1, CH).at[idx_].set(chunks_)
                         .reshape(dev.shape))
 
             self._jit_cache[jit_key] = patch
-        dev = self._jit_cache[jit_key](dev, jnp.asarray(chunks),
-                                       jnp.asarray(idx))
-        self.plan_upload_bytes += chunks.nbytes + idx.nbytes
+        dev = self._jit_cache[jit_key](dev, jnp.asarray(fused), k_pad)
+        self.plan_upload_bytes += fused.nbytes
         # the donated old buffer is consumed by the scatter; keep the new
         # one + a host mirror updated with exactly the chunks shipped
         host.reshape(nb, CH)[idx] = chunks
@@ -1419,7 +1451,7 @@ class ModelRunner:
             override_kind, override = "ids", q_tokens_override
         else:
             override_kind = "none"
-            override = self._upload(np.zeros((0,), np.int32))
+            override = self._empty_override()
         if logits_kind == "skip" and self.retain_full_logits:
             # retention asks for real (R, V) logits every step — honoring it
             # overrides the lm_head-free fast path (debug/parity harnesses)
