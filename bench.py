@@ -48,8 +48,13 @@ GEN_LEN = int(os.environ.get("BENCH_GEN_LEN", 64))
 MODEL = os.environ.get("BENCH_MODEL", "3b")
 WEIGHT_DTYPE = os.environ.get("BENCH_WQ", "inherit")
 KV_DTYPE = os.environ.get("BENCH_KV", "inherit")
-BLOCK_LEN = int(os.environ.get("BENCH_BLOCK", 512))  # dense-prefix trees:
-# bigger flatten blocks amortize per-block fixed costs (kernel_lab.py)
+BLOCK_LEN = int(os.environ.get("BENCH_BLOCK", 1024))  # dense-prefix trees:
+# bigger flatten blocks amortize per-block fixed costs; 1024 + the plan's
+# FULL-block sentinel measured 1.581 ms/step at the 8B bucket vs 2.144 at
+# 512 (kernel_lab r5: full_b1024), ~25%% above the measured exp2+DMA floor.
+# Deep-tree (long per-leaf suffix) shapes prefer 512 + the narrow-q window
+# (deep_qw32_b512 2.088 vs deep_qw32_b1024 2.424) — the few-shot bench
+# shape is dense-prefix.
 MODE_TIMEOUT_S = int(os.environ.get("BENCH_MODE_TIMEOUT_S", 420))
 INIT_TIMEOUT_S = int(os.environ.get("BENCH_INIT_TIMEOUT_S", 150))
 DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", 1200))
