@@ -36,25 +36,31 @@ def canary(name, fn, args, **kw):
 
 def main():
     L, S, Hkv, D = 2, 4096, 8, 128     # pool rows don't affect VMEM budget
-    T, BLOCK, SEG = 2048, 256, 128
-    nb, nseg = T // BLOCK, BLOCK // SEG
+    T, SEG = 2048, 128
     ok = True
-    for rq in (1024, 2048):
-        qf = jnp.zeros((Hkv, rq, D), jnp.bfloat16)
-        li = jnp.zeros((), jnp.int32)
-        seg = jnp.zeros((nb * nseg,), jnp.int32)
-        lo = jnp.zeros((T,), jnp.int32)
-        hi = jnp.ones((T,), jnp.int32)
-        blo = jnp.zeros((nb,), jnp.int32)
-        bhi = jnp.ones((nb,), jnp.int32)
-        kw = dict(scale=0.088, qpk=4, block_len=BLOCK, seg_len=SEG)
-        kp = jnp.zeros((L, S, Hkv * D), jnp.bfloat16)
-        ok &= canary(f"bf16 Rq={rq}", paged_flatten_attention,
-                     (qf, kp, kp, li, seg, lo, hi, blo, bhi), **kw)
-        kq = jnp.zeros((L, S, Hkv * D), jnp.int8)
-        ks = jnp.zeros((L, Hkv, S), jnp.float32)
-        ok &= canary(f"int8 Rq={rq}", paged_flatten_attention_q,
-                     (qf, kq, kq, ks, ks, li, seg, lo, hi, blo, bhi), **kw)
+    # BLOCK 512 canaries gate a default block_len bump (kernel_lab r5:
+    # 512/1024 beat 256 on every measured shape — but the big-Rq
+    # spec-decode buckets are the scoped-VMEM pinch point)
+    for BLOCK in (256, 512):
+        nb, nseg = T // BLOCK, BLOCK // SEG
+        for rq in (1024, 2048):
+            qf = jnp.zeros((Hkv, rq, D), jnp.bfloat16)
+            li = jnp.zeros((), jnp.int32)
+            seg = jnp.zeros((nb * nseg,), jnp.int32)
+            lo = jnp.zeros((T,), jnp.int32)
+            hi = jnp.ones((T,), jnp.int32)
+            blo = jnp.zeros((nb,), jnp.int32)
+            bhi = jnp.ones((nb,), jnp.int32)
+            kw = dict(scale=0.088, qpk=4, block_len=BLOCK, seg_len=SEG)
+            kp = jnp.zeros((L, S, Hkv * D), jnp.bfloat16)
+            ok &= canary(f"bf16 Rq={rq} B={BLOCK}", paged_flatten_attention,
+                         (qf, kp, kp, li, seg, lo, hi, blo, bhi), **kw)
+            kq = jnp.zeros((L, S, Hkv * D), jnp.int8)
+            ks = jnp.zeros((L, Hkv, S), jnp.float32)
+            ok &= canary(f"int8 Rq={rq} B={BLOCK}",
+                         paged_flatten_attention_q,
+                         (qf, kq, kq, ks, ks, li, seg, lo, hi, blo, bhi),
+                         **kw)
     return 0 if ok else 1
 
 

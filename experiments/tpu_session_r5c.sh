@@ -88,6 +88,12 @@ run_wd() {
   return 1
 }
 
+echo "== R0. ungated probes: compile canary (incl. BLOCK=512 big-Rq) + residual lab =="
+run_wd 900 1800 "$OUT/compile_canary_r5.txt" -- \
+  python experiments/compile_canary.py || true
+run_wd 900 2400 "$OUT/residual_lab_r5.txt" -- \
+  python experiments/residual_lab.py || true
+
 echo "== R1. reasoning sorting128ToT p4000 @ 8B int8-KV =="
 wait_healthy 14400 && \
 run_wd 900 9000 "$OUT/log_reasoning8b.txt" -- \

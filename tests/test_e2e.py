@@ -709,3 +709,9 @@ def test_window_decode_matches_per_step(monkeypatch):
     want = run_practical()
     monkeypatch.setenv("DEFT_PLAN_PATCH", "1")
     assert run_practical() == want
+    # deep pipelining (multiple windows in flight) + wide sync stride must
+    # not change tokens either — the degraded-transport configuration the
+    # r5 session scripts run with
+    monkeypatch.setenv("DEFT_PIPE_WINDOWS", "4")
+    monkeypatch.setenv("DEFT_SYNC_PERIOD", "32")
+    assert run_practical() == want
