@@ -578,11 +578,25 @@ class ModelRunner:
                 n_live = f["hdr"][0]
                 n_leaves = f["hdr"][1]
                 idx = jnp.arange(T, dtype=jnp.int32)
-                rid = jnp.searchsorted(f["run_off"], idx, side="right") - 1
-                rid = jnp.clip(rid, 0, R - 1)
-                tok_lo = f["run_lo"][rid]
-                tok_hi = f["run_hi"][rid]
-                addr = f["run_src"][rid] + (idx - f["run_off"][rid])
+                # token -> run assignment as a one-hot integer
+                # multiply-sum instead of searchsorted + gathers (binary
+                # search lowers to serial dynamic gathers on TPU: measured
+                # 0.82 ms/step at the 8B bucket, residual_lab_r5).
+                # run_off is non-decreasing and pad rows share
+                # off = n_live, so ge[:, r] - ge[:, r+1] one-hots the LAST
+                # run covering each token; a one-hot int32 multiply-sum is
+                # exact by construction.
+                off = f["run_off"]
+                ge = (idx[:, None] >= off[None, :]).astype(jnp.int32)
+                oh = ge - jnp.concatenate(
+                    [ge[:, 1:], jnp.zeros((T, 1), jnp.int32)], axis=1)
+
+                def pick(col):
+                    return jnp.sum(oh * col[None, :], axis=1)
+
+                tok_lo = pick(f["run_lo"])
+                tok_hi = pick(f["run_hi"])
+                addr = pick(f["run_src"]) + (idx - pick(off))
                 # bucket tail rule: [n_live, T) reads the scratch area
                 # seg-tiled with empty intervals (same values plan/flatten
                 # writes host-side)

@@ -43,7 +43,13 @@ def main():
     # spec-decode buckets are the scoped-VMEM pinch point)
     for BLOCK in (256, 512):
         nb, nseg = T // BLOCK, BLOCK // SEG
-        for rq in (1024, 2048):
+        # Rq=256 is a CONTROL: it is in daily production use, so a FAIL
+        # here means the remote compile service itself is down, while
+        # big-Rq-only failures point at the compile helper dying on
+        # large-scoped-VMEM compiles (observed as HTTP 500 / helper exit 1
+        # on 2026-08-20 for ALL big-Rq shapes incl. ones that compiled in
+        # round 4)
+        for rq in (256, 1024, 2048):
             qf = jnp.zeros((Hkv, rq, D), jnp.bfloat16)
             li = jnp.zeros((), jnp.int32)
             seg = jnp.zeros((nb * nseg,), jnp.int32)

@@ -42,11 +42,13 @@ def pure_read_ceiling() -> None:
 
     @jax.jit
     def rd_dense(x, reps):
-        # the slice START depends on the carry so XLA cannot hoist the
-        # read out of the loop; size is static (n - 2 of n bytes)
+        # the slice START depends on the carry with 1024 possible values,
+        # so XLA cannot hoist or enumerate the read out of the loop; size
+        # is static (n - 1024 of n bytes).  A %2 start was not enough —
+        # XLA precomputed both variants and the "read" measured 118 TB/s.
         def body(i, acc):
-            sl = jax.lax.dynamic_slice_in_dim(x, acc % 2, n - 2)
-            return jnp.sum(sl.astype(jnp.int32)) % 1009 + acc % 2
+            sl = jax.lax.dynamic_slice_in_dim(x, acc % 1024, n - 1024)
+            return (jnp.sum(sl.astype(jnp.int32)) + acc) % 1024
         return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
     def t(reps, n=3):
