@@ -405,6 +405,25 @@ def main() -> int:
     if phase == "kernel_check":
         print(json.dumps({"kernel_check": kernel_check()}))
         return 0
+    if phase == "probe":
+        # fresh-small-transfer round-trip: the transport's degraded mode
+        # is a large FIXED cost per small transfer (healthy ~0.1 ms,
+        # observed 30-300 ms degraded) — TPOT cells measured under it are
+        # not comparable, so the parent annotates (and optionally waits)
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.zeros((8,))
+        jax.block_until_ready(x * 1)
+        ts = []
+        for i in range(10):
+            t0 = time.time()
+            b = jnp.asarray(np.full(512, i, np.int32))
+            jax.block_until_ready(b)
+            _ = np.asarray(b[:4])
+            ts.append(time.time() - t0)
+        print(json.dumps({"p50_ms": round(sorted(ts)[5] * 1e3, 2)}))
+        return 0
     if phase:
         print(json.dumps(run_mode(
             phase,
@@ -417,6 +436,26 @@ def main() -> int:
     info = {"width": WIDTH, "prompt_len": PROMPT_LEN, "gen_len": GEN_LEN,
             "model": MODEL, "weights": WEIGHT_DTYPE, "deadline_s": DEADLINE_S}
     print(f"# bench config: {info}", file=sys.stderr)
+
+    # transport health: wait a bounded slice of the budget for a healthy
+    # fresh-transfer RTT, then proceed regardless — every emitted JSON
+    # line carries the measured transport_p50_ms so a degraded-link run
+    # is never mistaken for a perf regression (BENCH_HEALTH_WAIT_S=0 to
+    # skip waiting)
+    health_wait = int(os.environ.get("BENCH_HEALTH_WAIT_S",
+                                     max(0, DEADLINE_S // 4)))
+    transport_p50 = None
+    t_gate = time.time()
+    while True:
+        try:
+            transport_p50 = run_child("probe", 120, max_wedges=2)["p50_ms"]
+        except RuntimeError as e:
+            print(f"# transport probe failed: {e}", file=sys.stderr)
+            break
+        print(f"# transport p50 {transport_p50} ms", file=sys.stderr)
+        if transport_p50 < 15 or time.time() - t_gate > health_wait:
+            break
+        time.sleep(60)
 
     # flatten (the headline measurement) runs FIRST with unlimited cheap
     # wedge-probes: if the transport is down for part of the window, the
@@ -433,6 +472,7 @@ def main() -> int:
     print(json.dumps({
         "metric": "tpot_flatten_ms", "value": round(flat["tpot_ms"], 4),
         "unit": "ms/token", "vs_baseline": None, "kernel_check": kc,
+        "transport_p50_ms": transport_p50,
     }))
     sys.stdout.flush()
 
@@ -470,6 +510,7 @@ def main() -> int:
             if flat_r.get("ttft_ms") else None,
             "model": model, "weights": weights,
             "width": WIDTH, "prompt_len": PROMPT_LEN, "gen_len": GEN_LEN,
+            "transport_p50_ms": transport_p50,
         }
 
     print(json.dumps(headline(flat, seq, MODEL, WEIGHT_DTYPE, speedup)))
@@ -511,6 +552,7 @@ def main() -> int:
                         "model": "8b", "weights": "int8", "kv": "int8",
                         "width": WIDTH, "prompt_len": PROMPT_LEN,
                         "gen_len": GEN_LEN,
+                        "transport_p50_ms": transport_p50,
                     }))
                     sys.stdout.flush()
                 except RuntimeError as e:

@@ -256,6 +256,46 @@ def test_compact_plan_expansion():
         assert len(buf) < full_len
 
 
+def test_compact_plan_expansion_spec_shape():
+    """Compact expansion on the speculative-decoding pool shape: merged
+    accepts + group-span leaf realloc (TokenKVPool.alloc_group) produce
+    coalesced multi-node runs and reset leaves — the trickiest layout the
+    run table must reproduce exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    runner = make_runner(kernels="pallas")
+    rng = np.random.default_rng(1)
+    runner.forward_prefill([int(t) for t in rng.integers(4, 200, 300)])
+    tree = runner.tree
+    for i, c in enumerate(tree.branch(tree.root, 8)):
+        c.append_token(20 + i)
+    tree.alloc()
+    for _ in range(2):
+        leaves = list(tree.leaves.values())
+        kv0 = tree.root.kv_len
+        for i in range(2):
+            tree.merge_nodes(tree.root, leaves[i], prune_b=False)
+        diff = tree.root.kv_len - kv0
+        for leaf in leaves:
+            tree.reset_node_KV(leaf, diff)
+        tree.sync_page_table()
+        tree.alloc()
+    runner.apply_kv_copies()
+    mode = ForwardMode.TREE_DECODE_FLATTEN
+    plan = runner.build_plan(mode)
+    assert plan.paged and plan.run_table is not None
+    buf, sizes, paged = runner._pack_plan(mode, plan)
+    assert paged and len(sizes) == 5
+    unpack = runner._make_unpack(mode.plan_kind, sizes, True, "none")
+    batch = jax.jit(lambda b: unpack(b, None))(jnp.asarray(buf))
+    np.testing.assert_array_equal(np.asarray(batch.tok_lo), plan.tok_lo)
+    np.testing.assert_array_equal(np.asarray(batch.tok_hi), plan.tok_hi)
+    np.testing.assert_array_equal(np.asarray(batch.seg_src), plan.seg_src)
+    np.testing.assert_array_equal(np.asarray(batch.blk_lo), plan.blk_lo)
+    np.testing.assert_array_equal(np.asarray(batch.blk_hi), plan.blk_hi)
+
+
 def test_fused_params_match_unfused():
     """fuse_params (wqkv/wgu single-chip fusion) must be numerically
     equivalent to the separate projections (fp32: exact up to accumulation
