@@ -12,6 +12,8 @@ import sys
 import time
 from typing import Optional
 
+import numpy as np
+
 from deft_tpu.obs import GlobalTimer, PerfMetrics
 from deft_tpu.obs.tracing import Tracer
 from deft_tpu.runtime.modes import ForwardMode
@@ -184,6 +186,63 @@ def tree_generate(
     sync_period = max(1, int(_os.environ.get("DEFT_SYNC_PERIOD", "8")))
     win_inflight = []  # un-synced WindowLogits, oldest first
 
+    # Replay execution (DEFT_REPLAY_EXEC=0 disables): iterations that read
+    # no logits VALUES on host — greedy appends, deferred-select replay
+    # branchings, logits-free accept schedules — are fully host-
+    # deterministic, so instead of dispatching them one by one the loop
+    # RECORDS their packed plan buffers and executes the whole span from
+    # device-resident slabs (runner.execute_recorded): a handful of
+    # host<->device transfers per THOUSANDS of steps.  Decisive on
+    # degraded links (each small transfer then costs a large fixed
+    # setup, results_r5 transport analysis) and strictly fewer transfers
+    # always.  Token values backfill from stacked chunk fetches at flush.
+    replay_exec = (
+        _os.environ.get("DEFT_REPLAY_EXEC", "1") == "1"
+        and getattr(model, "mesh", None) is None
+        and not getattr(model, "retain_full_logits", False)
+    )
+    supports_deferred = getattr(
+        branch_controller.branching_function, "supports_deferred", False)
+    rec: list = []            # recorded step dicts (runner.execute_recorded)
+    rec_backfills: list = []  # (record_idx, [(node, ti, q, col)])
+    rec_chain = None          # mirrors `chain` inside the recorded stream
+    rec_prev_view = None      # view the first record chains from
+    rec_pm_start = 0          # perf_metrics row index of the first record
+
+    class _RecordView:
+        """Stand-in logits view during recording: workloads on the
+        recorded path never read values, only the top-K width."""
+
+        def __init__(self, k):
+            self.k = k
+
+    def _flush_records():
+        """Execute the recorded span, backfill tokens, restore chain."""
+        nonlocal rec_chain, rec_prev_view, chain, logits
+        if not rec:
+            return
+        views, last_view, exec_s = model.execute_recorded(
+            mode, rec, prev_view=rec_prev_view)
+        for i, subs in rec_backfills:
+            pending.append((views[i], subs))
+        resolve_pending()
+        n = len(rec)
+        per = exec_s * 1000 / n
+        for j in range(rec_pm_start, rec_pm_start + n):
+            perf_metrics.forward_per_iter[j] += per
+            perf_metrics.iter_time[j] += per
+        if rec_chain is None:
+            chain = None
+        elif rec_chain == "ids":
+            chain = ("ids", last_view)
+        else:  # ("sel", qsrc)
+            chain = ("sel", last_view, rec_chain[1])
+        logits = last_view
+        rec.clear()
+        rec_backfills.clear()
+        rec_chain = None
+        rec_prev_view = None
+
     def _drain_window(keep: int = 0):
         """Block on in-flight windows until at most ``keep`` remain; the
         wait is previous-window device time, charged to forward."""
@@ -229,6 +288,132 @@ def tree_generate(
                          "traversal", "alloc", "tree_metadata"):
                 GlobalTimer.reset(name)
             step_start = time.perf_counter()
+
+            # ---- replay-record fast path ------------------------------
+            is_struct_now = structural is None or it in structural
+            needs_logits_now = is_struct_now and it not in logits_free
+            if replay_exec and pre_plan is None and not needs_logits_now:
+                if not rec:
+                    if chain is None:
+                        rec_chain, rec_prev_view = None, None
+                    elif chain[0] == "ids":
+                        rec_chain, rec_prev_view = "ids", chain[1]
+                    else:
+                        rec_chain = ("sel", chain[2])
+                        rec_prev_view = chain[1]
+                    rec_pm_start = len(perf_metrics.iter_time)
+                if (isinstance(rec_chain, tuple) and any(
+                        leaf_id not in rec_chain[1]
+                        for leaf_id in model.tree.leaves)):
+                    # a live leaf made no deferred selection last step:
+                    # values must land before the plan packs host tokens
+                    _flush_records()
+                    resolve_pending()
+                    chain = None
+                    rec_chain, rec_prev_view = None, None
+                    rec_pm_start = len(perf_metrics.iter_time)
+                GlobalTimer.start("prepare")
+                GlobalTimer.start("alloc")
+                model.tree.alloc()
+                GlobalTimer.stop("alloc")
+                GlobalTimer.start("tree_metadata")
+                plan = model.build_plan(mode)
+                GlobalTimer.stop("tree_metadata")
+                buf, sizes, paged = model._pack_plan(mode, plan)
+                buf = np.asarray(buf, np.int32)
+                pairs = model.tree.drain_kv_copies()
+                if pairs is not None:
+                    from deft_tpu.core.kv_pool import DUMP_SLOT
+                    from deft_tpu.plan.padding import next_pow2
+
+                    src, dst = pairs
+                    n_pad = max(8, next_pow2(len(src)))
+                    s = np.full(n_pad, DUMP_SLOT, np.int32)
+                    d = np.full(n_pad, DUMP_SLOT, np.int32)
+                    s[: len(src)] = src
+                    d[: len(dst)] = dst
+                    pairs = (s, d)
+                if rec_chain is None:
+                    ovr = "none"
+                elif rec_chain == "ids":
+                    ovr = "ids"
+                else:
+                    qsrc = rec_chain[1]
+                    rows = np.zeros(plan.l_pad, np.int32)
+                    cols = np.zeros(plan.l_pad, np.int32)
+                    for leaf_id, q in model.tree.leaf_to_q.items():
+                        rows[q], cols[q] = qsrc[leaf_id]
+                    buf = np.concatenate([buf, rows, cols])
+                    ovr = "select"
+                GlobalTimer.stop("prepare")
+                if model.measure_attention:
+                    model.last_attn_estimate = (
+                        model._measure_attention_bucket(
+                            mode, plan, sizes, paged))
+
+                GlobalTimer.start("branch")
+                stop = False
+                if is_struct_now:
+                    deferred = (DeferredSelect(model.topk_k)
+                                if supports_deferred else None)
+                    stop = branch_controller.apply_branching(
+                        model=model,
+                        iter=it,
+                        max_gen_len=max_gen_len,
+                        width=width,
+                        depth=depth,
+                        logits=_RecordView(model.topk_k),
+                        execution_graph=branch_controller.tree_templates,
+                        deferred=deferred,
+                    )
+                    if deferred is not None and deferred.qsrc:
+                        kind, fetch = "topk", True
+                        rec_backfills.append((len(rec), deferred.backfills))
+                        rec_chain = ("sel", deferred.qsrc)
+                    else:
+                        kind, fetch = "skip", False
+                        rec_chain = None
+                else:
+                    tree = model.tree
+                    subs = []
+                    for leaf in tree.leaves.values():
+                        q = tree.leaf_to_q[leaf.id]
+                        leaf.append_token(0)
+                        subs.append((leaf, len(leaf.token_ids) - 1, q, 0))
+                    kind, fetch = "greedy", True
+                    rec_backfills.append((len(rec), subs))
+                    rec_chain = "ids"
+                GlobalTimer.stop("branch")
+
+                if mode.is_sequential:
+                    perf_metrics.KV_IO += plan.total_kv * kv_bytes_per_tok
+                else:
+                    perf_metrics.KV_IO += plan.n_tokens * kv_bytes_per_tok
+                    perf_metrics.Mask_IO += (
+                        plan.n_tokens * 8 * model.cfg.num_layers)
+                rec.append(dict(buf=buf, sizes=sizes, paged=paged,
+                                override_kind=ovr, logits_kind=kind,
+                                kv_pairs=pairs, fetch=fetch))
+                attn_est = getattr(model, "last_attn_estimate", None)
+                if attn_est:
+                    perf_metrics.attn_is_estimate = True
+                perf_metrics.update(
+                    iter_time=(time.perf_counter() - step_start) * 1000,
+                    prepare=GlobalTimer.get("prepare"),
+                    forward=0.0,
+                    branch=GlobalTimer.get("branch"),
+                    attn_mem=attn_est[0] * 1000 if attn_est else 0.0,
+                    attn_comp=attn_est[1] * 1000 if attn_est else 0.0,
+                    alloc=GlobalTimer.get("alloc"),
+                    tree_metadata=GlobalTimer.get("tree_metadata"),
+                )
+                if stop:
+                    _flush_records()
+                    break
+                continue
+            if rec:
+                # a logits-reading iteration follows: execute the span now
+                _flush_records()
 
             # ---- window fast path -------------------------------------
             if (use_windows and pre_plan is None
@@ -500,6 +685,7 @@ def tree_generate(
         # clock stops
         import jax
 
+        _flush_records()
         _drain_window(keep=0)
         t_sync = time.perf_counter()
         try:

@@ -1162,6 +1162,136 @@ class ModelRunner:
             self._jit_cache[key] = jax.jit(step, donate_argnums=(0, 1))
         return self._jit_cache[key]
 
+    def execute_recorded(self, mode: ForwardMode, records, prev_view=None):
+        """Execute a pre-recorded span of decode steps from device-resident
+        plan SLABS: one H2D upload per buffer-length bucket for the whole
+        span (plus one per kv-copy bucket), per-step dispatches on lazy
+        device row slices, a drain every DEFT_REPLAY_DRAIN steps, and
+        top-K outputs fetched in stacked chunks — so a thousand-step replay
+        costs a handful of host<->device transfers instead of thousands.
+        Built for replay workloads whose host loop is device-independent
+        (deferred-select ToT replays, speculative accept schedules, greedy
+        chains); see runtime/generate.py's record path.
+
+        records: dicts with keys buf (np.int32, select fields appended),
+        sizes, paged, override_kind ('none'|'ids'|'select'), logits_kind,
+        kv_pairs (None or pow2-padded (src, dst) int32 arrays), fetch
+        (bool: packed output needed for host backfills).
+        prev_view: LogitsView the first record chains from (or None).
+
+        Returns (views, last_view, exec_seconds): views[i] resolves
+        record i's ids/vals on host from its chunk fetch (None when
+        fetch=False); last_view is a LogitsView on the final record's
+        device arrays for continuing the caller's chain."""
+        import os as _os
+
+        D = max(1, int(_os.environ.get("DEFT_REPLAY_DRAIN", "64")))
+        C = 64  # records per stacked fetch chunk
+        slab_rows: Dict[int, list] = {}
+        rows = []
+        for r in records:
+            key = len(r["buf"])
+            slab_rows.setdefault(key, []).append(r["buf"])
+            rows.append((key, len(slab_rows[key]) - 1))
+        slabs = {k: jnp.asarray(np.stack(v)) for k, v in slab_rows.items()}
+        copy_rows: Dict[int, list] = {}
+        copy_ref = {}
+        for i, r in enumerate(records):
+            if r.get("kv_pairs") is not None:
+                s, d = r["kv_pairs"]
+                ck = len(s)
+                copy_rows.setdefault(ck, []).append((s, d))
+                copy_ref[i] = (ck, len(copy_rows[ck]) - 1)
+        copy_slabs = {
+            ck: (jnp.asarray(np.stack([s for s, _ in v])),
+                 jnp.asarray(np.stack([d for _, d in v])))
+            for ck, v in copy_rows.items()
+        }
+
+        class _ChunkFetch:
+            """One stacked D2H fetch shared by up to C records' views."""
+
+            def __init__(self, packeds):
+                self._dev = jnp.stack(packeds) if len(packeds) > 1 \
+                    else packeds[0][None]
+                try:
+                    self._dev.copy_to_host_async()
+                except AttributeError:
+                    pass
+
+            @functools.cached_property
+            def host(self) -> np.ndarray:
+                return np.asarray(self._dev)
+
+        class _ChunkStepView:
+            """LogitsView-compatible reader over a chunk row."""
+
+            def __init__(self, chunk, j, k):
+                self._chunk, self._j, self.k = chunk, j, k
+
+            @property
+            def ids(self) -> np.ndarray:
+                return self._chunk.host[self._j, :, : self.k]
+
+            @property
+            def vals(self) -> np.ndarray:
+                return self._chunk.host[self._j, :, self.k:].view(np.float32)
+
+        t0 = time.perf_counter()
+        views: list = [None] * len(records)
+        chunk_buf: list = []  # (i, packed, k) awaiting a stacked fetch
+
+        def close_chunk():
+            if not chunk_buf:
+                return
+            # group by packed shape (greedy (R,2) vs topk (R,2K) vs bucket)
+            by_shape: Dict[tuple, list] = {}
+            for i, packed, k in chunk_buf:
+                by_shape.setdefault(tuple(packed.shape), []).append(
+                    (i, packed, k))
+            for group in by_shape.values():
+                cf = _ChunkFetch([p for _, p, _ in group])
+                for j, (i, _, k) in enumerate(group):
+                    views[i] = _ChunkStepView(cf, j, k)
+            chunk_buf.clear()
+
+        prev = prev_view
+        last_view = None
+        last_vals = None
+        for i, r in enumerate(records):
+            cr = copy_ref.get(i)
+            if cr is not None:
+                ck, row = cr
+                s_dev = copy_slabs[ck][0][row]
+                d_dev = copy_slabs[ck][1][row]
+                self.k_pool, self.v_pool = self._relocate_step(ck)(
+                    self.k_pool, self.v_pool, s_dev, d_dev)
+            key, row = rows[i]
+            buf_row = slabs[key][row]
+            step = self._decode_step(mode, r["paged"], r["sizes"],
+                                     r["override_kind"], r["logits_kind"])
+            if r["override_kind"] == "ids":
+                override = prev.greedy_ids_device
+            elif r["override_kind"] == "select":
+                override = prev.ids_device
+            else:
+                override = self._empty_override()
+            vals, ids, packed, logits, self.k_pool, self.v_pool = step(
+                self.params, self.k_pool, self.v_pool, buf_row, override)
+            last_view = LogitsView(vals, ids, None, packed=packed)
+            last_vals = vals
+            prev = last_view
+            if r.get("fetch"):
+                chunk_buf.append((i, packed, int(ids.shape[-1])))
+                if len(chunk_buf) >= C:
+                    close_chunk()
+            if (i + 1) % D == 0:
+                jax.block_until_ready(vals)
+        close_chunk()
+        if last_vals is not None:
+            jax.block_until_ready(last_vals)
+        return views, last_view, time.perf_counter() - t0
+
     def apply_kv_copies(self, tree=None) -> None:
         """Drain a tree's queued merge compactions into the device pools.
         Must run before the next forward step (tree.drain_kv_copies

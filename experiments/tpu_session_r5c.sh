@@ -21,6 +21,13 @@ export DEFT_PLAN_PATCH=1
 export DEFT_COMPACT_PLAN=1
 export DEFT_PIPE_WINDOWS=4
 export DEFT_SYNC_PERIOD=32
+# replay execution (generate.py record path + runner.execute_recorded):
+# the replay cells' host loops are device-independent, so whole spans
+# execute from device-resident slabs — a handful of transfers per
+# thousands of steps.  That caps the degraded-transport exposure at
+# ~(n/64 drains + n/64 chunk fetches) x fixed-cost, so the health gate
+# can admit a moderately degraded link (see wait_healthy threshold).
+export DEFT_REPLAY_EXEC=1
 
 probe() {
   timeout 300 python - <<'PY'
@@ -45,7 +52,10 @@ wait_healthy() {
     out=$(probe)
     echo "$(date +%H:%M:%S) $out"
     p50=$(echo "$out" | sed -n 's/.*p50_ms=\([0-9.]*\).*/\1/p')
-    ok=$(python -c "print(1 if ${p50:-9999} < 15 else 0)")
+    # replay execution bounds per-generation transfer count, so a
+    # moderately degraded link (tens of ms per transfer) costs only a few
+    # seconds over a whole replay — admit it; refuse only the severe state
+    ok=$(python -c "print(1 if ${p50:-9999} < 120 else 0)")
     if [ "$ok" = "1" ]; then echo "transport HEALTHY"; return 0; fi
     now=$(date +%s)
     if (( now - start > max_wait )); then

@@ -296,6 +296,66 @@ def test_compact_plan_expansion_spec_shape():
     np.testing.assert_array_equal(np.asarray(batch.blk_hi), plan.blk_hi)
 
 
+def test_replay_exec_matches_per_step(monkeypatch):
+    """Replay execution (record the host-deterministic span, execute from
+    device-resident slabs — runtime/generate.py record path +
+    runner.execute_recorded) must generate exactly the per-step pipeline's
+    tokens for every replay-shaped workload: greedy few-shot, deferred-
+    select ToT replay, and the speculative accept schedule (kv-copy
+    slabs)."""
+    from deft_tpu.data.loader import ExecuteTree, ExecuteTreeNode
+    from deft_tpu.runtime.runner import ModelRunner as MR
+
+    def run(workload, template, kernels="pallas", **gkw):
+        r = make_runner(kernels=kernels, retain_full_logits=False)
+        tree_generate(
+            r, ForwardMode.TREE_DECODE_FLATTEN, None, PROMPT,
+            branch_controller=Branch_Controller(workload),
+            tree_template=template, **gkw,
+        )
+        return ([tuple(s.token_ids) for s in r.tree.all_finished_seqs],
+                r.plan_upload_bytes)
+
+    def practical_template():
+        root = ExecuteTreeNode(0, value=1, start_offset=0, end_offset=0)
+        n1 = ExecuteTreeNode(1, value=14, start_offset=0, end_offset=14)
+        n2 = ExecuteTreeNode(2, value=20, start_offset=0, end_offset=20)
+        root.children = [n1, n2]
+        return ExecuteTree(root, [root, n1, n2])
+
+    def spec_template():
+        t = ExecuteTree(ExecuteTreeNode(0, value=1, start_offset=0,
+                                        end_offset=0), [])
+        t.node_num = 4
+        t.accepted_len_list = [2, 1, 2, 1, 2]
+        return t
+
+    cases = [
+        ("simple", workloads.simple_tree, None,
+         dict(max_seq_len=24, width=3, depth=0)),
+        ("practical", workloads.practical_tree, practical_template,
+         dict(max_seq_len=36, width=2, depth=2)),
+        ("spec", workloads.speculative_decoding, spec_template,
+         dict(max_seq_len=len(PROMPT) + 40, width=4, depth=0)),
+    ]
+    calls = {"exec": 0}
+    orig = MR.execute_recorded
+
+    def spy(self, *a, **k):
+        calls["exec"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(MR, "execute_recorded", spy)
+    for name, wl, tpl, gkw in cases:
+        monkeypatch.setenv("DEFT_REPLAY_EXEC", "0")
+        want, _ = run(wl, tpl() if tpl else None, **gkw)
+        monkeypatch.setenv("DEFT_REPLAY_EXEC", "1")
+        before = calls["exec"]
+        got, up_bytes = run(wl, tpl() if tpl else None, **gkw)
+        assert got == want, name
+        assert calls["exec"] > before, f"{name}: replay exec must engage"
+
+
 def test_fused_params_match_unfused():
     """fuse_params (wqkv/wgu single-chip fusion) must be numerically
     equivalent to the separate projections (fp32: exact up to accumulation
@@ -703,6 +763,9 @@ def test_window_decode_matches_per_step(monkeypatch):
     generate exactly the per-step pipeline's tokens — including across
     bucket-growth window splits and structural (branch) iterations, for
     both the simple greedy workload and the practical-tree replay."""
+    # replay-record mode supersedes windows when enabled; this test pins
+    # the WINDOW path specifically
+    monkeypatch.setenv("DEFT_REPLAY_EXEC", "0")
     monkeypatch.setenv("DEFT_PLAN_PATCH", "0")  # per-step full-upload ref
     ref, _ = run_simple(ForwardMode.TREE_DECODE_FLATTEN)
     monkeypatch.setenv("DEFT_PLAN_PATCH", "1")
