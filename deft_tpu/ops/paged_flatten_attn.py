@@ -422,6 +422,39 @@ def paged_flatten_attention_partial(
     )
 
 
+def q_split_chunks(batch, Rq: int, qpk: int):
+    """Folded-row chunking for very large query counts (DEFT_MAX_RQ): the
+    remote compile service has been observed crashing on big-Rq kernel
+    compiles (Rq >= 1024 at the 8B spec-decode ts256 bucket — canary
+    compile_canary_r5.txt, 2026-08-20), and chunking the QUERY axis is
+    exact: each chunk re-reads the full KV once (cheap on the small-KV
+    spec workloads where big Rq arises), with the chunk's leaf intervals
+    shifted into its local range exactly like the dp-shard window
+    (parallel/engine.py shift_window; the FULL-block sentinel survives the
+    shift by design — threshold-tested, plan/flatten.py).
+
+    Yields (row0, rows, lo_c, hi_c, blo_c, bhi_c) per chunk, or nothing
+    when splitting is disabled/not applicable."""
+    import os
+
+    max_rq = int(os.environ.get("DEFT_MAX_RQ", "0"))
+    if not (max_rq and Rq > max_rq and Rq % max_rq == 0
+            and max_rq % qpk == 0):
+        return
+    full = batch.blk_lo < -(1 << 20)
+    leaves_c = max_rq // qpk
+    for c in range(Rq // max_rq):
+        leaf0 = c * leaves_c
+        lo_c = batch.tok_lo - leaf0
+        hi_c = batch.tok_hi - leaf0
+        blo = jnp.where(full, batch.blk_lo, batch.blk_lo - leaf0)
+        bhi = batch.blk_hi - leaf0
+        live = (blo < leaves_c) & (bhi > 0)
+        blo = jnp.where(live, blo, jnp.int32(2**30))
+        bhi = jnp.where(live, bhi, 0)
+        yield c * max_rq, max_rq, lo_c, hi_c, blo, bhi
+
+
 def paged_flatten_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale):
     """AttnFn entry for the paged path; requires batch.seg_src."""
     R, Hq, D = q.shape
@@ -432,8 +465,21 @@ def paged_flatten_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale)
     B = int(batch.blk_lo.shape[0])
     block_len = T // B
     nseg = int(batch.seg_src.shape[0]) // B
+    qf = fold_q(q, Hkv)
+    qpk = Hq // Hkv
+    kw = dict(scale=scale, qpk=qpk, block_len=block_len,
+              seg_len=block_len // nseg)
+    chunks = list(q_split_chunks(batch, qf.shape[1], qpk))
+    if chunks:
+        o = jnp.concatenate([
+            paged_flatten_attention(
+                qf[:, r0:r0 + rows, :], k_pool, v_pool, li, batch.seg_src,
+                lo_c, hi_c, blo, bhi, **kw)
+            for r0, rows, lo_c, hi_c, blo, bhi in chunks
+        ], axis=1)
+        return unfold_o(o, R)
     o = paged_flatten_attention(
-        fold_q(q, Hkv),
+        qf,
         k_pool,
         v_pool,
         li,
@@ -442,9 +488,6 @@ def paged_flatten_attn_pallas(q, k_new, v_new, k_pool, v_pool, li, batch, scale)
         batch.tok_hi,
         batch.blk_lo,
         batch.blk_hi,
-        scale=scale,
-        qpk=Hq // Hkv,
-        block_len=block_len,
-        seg_len=block_len // nseg,
+        **kw,
     )
     return unfold_o(o, R)

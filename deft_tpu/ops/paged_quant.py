@@ -345,11 +345,26 @@ def paged_flatten_attn_q_pallas(q, k_new, v_new, k_pool, v_pool, li, batch,
     B = int(batch.blk_lo.shape[0])
     block_len = T // B
     nseg = int(batch.seg_src.shape[0]) // B
+    qf = fold_q(q, Hkv)
+    qpk = Hq // Hkv
+    kw = dict(scale=scale, qpk=qpk, block_len=block_len,
+              seg_len=block_len // nseg)
+    from deft_tpu.ops.paged_flatten_attn import q_split_chunks
+
+    chunks = list(q_split_chunks(batch, qf.shape[1], qpk))
+    if chunks:
+        # DEFT_MAX_RQ big-Rq compile workaround — see q_split_chunks
+        o = jnp.concatenate([
+            paged_flatten_attention_q(
+                qf[:, r0:r0 + rows, :], k_pool.data, v_pool.data,
+                k_pool.scale, v_pool.scale, li, batch.seg_src,
+                lo_c, hi_c, blo, bhi, **kw)
+            for r0, rows, lo_c, hi_c, blo, bhi in chunks
+        ], axis=1)
+        return unfold_o(o, R)
     o = paged_flatten_attention_q(
-        fold_q(q, Hkv), k_pool.data, v_pool.data, k_pool.scale, v_pool.scale,
+        qf, k_pool.data, v_pool.data, k_pool.scale, v_pool.scale,
         li, batch.seg_src, batch.tok_lo, batch.tok_hi,
-        batch.blk_lo, batch.blk_hi,
-        scale=scale, qpk=Hq // Hkv,
-        block_len=block_len, seg_len=block_len // nseg,
+        batch.blk_lo, batch.blk_hi, **kw,
     )
     return unfold_o(o, R)

@@ -71,6 +71,15 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    if args.suite == "speculative" and "DEFT_MAX_RQ" not in os.environ:
+        # big-Rq compile workaround: tree_size 256 folds to Rq=1024, and
+        # the remote compile service has been observed crashing on
+        # Rq >= 1024 kernel compiles (compile_canary_r5.txt, exit-1 HTTP
+        # 500 on shapes that compiled in round 4).  Query-axis chunking is
+        # exact (ops/paged_flatten_attn.q_split_chunks) and costs one
+        # extra KV pass on the small-KV spec pools.
+        os.environ["DEFT_MAX_RQ"] = "512"
+
     controller_name, d = SUITES[args.suite]
     width = args.width or d["width"]
     prompt_len = args.prompt_len or d["prompt_len"]

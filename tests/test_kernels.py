@@ -210,6 +210,57 @@ def test_paged_flatten_kernel_vs_oracle(dtype):
     assert rel_err(np.asarray(got)[live], np.asarray(want)[live]) < tol
 
 
+def test_paged_flatten_q_split_exact(monkeypatch):
+    """DEFT_MAX_RQ query-axis chunking (big-Rq compile workaround) must be
+    bit-identical to the single-call kernel, including FULL-sentinel
+    blocks (the leaf-interval shift is the dp-shard window's)."""
+    from types import SimpleNamespace
+
+    from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache
+    from deft_tpu.ops.paged_flatten_attn import paged_flatten_attn_pallas
+    from deft_tpu.plan import build_flatten_plan
+    from deft_tpu.plan.flatten import FULL_BLOCK_LO
+
+    rng = np.random.default_rng(0)
+    Hq, Hkv, D = 8, 2, 64
+    tree = TreeCache(TokenKVPool(8192), ReqToTokenPool(64, 2048))
+    tree.init_prompt(list(range(1200)))
+    for i, c in enumerate(tree.branch(tree.root, 16)):
+        c.append_token(30 + i)
+    for _ in range(6):
+        tree.alloc()
+        for leaf in list(tree.leaves.values()):
+            leaf.append_token(int(rng.integers(1, 400)))
+    tree.alloc()
+    plan = build_flatten_plan(tree, q_per_kv=Hq // Hkv, min_token_bucket=256)
+    assert plan.paged
+    S = tree.token_to_kv_pool.size
+    kp = SimpleNamespace(quantized=False, data=jnp.asarray(
+        rng.standard_normal((1, S, Hkv * D)), jnp.float32))
+    vp = SimpleNamespace(quantized=False, data=jnp.asarray(
+        rng.standard_normal((1, S, Hkv * D)), jnp.float32))
+    R = plan.l_pad
+    q = jnp.asarray(rng.standard_normal((R, Hq, D)), jnp.float32)
+    nb = plan.t_pad // plan.block_len
+    tl = plan.tok_lo.reshape(nb, -1)
+    th = plan.tok_hi.reshape(nb, -1)
+    full = (tl == 0).all(1) & (th == plan.n_leaves).all(1)
+    assert full.any(), "case must exercise the FULL sentinel"
+    batch = SimpleNamespace(
+        seg_src=jnp.asarray(plan.seg_src),
+        tok_lo=jnp.asarray(plan.tok_lo), tok_hi=jnp.asarray(plan.tok_hi),
+        blk_lo=jnp.asarray(np.where(full, FULL_BLOCK_LO, plan.blk_lo)),
+        blk_hi=jnp.asarray(plan.blk_hi))
+    li = jnp.asarray(0, jnp.int32)
+    monkeypatch.setenv("DEFT_MAX_RQ", "0")
+    ref = np.asarray(paged_flatten_attn_pallas(
+        q, None, None, kp, vp, li, batch, D ** -0.5))
+    monkeypatch.setenv("DEFT_MAX_RQ", "16")
+    got = np.asarray(paged_flatten_attn_pallas(
+        q, None, None, kp, vp, li, batch, D ** -0.5))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+
+
 def test_paged_tree_index_kernel_vs_oracle():
     """tree_index plans (TreeIndexPool-row sourced, node-aligned) must ride
     the same in-kernel DMA path as node plans and match the dense oracle —
