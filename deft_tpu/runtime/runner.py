@@ -19,6 +19,7 @@ Parity surface: /root/reference/DeFT/deft/model_runner.py (ModelRunner
 from __future__ import annotations
 
 import functools
+import sys
 import os
 import time
 from typing import Callable, Dict, Optional
@@ -1258,7 +1259,15 @@ class ModelRunner:
         prev = prev_view
         last_view = None
         last_vals = None
+        _hb = time.perf_counter()
         for i, r in enumerate(records):
+            now = time.perf_counter()
+            if now - _hb > 45.0:
+                _hb = now
+                # liveness line for watchdogged harnesses: first-flush
+                # compiles + long drains otherwise look like a wedge
+                print(f"[execute_recorded] step {i}/{len(records)}",
+                      file=sys.stderr, flush=True)
             cr = copy_ref.get(i)
             if cr is not None:
                 ck, row = cr
