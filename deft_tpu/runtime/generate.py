@@ -201,6 +201,15 @@ def tree_generate(
         and getattr(model, "mesh", None) is None
         and not getattr(model, "retain_full_logits", False)
     )
+    # Uniform-select recording (deferred workloads): greedy append steps
+    # are recorded as top-K/select steps (rows = identity, col 0), so the
+    # WHOLE replay — greedy runs AND deferred branch/prune steps — becomes
+    # one uniform scannable run (runner._slab_window 'topk'): ~K fewer
+    # dispatches per K steps.  Costs the full-vocab top-K sort on steps
+    # that only need argmax (~+1.5 ms/step at 8B); decisively cheaper
+    # whenever per-op dispatch overhead exceeds that (any degraded link).
+    # DEFT_REPLAY_UNIFORM=0 restores the mixed greedy/topk recording.
+    replay_uniform = _os.environ.get("DEFT_REPLAY_UNIFORM", "1") == "1"
     supports_deferred = getattr(
         branch_controller.branching_function, "supports_deferred", False)
     rec: list = []            # recorded step dicts (runner.execute_recorded)
@@ -376,13 +385,19 @@ def tree_generate(
                 else:
                     tree = model.tree
                     subs = []
+                    qsrc0 = {}
                     for leaf in tree.leaves.values():
                         q = tree.leaf_to_q[leaf.id]
                         leaf.append_token(0)
                         subs.append((leaf, len(leaf.token_ids) - 1, q, 0))
-                    kind, fetch = "greedy", True
+                        qsrc0[leaf.id] = (q, 0)
+                    if supports_deferred and replay_uniform:
+                        kind, fetch = "topk", True
+                        rec_chain = ("sel", qsrc0)
+                    else:
+                        kind, fetch = "greedy", True
+                        rec_chain = "ids"
                     rec_backfills.append((len(rec), subs))
-                    rec_chain = "ids"
                 GlobalTimer.stop("branch")
 
                 if mode.is_sequential:

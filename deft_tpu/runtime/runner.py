@@ -650,7 +650,8 @@ class ModelRunner:
         return unpack
 
     def _decode_step(self, mode: ForwardMode, paged: bool, sizes: tuple,
-                     override_kind: str, logits_kind: str = "topk"):
+                     override_kind: str, logits_kind: str = "topk",
+                     slab_rows: int = 0):
         """Jitted decode step consuming ONE packed int32 plan buffer.
 
         Per-array host->device transfers each pay the transport's setup
@@ -691,7 +692,7 @@ class ModelRunner:
                 attn, block_len=sizes[3], seg_len=sizes[4]
             )
         key = (f"decode/{mode.plan_kind}/{attn_name}/{paged}/{sizes}"
-               f"/{override_kind}/{logits_kind}")
+               f"/{override_kind}/{logits_kind}/{slab_rows}")
         if key not in self._jit_cache:
             cfg, rope, K = self.cfg, self._rope_apply, self.topk_k
             retain = self.retain_full_logits
@@ -739,7 +740,122 @@ class ModelRunner:
                 out_logits = logits if retain else no_logits
                 return vals, ids, packed, out_logits, k_pool, v_pool
 
-            self._jit_cache[key] = jax.jit(step, donate_argnums=(1, 2))
+            if slab_rows:
+                # slab variant (replay executor): the plan buffer comes
+                # from row `ctr` of a device-resident slab and the counter
+                # self-increments on device — one RPC per step, zero fresh
+                # host->device transfers (each op/transfer carries a large
+                # fixed cost on a degraded link)
+                def step_slab(params, k_pool, v_pool, slab, ctr,
+                              q_override):
+                    buf = jax.lax.dynamic_index_in_dim(
+                        slab, ctr, 0, keepdims=False)
+                    out = step(params, k_pool, v_pool, buf, q_override)
+                    return (*out, ctr + 1)
+
+                self._jit_cache[key] = jax.jit(step_slab,
+                                               donate_argnums=(1, 2))
+            else:
+                self._jit_cache[key] = jax.jit(step, donate_argnums=(1, 2))
+        return self._jit_cache[key]
+
+    def _slab_window(self, mode: ForwardMode, paged: bool, sizes: tuple,
+                     K: int, M: int, logits_kind: str, use_buf0: bool,
+                     copies_pad: int = 0):
+        """Jitted K-sub-step scan over rows of a device-resident plan SLAB
+        (replay executor): like _decode_window but the per-sub-step plan
+        buffers are slab rows selected by a device counter — ONE RPC and
+        zero fresh transfers per K steps.  logits_kind 'greedy' chains
+        q_tokens like a decode window; 'skip' replays buffer tokens (the
+        speculative accept path) and applies each sub-step's KV-relocation
+        rows (scanned xs) before its forward."""
+        attn = self._attn_fn(mode, paged)
+        attn_name = attn.__name__
+        if mode.plan_kind == "seq" and len(sizes) == 5:
+            attn = functools.partial(attn, block_len=sizes[3],
+                                     seg_len=sizes[4])
+        key = (f"slabwin/{mode.plan_kind}/{attn_name}/{paged}/{sizes}"
+               f"/{K}/{M}/{logits_kind}/{use_buf0}/{copies_pad}")
+        if key not in self._jit_cache:
+            cfg, rope, Ktop = self.cfg, self._rope_apply, self.topk_k
+            unpack = self._make_unpack(
+                mode.plan_kind, sizes, paged,
+                {"greedy": "window", "skip": "none",
+                 "topk": "select"}[logits_kind])
+            moe_gmm = self._moe_gmm
+            use_buf0_const = bool(use_buf0)
+            greedy = logits_kind == "greedy"
+            topk = logits_kind == "topk"
+
+            def move(pool, src, dst):
+                pool = pool._replace(
+                    data=pool.data.at[:, dst, :].set(pool.data[:, src, :]))
+                if pool.scale is not None:
+                    pool = pool._replace(
+                        scale=pool.scale.at[:, :, dst].set(
+                            pool.scale[:, :, src]))
+                return pool
+
+            def win(params, k_pool, v_pool, slab, ctr, q0, cs, cd):
+                def body(carry, xs):
+                    kp, vp, c, q_ids, use_buf = carry
+                    if copies_pad:
+                        s_row, d_row = xs
+                        kp = move(kp, s_row, d_row)
+                        vp = move(vp, s_row, d_row)
+                    buf = jax.lax.dynamic_index_in_dim(
+                        slab, c, 0, keepdims=False)
+                    if greedy:
+                        batch = unpack(buf, (q_ids, use_buf))
+                    elif topk:
+                        # select: q gathered from the previous sub-step's
+                        # top-K ids by the buffer's (qrows, qcols) fields
+                        batch = unpack(buf, q_ids)
+                    else:
+                        batch = unpack(buf, None)
+                    out, kp, vp = decode_forward(
+                        cfg, params, rope, kp, vp, batch, attn,
+                        compute_logits=greedy or topk, moe_gmm=moe_gmm,
+                    )
+                    if greedy:
+                        logits = out
+                        m = jnp.max(logits, axis=-1, keepdims=True)
+                        ids = jnp.argmax(logits, axis=-1)[:, None].astype(
+                            jnp.int32)
+                        lse = m + jnp.log(jnp.sum(
+                            jnp.exp(logits - m), axis=-1, keepdims=True))
+                        vals = jnp.exp(m - lse) + 1e-6
+                        packed = jnp.concatenate(
+                            [ids, jax.lax.bitcast_convert_type(
+                                vals, jnp.int32)], axis=-1)
+                        q_next = ids[:, 0]
+                    elif topk:
+                        probs = jax.nn.softmax(out, axis=-1) + 1e-6
+                        vals, ids = jax.lax.top_k(probs, Ktop)
+                        packed = jnp.concatenate(
+                            [ids, jax.lax.bitcast_convert_type(
+                                vals, jnp.int32)], axis=-1)
+                        q_next = ids
+                    else:
+                        vals = (out[:, :1] * 0.0).astype(jnp.float32)
+                        packed = jnp.concatenate(
+                            [vals.astype(jnp.int32),
+                             jax.lax.bitcast_convert_type(
+                                 vals, jnp.int32)], axis=-1)
+                        q_next = q_ids
+                    return ((kp, vp, c + 1, q_next,
+                             jnp.zeros((), jnp.bool_)), packed)
+
+                xs = (cs, cd) if copies_pad else None
+                (k_pool, v_pool, ctr, last_q, _), packed = jax.lax.scan(
+                    body,
+                    (k_pool, v_pool, ctr, q0,
+                     jnp.asarray(use_buf0_const)),
+                    xs, length=K,
+                )
+                return packed, last_q, k_pool, v_pool, ctr
+
+            self._jit_cache[key] = jax.jit(win, donate_argnums=(1, 2))
         return self._jit_cache[key]
 
     def _decode_window(self, mode: ForwardMode, paged: bool, sizes: tuple,
@@ -1180,41 +1296,176 @@ class ModelRunner:
         (bool: packed output needed for host backfills).
         prev_view: LogitsView the first record chains from (or None).
 
+        Dispatch granularity: uniform greedy/skip RUNS execute as K-step
+        lax.scan windows over slab rows (_slab_window, one RPC per K
+        steps; short runs are padded with DUMP-target rows whose garbage
+        sub-steps write only the scratch slot), remaining records as
+        single slab-counter steps.  The per-OP dispatch cost over the
+        degraded tunnel was measured at ~120-230 ms, so op count — not
+        just transfer count — is the budget.
+
         Returns (views, last_view, exec_seconds): views[i] resolves
         record i's ids/vals on host from its chunk fetch (None when
-        fetch=False); last_view is a LogitsView on the final record's
-        device arrays for continuing the caller's chain."""
+        fetch=False); last_view carries the final record's device arrays
+        for continuing the caller's chain."""
         import os as _os
+        from types import SimpleNamespace
 
-        D = max(1, int(_os.environ.get("DEFT_REPLAY_DRAIN", "64")))
-        C = 64  # records per stacked fetch chunk
-        slab_rows: Dict[int, list] = {}
-        rows = []
-        for r in records:
-            key = len(r["buf"])
-            slab_rows.setdefault(key, []).append(r["buf"])
-            rows.append((key, len(slab_rows[key]) - 1))
-        slabs = {k: jnp.asarray(np.stack(v)) for k, v in slab_rows.items()}
-        copy_rows: Dict[int, list] = {}
-        copy_ref = {}
-        for i, r in enumerate(records):
-            if r.get("kv_pairs") is not None:
-                s, d = r["kv_pairs"]
-                ck = len(s)
-                copy_rows.setdefault(ck, []).append((s, d))
-                copy_ref[i] = (ck, len(copy_rows[ck]) - 1)
-        copy_slabs = {
-            ck: (jnp.asarray(np.stack([s for s, _ in v])),
-                 jnp.asarray(np.stack([d for _, d in v])))
-            for ck, v in copy_rows.items()
-        }
+        from deft_tpu.core.kv_pool import DUMP_SLOT
+
+        D = max(1, int(_os.environ.get("DEFT_REPLAY_DRAIN", "256")))
+        SLAB_M = 1024       # constant slab-chunk rows (stable jit keys)
+        WKS = (32, 8)       # scan-window size buckets
+        kind_seq = mode.plan_kind == "seq"
+        n = len(records)
+
+        def sig(r):
+            return (len(r["buf"]), r["sizes"], r["paged"],
+                    r["logits_kind"])
+
+        def dump_row(r):
+            buf = r["buf"].copy()
+            L = r["sizes"][0]
+            off = 2 + 2 * L if (not kind_seq and len(r["sizes"]) == 5) \
+                else 2 * L
+            buf[off: off + L] = DUMP_SLOT
+            return buf
+
+        # ---- partition into scan runs + per-step items -----------------
+        items = []  # ("win", start, L, K, proto) | ("step", i)
+        i = 0
+        while i < n:
+            r = records[i]
+            if ((r["logits_kind"] in ("greedy", "skip")
+                 and r["override_kind"] in ("ids", "none"))
+                    or (r["logits_kind"] == "topk"
+                        and r["override_kind"] == "select")):
+                follow = {"greedy": "ids", "skip": "none",
+                          "topk": "select"}[r["logits_kind"]]
+                j = i + 1
+                while (j < n and sig(records[j]) == sig(r)
+                       and records[j]["override_kind"] == follow
+                       and records[j]["logits_kind"] == r["logits_kind"]):
+                    j += 1
+                L = j - i
+                k0 = i
+                # chained entries ('ids'/'select') carry the PREVIOUS
+                # step's ids into the scan, whose carry is shaped by THIS
+                # run's l_pad — after a bucket change the shapes differ,
+                # so the run's first record executes per-step (flexible
+                # shapes) and the window chains from it
+                if records[k0]["override_kind"] in ("ids", "select"):
+                    pr = records[k0 - 1] if k0 else None
+                    pr_ok = (pr is not None
+                             and pr["sizes"][0] == r["sizes"][0]
+                             and pr["logits_kind"] in ("greedy", "topk"))
+                    if not pr_ok:
+                        items.append(("step", k0))
+                        k0 += 1
+                        L -= 1
+                while L:
+                    for K in WKS:
+                        if L >= K:
+                            items.append(("win", k0, K, K, records[k0]))
+                            k0 += K
+                            L -= K
+                            break
+                    else:
+                        if L >= WKS[-1] // 2 and L > 1:
+                            items.append(("win", k0, L, WKS[-1],
+                                          records[k0]))
+                            k0 += L
+                            L = 0
+                        else:
+                            items.append(("step", k0))
+                            k0 += 1
+                            L -= 1
+                i = j
+            else:
+                items.append(("step", i))
+                i += 1
+
+        # ---- build slab streams in item order (pads inline) -------------
+        slab_seq: Dict[int, list] = {}
+
+        def push_row(blen, buf):
+            slab_seq.setdefault(blen, []).append(buf)
+
+        item_meta = []
+        for item in items:
+            if item[0] == "step":
+                _, ri = item
+                blen = len(records[ri]["buf"])
+                push_row(blen, records[ri]["buf"])
+                item_meta.append(("step", ri, blen))
+            else:
+                _, start, L, K, proto = item
+                blen = len(proto["buf"])
+                used = len(slab_seq.get(blen, ()))
+                room = SLAB_M - (used % SLAB_M)
+                if room < K:
+                    # windows must not straddle chunks: boundary pads are
+                    # never executed (fresh chunk counters start at 0)
+                    pad = dump_row(proto)
+                    for _ in range(room):
+                        push_row(blen, pad)
+                for t in range(L):
+                    push_row(blen, records[start + t]["buf"])
+                if K > L:
+                    pad = dump_row(records[start + L - 1])
+                    for _ in range(K - L):
+                        push_row(blen, pad)
+                item_meta.append(("win", start, L, K, blen, proto))
+        slab_chunks = {}
+        for blen, bufs in slab_seq.items():
+            chunks = []
+            for c0 in range(0, len(bufs), SLAB_M):
+                part = bufs[c0:c0 + SLAB_M]
+                arr = np.zeros((SLAB_M, blen), np.int32)
+                arr[: len(part)] = np.stack(part)
+                chunks.append(jnp.asarray(arr))
+            slab_chunks[blen] = chunks
+
+        class _Cursor:
+            """Sequential consumption of one buf-length's slab chunks:
+            host row bookkeeping + the device counter the jitted steps
+            chain through."""
+
+            def __init__(self, chunks):
+                self.chunks = chunks
+                self.ci = 0
+                self.row = 0
+                self.ctr = jnp.zeros((), jnp.int32)
+
+            def take(self, k):
+                if self.row % SLAB_M + k > SLAB_M:
+                    # skip boundary pads: fresh chunk, fresh counter
+                    self.ci += 1
+                    self.row = self.ci * SLAB_M
+                    self.ctr = jnp.zeros((), jnp.int32)
+                slab = self.chunks[self.ci]
+                if (self.row + k - 1) // SLAB_M != self.ci:
+                    raise AssertionError("slab window straddles chunk")
+                ctr = self.ctr
+                self.row += k
+                if self.row // SLAB_M != self.ci and self.row % SLAB_M:
+                    raise AssertionError("cursor desync")
+                return slab, ctr
+
+            def put(self, ctr):
+                self.ctr = ctr
+                if self.row % SLAB_M == 0 and self.row:
+                    self.ci = self.row // SLAB_M
+                    if self.ci < len(self.chunks):
+                        self.ctr = jnp.zeros((), jnp.int32)
+
+        cursors = {b: _Cursor(c) for b, c in slab_chunks.items()}
 
         class _ChunkFetch:
-            """One stacked D2H fetch shared by up to C records' views."""
+            """One stacked D2H fetch shared by a window/chunk of views."""
 
-            def __init__(self, packeds):
-                self._dev = jnp.stack(packeds) if len(packeds) > 1 \
-                    else packeds[0][None]
+            def __init__(self, dev):
+                self._dev = dev
                 try:
                     self._dev.copy_to_host_async()
                 except AttributeError:
@@ -1236,69 +1487,135 @@ class ModelRunner:
 
             @property
             def vals(self) -> np.ndarray:
-                return self._chunk.host[self._j, :, self.k:].view(np.float32)
+                return self._chunk.host[self._j, :, self.k:].view(
+                    np.float32)
 
         t0 = time.perf_counter()
-        views: list = [None] * len(records)
-        chunk_buf: list = []  # (i, packed, k) awaiting a stacked fetch
+        views: list = [None] * n
+        chunk_buf: list = []  # (i, packed, k) per-step fetches
 
         def close_chunk():
             if not chunk_buf:
                 return
-            # group by packed shape (greedy (R,2) vs topk (R,2K) vs bucket)
             by_shape: Dict[tuple, list] = {}
-            for i, packed, k in chunk_buf:
+            for ri, packed, k in chunk_buf:
                 by_shape.setdefault(tuple(packed.shape), []).append(
-                    (i, packed, k))
+                    (ri, packed, k))
             for group in by_shape.values():
-                cf = _ChunkFetch([p for _, p, _ in group])
-                for j, (i, _, k) in enumerate(group):
-                    views[i] = _ChunkStepView(cf, j, k)
+                dev = (jnp.stack([p for _, p, _ in group])
+                       if len(group) > 1 else group[0][1][None])
+                cf = _ChunkFetch(dev)
+                for j, (ri, _, k) in enumerate(group):
+                    views[ri] = _ChunkStepView(cf, j, k)
             chunk_buf.clear()
 
         prev = prev_view
         last_view = None
-        last_vals = None
+        last_handle = None
+        since_drain = 0
         _hb = time.perf_counter()
-        for i, r in enumerate(records):
+        for im_i, im in enumerate(item_meta):
             now = time.perf_counter()
             if now - _hb > 45.0:
                 _hb = now
-                # liveness line for watchdogged harnesses: first-flush
-                # compiles + long drains otherwise look like a wedge
-                print(f"[execute_recorded] step {i}/{len(records)}",
+                print(f"[execute_recorded] item {im_i}/{len(item_meta)}",
                       file=sys.stderr, flush=True)
-            cr = copy_ref.get(i)
-            if cr is not None:
-                ck, row = cr
-                s_dev = copy_slabs[ck][0][row]
-                d_dev = copy_slabs[ck][1][row]
-                self.k_pool, self.v_pool = self._relocate_step(ck)(
-                    self.k_pool, self.v_pool, s_dev, d_dev)
-            key, row = rows[i]
-            buf_row = slabs[key][row]
-            step = self._decode_step(mode, r["paged"], r["sizes"],
-                                     r["override_kind"], r["logits_kind"])
-            if r["override_kind"] == "ids":
-                override = prev.greedy_ids_device
-            elif r["override_kind"] == "select":
-                override = prev.ids_device
+            if im[0] == "step":
+                _, ri, blen = im
+                r = records[ri]
+                if r.get("kv_pairs") is not None:
+                    s, d = r["kv_pairs"]
+                    self.k_pool, self.v_pool = self._relocate_step(len(s))(
+                        self.k_pool, self.v_pool, jnp.asarray(s),
+                        jnp.asarray(d))
+                cur = cursors[blen]
+                slab, ctr = cur.take(1)
+                step = self._decode_step(
+                    mode, r["paged"], r["sizes"], r["override_kind"],
+                    r["logits_kind"], slab_rows=SLAB_M)
+                if r["override_kind"] == "ids":
+                    override = prev.greedy_ids_device
+                elif r["override_kind"] == "select":
+                    override = prev.ids_device
+                else:
+                    override = self._empty_override()
+                (vals, ids, packed, logits, self.k_pool, self.v_pool,
+                 ctr) = step(self.params, self.k_pool, self.v_pool, slab,
+                             ctr, override)
+                cur.put(ctr)
+                last_view = LogitsView(vals, ids, None, packed=packed)
+                last_handle = vals
+                prev = last_view
+                if r.get("fetch"):
+                    chunk_buf.append((ri, packed, int(ids.shape[-1])))
+                    if len(chunk_buf) >= 64:
+                        close_chunk()
+                since_drain += 1
             else:
-                override = self._empty_override()
-            vals, ids, packed, logits, self.k_pool, self.v_pool = step(
-                self.params, self.k_pool, self.v_pool, buf_row, override)
-            last_view = LogitsView(vals, ids, None, packed=packed)
-            last_vals = vals
-            prev = last_view
-            if r.get("fetch"):
-                chunk_buf.append((i, packed, int(ids.shape[-1])))
-                if len(chunk_buf) >= C:
-                    close_chunk()
-            if (i + 1) % D == 0:
-                jax.block_until_ready(vals)
+                _, start, L, K, blen, proto = im
+                cur = cursors[blen]
+                slab, ctr = cur.take(K)
+                greedy = proto["logits_kind"] == "greedy"
+                topk = proto["logits_kind"] == "topk"
+                use_buf0 = proto["override_kind"] == "none" and greedy
+                cps = [records[start + t].get("kv_pairs")
+                       for t in range(L)]
+                cp = max((len(s) for sd in cps if sd is not None
+                          for s in (sd[0],)), default=0)
+                if cp:
+                    cs = np.full((K, cp), DUMP_SLOT, np.int32)
+                    cd = np.full((K, cp), DUMP_SLOT, np.int32)
+                    for t, sd in enumerate(cps):
+                        if sd is not None:
+                            cs[t, : len(sd[0])] = sd[0]
+                            cd[t, : len(sd[1])] = sd[1]
+                    cs_dev, cd_dev = jnp.asarray(cs), jnp.asarray(cd)
+                else:
+                    cs_dev = cd_dev = self._empty_override()
+                win = self._slab_window(
+                    mode, proto["paged"], proto["sizes"], K, SLAB_M,
+                    proto["logits_kind"], use_buf0, cp)
+                if greedy and not use_buf0:
+                    q0 = prev.greedy_ids_device
+                elif topk:
+                    q0 = prev.ids_device
+                else:
+                    q0 = self._q0_zeros(proto["sizes"][0])
+                packed, last_q, self.k_pool, self.v_pool, ctr = win(
+                    self.params, self.k_pool, self.v_pool, slab, ctr, q0,
+                    cs_dev, cd_dev)
+                cur.put(ctr)
+                if greedy or topk:
+                    kk = 1 if greedy else self.topk_k
+                    cf = _ChunkFetch(packed)
+                    for t in range(L):
+                        if records[start + t].get("fetch"):
+                            views[start + t] = _ChunkStepView(cf, t, kk)
+                    chain = (last_q if K == L
+                             else packed[L - 1, :, :kk if topk else 1])
+                    if greedy:
+                        chain = chain if K == L else chain[:, 0]
+                        prev = SimpleNamespace(greedy_ids_device=chain,
+                                               ids_device=None,
+                                               _vals=chain)
+                    else:
+                        prev = SimpleNamespace(
+                            greedy_ids_device=chain[:, 0],
+                            ids_device=chain, _vals=chain)
+                    last_view = prev
+                else:
+                    prev = SimpleNamespace(greedy_ids_device=None,
+                                           ids_device=None,
+                                           _vals=last_q)
+                    last_view = prev
+                last_handle = last_q
+                since_drain += K
+            if since_drain >= D:
+                jax.block_until_ready(last_handle)
+                since_drain = 0
         close_chunk()
-        if last_vals is not None:
-            jax.block_until_ready(last_vals)
+        if last_handle is not None:
+            jax.block_until_ready(last_handle)
         return views, last_view, time.perf_counter() - t0
 
     def apply_kv_copies(self, tree=None) -> None:

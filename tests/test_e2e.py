@@ -327,33 +327,48 @@ def test_replay_exec_matches_per_step(monkeypatch):
         t = ExecuteTree(ExecuteTreeNode(0, value=1, start_offset=0,
                                         end_offset=0), [])
         t.node_num = 4
-        t.accepted_len_list = [2, 1, 2, 1, 2]
+        t.accepted_len_list = [2, 1] * 7  # 14 accept steps: full 8-window
         return t
 
     cases = [
+        # 40 greedy iters: a 32-scan-window + an 8-window (incl. a padded
+        # short tail on other widths) must engage
         ("simple", workloads.simple_tree, None,
-         dict(max_seq_len=24, width=3, depth=0)),
+         dict(max_seq_len=len(PROMPT) + 40, width=3, depth=0)),
         ("practical", workloads.practical_tree, practical_template,
          dict(max_seq_len=36, width=2, depth=2)),
+        # 14 skip iters: an 8-window with kv-copy rows + DUMP pads
         ("spec", workloads.speculative_decoding, spec_template,
-         dict(max_seq_len=len(PROMPT) + 40, width=4, depth=0)),
+         dict(max_seq_len=len(PROMPT) + 60, width=4, depth=0)),
     ]
-    calls = {"exec": 0}
+    calls = {"exec": 0, "win": 0}
     orig = MR.execute_recorded
+    orig_win = MR._slab_window
 
     def spy(self, *a, **k):
         calls["exec"] += 1
         return orig(self, *a, **k)
 
+    def spy_win(self, *a, **k):
+        calls["win"] += 1
+        return orig_win(self, *a, **k)
+
     monkeypatch.setattr(MR, "execute_recorded", spy)
+    monkeypatch.setattr(MR, "_slab_window", spy_win)
     for name, wl, tpl, gkw in cases:
         monkeypatch.setenv("DEFT_REPLAY_EXEC", "0")
         want, _ = run(wl, tpl() if tpl else None, **gkw)
         monkeypatch.setenv("DEFT_REPLAY_EXEC", "1")
         before = calls["exec"]
+        before_win = calls["win"]
         got, up_bytes = run(wl, tpl() if tpl else None, **gkw)
         assert got == want, name
         assert calls["exec"] > before, f"{name}: replay exec must engage"
+        if name in ("simple", "spec", "practical"):
+            # practical: uniform-select recording turns the whole replay
+            # into one scannable topk run (DEFT_REPLAY_UNIFORM default)
+            assert calls["win"] > before_win, \
+                f"{name}: scan windows must engage"
 
 
 def test_fused_params_match_unfused():
