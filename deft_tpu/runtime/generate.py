@@ -379,9 +379,11 @@ def tree_generate(
                         kind, fetch = "topk", True
                         rec_backfills.append((len(rec), deferred.backfills))
                         rec_chain = ("sel", deferred.qsrc)
+                        wtop = max(c for _, c in deferred.qsrc.values()) + 1
                     else:
                         kind, fetch = "skip", False
                         rec_chain = None
+                        wtop = 1
                 else:
                     tree = model.tree
                     subs = []
@@ -398,6 +400,7 @@ def tree_generate(
                         kind, fetch = "greedy", True
                         rec_chain = "ids"
                     rec_backfills.append((len(rec), subs))
+                    wtop = 1
                 GlobalTimer.stop("branch")
 
                 if mode.is_sequential:
@@ -408,7 +411,7 @@ def tree_generate(
                         plan.n_tokens * 8 * model.cfg.num_layers)
                 rec.append(dict(buf=buf, sizes=sizes, paged=paged,
                                 override_kind=ovr, logits_kind=kind,
-                                kv_pairs=pairs, fetch=fetch))
+                                kv_pairs=pairs, fetch=fetch, wtop=wtop))
                 attn_est = getattr(model, "last_attn_estimate", None)
                 if attn_est:
                     perf_metrics.attn_is_estimate = True

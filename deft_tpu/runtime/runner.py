@@ -761,7 +761,7 @@ class ModelRunner:
 
     def _slab_window(self, mode: ForwardMode, paged: bool, sizes: tuple,
                      K: int, M: int, logits_kind: str, use_buf0: bool,
-                     copies_pad: int = 0):
+                     copies_pad: int = 0, wtop: int = 0):
         """Jitted K-sub-step scan over rows of a device-resident plan SLAB
         (replay executor): like _decode_window but the per-sub-step plan
         buffers are slab rows selected by a device counter — ONE RPC and
@@ -775,7 +775,7 @@ class ModelRunner:
             attn = functools.partial(attn, block_len=sizes[3],
                                      seg_len=sizes[4])
         key = (f"slabwin/{mode.plan_kind}/{attn_name}/{paged}/{sizes}"
-               f"/{K}/{M}/{logits_kind}/{use_buf0}/{copies_pad}")
+               f"/{K}/{M}/{logits_kind}/{use_buf0}/{copies_pad}/{wtop}")
         if key not in self._jit_cache:
             cfg, rope, Ktop = self.cfg, self._rope_apply, self.topk_k
             unpack = self._make_unpack(
@@ -830,8 +830,12 @@ class ModelRunner:
                                 vals, jnp.int32)], axis=-1)
                         q_next = ids[:, 0]
                     elif topk:
+                        # only the top `wtop` columns are selectable by the
+                        # recorded (row, col) maps (wtop = the span's max
+                        # branch fan) — a narrower sort AND a ~K/wtop
+                        # smaller fetch than the full top-K view
                         probs = jax.nn.softmax(out, axis=-1) + 1e-6
-                        vals, ids = jax.lax.top_k(probs, Ktop)
+                        vals, ids = jax.lax.top_k(probs, wtop)
                         packed = jnp.concatenate(
                             [ids, jax.lax.bitcast_convert_type(
                                 vals, jnp.int32)], axis=-1)
@@ -847,9 +851,10 @@ class ModelRunner:
                              jnp.zeros((), jnp.bool_)), packed)
 
                 xs = (cs, cd) if copies_pad else None
+                q_init = q0[:, :wtop] if topk else q0
                 (k_pool, v_pool, ctr, last_q, _), packed = jax.lax.scan(
                     body,
-                    (k_pool, v_pool, ctr, q0,
+                    (k_pool, v_pool, ctr, q_init,
                      jnp.asarray(use_buf0_const)),
                     xs, length=K,
                 )
@@ -1332,8 +1337,12 @@ class ModelRunner:
             return buf
 
         # ---- partition into scan runs + per-step items -----------------
-        items = []  # ("win", start, L, K, proto) | ("step", i)
+        items = []  # ("win", start, L, K, proto, W) | ("step", i)
         i = 0
+        # width of the ids array the NEXT chained consumer can gather from
+        # (per-step topk items expose the full top-K view; topk windows
+        # expose their wtop-cut carry)
+        prev_w = getattr(prev_view, "k", 0) if prev_view is not None else 0
         while i < n:
             r = records[i]
             if ((r["logits_kind"] in ("greedy", "skip")
@@ -1349,40 +1358,57 @@ class ModelRunner:
                     j += 1
                 L = j - i
                 k0 = i
+                Wrun = 0
+                if r["logits_kind"] == "topk":
+                    # the scan carries (R, Wrun) ids: wide enough for every
+                    # in-run selection AND the boundary record's fan
+                    Wrun = max(records[t].get("wtop", 1)
+                               for t in range(max(0, i - 1), j))
+                    Wrun = min(self.topk_k, max(2, next_pow2(Wrun)))
                 # chained entries ('ids'/'select') carry the PREVIOUS
                 # step's ids into the scan, whose carry is shaped by THIS
-                # run's l_pad — after a bucket change the shapes differ,
-                # so the run's first record executes per-step (flexible
-                # shapes) and the window chains from it
+                # run's l_pad (and Wrun for select) — after a bucket change
+                # or a narrower predecessor the shapes differ, so the run's
+                # first record executes per-step (flexible shapes) and the
+                # window chains from it
                 if records[k0]["override_kind"] in ("ids", "select"):
                     pr = records[k0 - 1] if k0 else None
                     pr_ok = (pr is not None
                              and pr["sizes"][0] == r["sizes"][0]
-                             and pr["logits_kind"] in ("greedy", "topk"))
+                             and pr["logits_kind"] in ("greedy", "topk")
+                             and (r["logits_kind"] != "topk"
+                                  or prev_w >= Wrun))
                     if not pr_ok:
                         items.append(("step", k0))
+                        prev_w = self.topk_k
                         k0 += 1
                         L -= 1
                 while L:
                     for K in WKS:
                         if L >= K:
-                            items.append(("win", k0, K, K, records[k0]))
+                            items.append(("win", k0, K, K, records[k0],
+                                          Wrun))
                             k0 += K
                             L -= K
                             break
                     else:
                         if L >= WKS[-1] // 2 and L > 1:
                             items.append(("win", k0, L, WKS[-1],
-                                          records[k0]))
+                                          records[k0], Wrun))
                             k0 += L
                             L = 0
                         else:
                             items.append(("step", k0))
+                            prev_w = self.topk_k
                             k0 += 1
                             L -= 1
+                    if items[-1][0] == "win" and Wrun:
+                        prev_w = Wrun
                 i = j
             else:
                 items.append(("step", i))
+                if records[i]["logits_kind"] == "topk":
+                    prev_w = self.topk_k
                 i += 1
 
         # ---- build slab streams in item order (pads inline) -------------
@@ -1399,7 +1425,7 @@ class ModelRunner:
                 push_row(blen, records[ri]["buf"])
                 item_meta.append(("step", ri, blen))
             else:
-                _, start, L, K, proto = item
+                _, start, L, K, proto, W = item
                 blen = len(proto["buf"])
                 used = len(slab_seq.get(blen, ()))
                 room = SLAB_M - (used % SLAB_M)
@@ -1415,7 +1441,7 @@ class ModelRunner:
                     pad = dump_row(records[start + L - 1])
                     for _ in range(K - L):
                         push_row(blen, pad)
-                item_meta.append(("win", start, L, K, blen, proto))
+                item_meta.append(("win", start, L, K, blen, proto, W))
         slab_chunks = {}
         for blen, bufs in slab_seq.items():
             chunks = []
@@ -1462,14 +1488,14 @@ class ModelRunner:
         cursors = {b: _Cursor(c) for b, c in slab_chunks.items()}
 
         class _ChunkFetch:
-            """One stacked D2H fetch shared by a window/chunk of views."""
+            """One stacked D2H fetch shared by a window/chunk of views.
+            The fetch is LAZY (first host read): an eager async copy
+            serializes the link against the still-executing span when
+            bandwidth is degraded, inflating measured decode time with
+            transfer stalls that belong to post-run resolution."""
 
             def __init__(self, dev):
                 self._dev = dev
-                try:
-                    self._dev.copy_to_host_async()
-                except AttributeError:
-                    pass
 
             @functools.cached_property
             def host(self) -> np.ndarray:
@@ -1552,7 +1578,7 @@ class ModelRunner:
                         close_chunk()
                 since_drain += 1
             else:
-                _, start, L, K, blen, proto = im
+                _, start, L, K, blen, proto, W = im
                 cur = cursors[blen]
                 slab, ctr = cur.take(K)
                 greedy = proto["logits_kind"] == "greedy"
@@ -1574,7 +1600,7 @@ class ModelRunner:
                     cs_dev = cd_dev = self._empty_override()
                 win = self._slab_window(
                     mode, proto["paged"], proto["sizes"], K, SLAB_M,
-                    proto["logits_kind"], use_buf0, cp)
+                    proto["logits_kind"], use_buf0, cp, wtop=W)
                 if greedy and not use_buf0:
                     q0 = prev.greedy_ids_device
                 elif topk:
@@ -1586,7 +1612,7 @@ class ModelRunner:
                     cs_dev, cd_dev)
                 cur.put(ctr)
                 if greedy or topk:
-                    kk = 1 if greedy else self.topk_k
+                    kk = 1 if greedy else W
                     cf = _ChunkFetch(packed)
                     for t in range(L):
                         if records[start + t].get("fetch"):
