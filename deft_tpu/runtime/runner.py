@@ -1540,12 +1540,15 @@ class ModelRunner:
         last_handle = None
         since_drain = 0
         _hb = time.perf_counter()
+        tele = {"win": 0, "step": 0, "win_s": 0.0, "step_s": 0.0,
+                "drain_s": 0.0, "subs": 0}
         for im_i, im in enumerate(item_meta):
             now = time.perf_counter()
             if now - _hb > 45.0:
                 _hb = now
                 print(f"[execute_recorded] item {im_i}/{len(item_meta)}",
                       file=sys.stderr, flush=True)
+            t_im = time.perf_counter()
             if im[0] == "step":
                 _, ri, blen = im
                 r = records[ri]
@@ -1577,6 +1580,9 @@ class ModelRunner:
                     if len(chunk_buf) >= 64:
                         close_chunk()
                 since_drain += 1
+                tele["step"] += 1
+                tele["subs"] += 1
+                tele["step_s"] += time.perf_counter() - t_im
             else:
                 _, start, L, K, blen, proto, W = im
                 cur = cursors[blen]
@@ -1636,13 +1642,26 @@ class ModelRunner:
                     last_view = prev
                 last_handle = last_q
                 since_drain += K
+                tele["win"] += 1
+                tele["subs"] += K
+                tele["win_s"] += time.perf_counter() - t_im
             if since_drain >= D:
+                t_dr = time.perf_counter()
                 jax.block_until_ready(last_handle)
+                tele["drain_s"] += time.perf_counter() - t_dr
                 since_drain = 0
         close_chunk()
         if last_handle is not None:
+            t_dr = time.perf_counter()
             jax.block_until_ready(last_handle)
-        return views, last_view, time.perf_counter() - t0
+            tele["drain_s"] += time.perf_counter() - t_dr
+        wall = time.perf_counter() - t0
+        print(f"[execute_recorded] done: {n} recs {tele['subs']} subs in "
+              f"{wall:.1f}s — {tele['win']} wins {tele['win_s']:.1f}s "
+              f"(enqueue), {tele['step']} steps {tele['step_s']:.1f}s "
+              f"(enqueue), drains {tele['drain_s']:.1f}s",
+              file=sys.stderr, flush=True)
+        return views, last_view, wall
 
     def apply_kv_copies(self, tree=None) -> None:
         """Drain a tree's queued merge compactions into the device pools.
