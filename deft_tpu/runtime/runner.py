@@ -1301,13 +1301,19 @@ class ModelRunner:
         (bool: packed output needed for host backfills).
         prev_view: LogitsView the first record chains from (or None).
 
-        Dispatch granularity: uniform greedy/skip RUNS execute as K-step
-        lax.scan windows over slab rows (_slab_window, one RPC per K
-        steps; short runs are padded with DUMP-target rows whose garbage
-        sub-steps write only the scratch slot), remaining records as
-        single slab-counter steps.  The per-OP dispatch cost over the
-        degraded tunnel was measured at ~120-230 ms, so op count — not
-        just transfer count — is the budget.
+        Dispatch granularity: uniform greedy/skip/topk-select RUNS execute
+        as K-step lax.scan windows over slab rows (_slab_window, one RPC
+        per K steps; short runs are padded with DUMP-target rows whose
+        garbage sub-steps write only the scratch slot), remaining records
+        as single slab-counter steps.  Post-mortem note: a constant
+        ~305 ms/step observed across three executor designs was
+        ultimately NOT dispatch overhead but HBM pressure from a 5.8x
+        oversized KV pool (measured 304.9 vs 13.7 ms/step for the same
+        call at 45.8k vs 10.7k int8 slots) — fixed by simulation-based
+        pool sizing (experiments/run_sweep.simulate_peak_slots).  The
+        slab/scan machinery still minimizes per-step transfers and
+        dispatches, which the degraded tunnel does charge for (~30-70 ms
+        per small fresh transfer, probe-measured).
 
         Returns (views, last_view, exec_seconds): views[i] resolves
         record i's ids/vals on host from its chunk fetch (None when

@@ -30,6 +30,55 @@ SUITES = {
 }
 
 
+def simulate_peak_slots(template, prompt_len: int) -> int:
+    """Replay the template's branch/prune schedule on host-only pool
+    bookkeeping (tokens appended as placeholders) and return the PEAK KV
+    slot usage — the number the real run actually needs.  Mirrors
+    control/workloads.practical_tree's structural protocol."""
+    from deft_tpu.core import ReqToTokenPool, TokenKVPool, TreeCache
+
+    sched_end = max(max(template.branch_record, default=0),
+                    max(template.prune_record, default=0))
+    gen_len = sched_end + 1
+    width = template.max_width
+    slots = prompt_len + width * (gen_len + 8 + 256) + 4096
+    pool = TokenKVPool(slots)
+    req = ReqToTokenPool(max(64, 2 * width), prompt_len + gen_len + 64)
+    tree = TreeCache(pool, req)
+    tree.init_prompt(list(range(prompt_len)))
+    ROOT = 0
+    # iter-0 branching happens at prefill time in the real loop
+    bp0 = template.branch_record.get(0, {})
+    if ROOT in bp0:
+        for c in tree.branch(tree.root, len(bp0[ROOT])):
+            c.append_token(1)
+    else:
+        tree.root.append_token(1)
+    peak = slots - pool.available_size()
+    for it in range(1, gen_len):
+        tree.alloc()
+        bp = template.branch_record.get(it, {})
+        pn = template.prune_record.get(it, [])
+        stop = False
+        if ROOT in pn:
+            for leaf in list(tree.leaves.values()):
+                tree.output_branch(leaf)
+            stop = True
+        for leaf in list(tree.leaves.values()):
+            lid = leaf.id
+            if lid in bp:
+                for c in tree.branch(tree.nodes[lid], len(bp[lid])):
+                    c.append_token(1)
+            elif lid in pn:
+                tree.cut(tree.nodes[lid], record_deleted=True)
+            else:
+                leaf.append_token(1)
+        peak = max(peak, slots - pool.available_size())
+        if stop:
+            break
+    return peak
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", choices=sorted(SUITES), default="few_shot")
@@ -130,6 +179,19 @@ def main() -> int:
         elif args.dataset and controller_name == "Speculative_Decoding":
             width = template.node_num
             gen_len = len(template.accepted_len_list) + 1
+        # Replay templates prune aggressively: the generic width*gen_len
+        # formula oversizes the KV pool BADLY (sorting128ToT p4000: formula
+        # 45,778 slots vs simulated peak 7,840 — 5.8x), and oversized
+        # pools push HBM near-full where EVERY decode step pays ~300 ms of
+        # allocator pressure (measured: 304.9 ms/step at 45.8k int8 slots
+        # vs 13.7 ms at 10.7k, identical step).  For Practical_Tree the
+        # peak is knowable: simulate the branch/prune schedule on the host
+        # pool bookkeeping (seconds) and size to peak * 1.3 + slack.
+        if controller_name == "Practical_Tree" and template is not None:
+            peak = simulate_peak_slots(template, prompt_len)
+            sim_slots = int(peak * 1.3) + 2048
+        else:
+            sim_slots = None
         # speculative replays merge accepted tokens into the root every
         # iteration, so a leaf's root-to-leaf PATH grows by accepted_len
         # (not 1) per iter — size the page-table rows for the full accept
@@ -144,6 +206,12 @@ def main() -> int:
             ctx_extra = int(sum(template.accepted_len_list)) + width
         if controller_name == "Speculative_Decoding":
             slots = prompt_len + 2 * ctx_extra + width * 140 + 4096
+        elif sim_slots is not None:
+            slots = sim_slots
+            print(f"[{args.suite}/{mode_name}] simulated peak pool usage: "
+                  f"{slots} slots (formula would allocate "
+                  f"{prompt_len + width * (gen_len + 8 + 256) + 2048})",
+                  flush=True)
         else:
             slots = prompt_len + width * (gen_len + 8 + 256) + ctx_extra + 2048
         # mode-specific engine knobs (mirrors cli/run.py): node_chunk =
