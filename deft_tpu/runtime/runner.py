@@ -1218,7 +1218,16 @@ class ModelRunner:
                 kw["seg_len"] = (512, 256, 128)
                 kw["waste_limit"] = (1.1, 1.2, 3.0)
             else:
+                # int8 seq: only 128-token segments satisfy the scale-DMA
+                # lane alignment, and late-run chunked leaf suffixes pad
+                # ~2x at seg 128 — past the default 1.5 waste limit, which
+                # dropped the BASELINE to the ~95 ms/step gather kernel
+                # mid-run (observed in the r5 reasoning seq cell).  Paged
+                # reads at up to 3x padding still beat the gather by ~4x,
+                # and a faster seq baseline is the FAIR one (CLAUDE.md
+                # invariant) — mirror the flatten int8 relaxation.
                 kw["seg_len"] = (128,)
+                kw["waste_limit"] = 3.0
         if kind == "flatten":
             return build_flatten_plan(self.tree, **kw)
         if kind == "node":
