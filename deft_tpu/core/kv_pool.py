@@ -41,9 +41,22 @@ class TokenKVPool:
     single slots.
     """
 
-    def __init__(self, size: int, chunk: int = 128):
-        assert size > chunk
+    # Top-of-pool DMA cover slack: the paged plans cover misaligned runs
+    # with enclosing seg-aligned segments, which may READ up to seg-1 rows
+    # past a run's end; the top COVER_SLACK rows are therefore never
+    # allocated (an always-valid over-read target), so a run ending at the
+    # pool's last allocatable slot still fits its cover — without this,
+    # dense high-utilization pools dropped late-run plans off the paged
+    # path (observed: int8 seq falling to the gather kernel mid-cell).
+    COVER_SLACK = 128
+
+    def __init__(self, size: int, chunk: int = 128,
+                 cover_slack: int | None = None):
+        if cover_slack is None:
+            cover_slack = self.COVER_SLACK
+        assert size > chunk + cover_slack
         self.size = size
+        self._limit = size - cover_slack
         self.chunk = chunk
         self.refs = np.zeros(size, dtype=np.int32)
         # Slots [0, chunk) reserved: slot 0 is the DUMP scratch target and
@@ -53,7 +66,7 @@ class TokenKVPool:
         # offsets divisible by the sublane tiling.
         self._bump = chunk
         self._recycled: list[int] = []
-        self._free_count = size - chunk
+        self._free_count = self._limit - chunk
         self._live = 0  # slots with refs > 0 (excludes reserved-unused)
         # owner id -> [next_slot, end_slot) of its open chunk
         self._open: dict[int, list] = {}
@@ -81,7 +94,7 @@ class TokenKVPool:
         if need_size > self._free_count:
             return None
         out = np.empty(need_size, dtype=np.int32)
-        n_bump = min(need_size, self.size - self._bump)
+        n_bump = min(need_size, self._limit - self._bump)
         if n_bump > 0:
             out[:n_bump] = np.arange(self._bump, self._bump + n_bump, dtype=np.int32)
             self._bump += n_bump
@@ -167,7 +180,7 @@ class TokenKVPool:
             self._free_count += len(self._group_freed)
             self._group_freed.clear()
             self._group_span = None
-        if self.size - aligned < need_size:
+        if self._limit - aligned < need_size:
             return None
         if self._free_count < need_size + skip:
             return None
@@ -191,7 +204,7 @@ class TokenKVPool:
         charged again).  Alignment skips (after an unaligned batch alloc)
         are recycled as single slots."""
         aligned = ((self._bump + self.chunk - 1) // self.chunk) * self.chunk
-        if self.size - aligned < self.chunk:
+        if self._limit - aligned < self.chunk:
             return False
         if self._free_count < self.chunk + (aligned - self._bump):
             return False
@@ -247,7 +260,7 @@ class TokenKVPool:
         self.refs[:] = 0
         self._bump = self.chunk
         self._recycled.clear()
-        self._free_count = self.size - self.chunk
+        self._free_count = self._limit - self.chunk
         self._live = 0
         self._open.clear()
         self._group_span = None

@@ -1219,15 +1219,19 @@ class ModelRunner:
                 kw["waste_limit"] = (1.1, 1.2, 3.0)
             else:
                 # int8 seq: only 128-token segments satisfy the scale-DMA
-                # lane alignment, and late-run chunked leaf suffixes pad
-                # ~2x at seg 128 — past the default 1.5 waste limit, which
-                # dropped the BASELINE to the ~95 ms/step gather kernel
-                # mid-run (observed in the r5 reasoning seq cell).  Paged
-                # reads at up to 3x padding still beat the gather by ~4x,
-                # and a faster seq baseline is the FAIR one (CLAUDE.md
-                # invariant) — mirror the flatten int8 relaxation.
+                # lane alignment, and branch/prune churn fragments replay
+                # paths into ~30-token pool runs (sorting128ToT iter 1500:
+                # 1,910 runs over 11 leaves, seg-128 padding 4.76x) — the
+                # default 1.5 waste limit then dropped the BASELINE to the
+                # ~95-187 ms/step gather kernel mid-cell.  Padded paged
+                # reads at even ~5x are still 4-8x faster than the gather,
+                # and the FAIR baseline is the fastest seq available
+                # (CLAUDE.md invariant), so the limit is effectively
+                # lifted (fragmentation reached ~12x late in the replay
+                # and padded DMA still beat the gather); KV_IO stays
+                # accounted at live bytes.
                 kw["seg_len"] = (128,)
-                kw["waste_limit"] = 3.0
+                kw["waste_limit"] = 32.0
         if kind == "flatten":
             return build_flatten_plan(self.tree, **kw)
         if kind == "node":
@@ -1335,7 +1339,15 @@ class ModelRunner:
 
         D = max(1, int(_os.environ.get("DEFT_REPLAY_DRAIN", "256")))
         SLAB_M = 1024       # constant slab-chunk rows (stable jit keys)
-        WKS = (32, 8)       # scan-window size buckets
+        # ONE window size: donated pools crossing between DIFFERENT
+        # compiled executables pay a full relayout copy (~300 ms at 8B
+        # int8 pools — measured 419 ms per window<->step alternation vs
+        # 13.5 ms/substep inside one window), so a run executes as
+        # uniform K-windows with DUMP-padded tails instead of mixing
+        # window sizes or per-step remainders; per-step dispatches remain
+        # only at span entries (bucket/width changes), where the
+        # executable switch is unavoidable.
+        WK = 32
         kind_seq = mode.plan_kind == "seq"
         n = len(records)
 
@@ -1399,25 +1411,11 @@ class ModelRunner:
                         k0 += 1
                         L -= 1
                 while L:
-                    for K in WKS:
-                        if L >= K:
-                            items.append(("win", k0, K, K, records[k0],
-                                          Wrun))
-                            k0 += K
-                            L -= K
-                            break
-                    else:
-                        if L >= WKS[-1] // 2 and L > 1:
-                            items.append(("win", k0, L, WKS[-1],
-                                          records[k0], Wrun))
-                            k0 += L
-                            L = 0
-                        else:
-                            items.append(("step", k0))
-                            prev_w = self.topk_k
-                            k0 += 1
-                            L -= 1
-                    if items[-1][0] == "win" and Wrun:
+                    take = min(L, WK)
+                    items.append(("win", k0, take, WK, records[k0], Wrun))
+                    k0 += take
+                    L -= take
+                    if Wrun:
                         prev_w = Wrun
                 i = j
             else:

@@ -189,7 +189,13 @@ def main() -> int:
         # pool bookkeeping (seconds) and size to peak * 1.3 + slack.
         if controller_name == "Practical_Tree" and template is not None:
             peak = simulate_peak_slots(template, prompt_len)
-            sim_slots = int(peak * 1.3) + 2048
+            # the prompt is one immortal contiguous run; the CHURNY region
+            # (branch/prune turnover) needs ~2x headroom or the chunked
+            # allocator degrades to recycled singles and shreds leaf paths
+            # into ~3-token runs (measured: 13,050 runs / 6 leaves at
+            # sorting128ToT iter 3500 under peak*1.3), which forces the
+            # seq baseline off the paged path
+            sim_slots = prompt_len + (peak - prompt_len) * 2 + 2048
         else:
             sim_slots = None
         # speculative replays merge accepted tokens into the root every

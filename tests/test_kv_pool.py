@@ -41,7 +41,7 @@ def test_close_owner_recycles_tail():
 
 
 def test_fallback_to_recycled_singles():
-    p = TokenKVPool(256, chunk=128)  # reserved [0,128) + exactly one chunk
+    p = TokenKVPool(256, chunk=128, cover_slack=0)  # [0,128) + one chunk
     a = p.alloc_for(1, 128)
     assert a is not None
     p.free(a[:50])
@@ -53,7 +53,7 @@ def test_fallback_to_recycled_singles():
 
 
 def test_refcount_sharing():
-    p = TokenKVPool(256)
+    p = TokenKVPool(256, cover_slack=0)
     a = p.alloc(10)
     p.add_refs(a)
     p.free(a)
@@ -63,7 +63,7 @@ def test_refcount_sharing():
 
 
 def test_exhaustion_returns_none():
-    p = TokenKVPool(64, chunk=16)  # [0,16) reserved -> 48 allocatable
+    p = TokenKVPool(64, chunk=16, cover_slack=0)  # 48 allocatable
     assert p.alloc(100) is None
     got = p.alloc(48)
     assert got is not None
@@ -92,7 +92,7 @@ def test_alloc_group_aligned_contiguous():
 def test_alloc_group_exhaustion_returns_none():
     from deft_tpu.core.kv_pool import TokenKVPool
 
-    pool = TokenKVPool(512, chunk=128)
+    pool = TokenKVPool(512, chunk=128, cover_slack=0)
     pool.alloc(200)
     assert pool.alloc_group(256) is None  # bump region too small
     assert pool.alloc_group(64) is not None

@@ -180,7 +180,7 @@ def test_output_branch_ppl():
 
 
 def test_pool_exhaustion_and_recycle():
-    pool = TokenKVPool(24, chunk=8)  # [0,8) reserved -> 16 allocatable
+    pool = TokenKVPool(24, chunk=8, cover_slack=0)  # 16 allocatable
     a = pool.alloc(10)
     assert a is not None
     assert pool.alloc(10) is None  # only 6 left
