@@ -1364,6 +1364,13 @@ class ModelRunner:
             return buf
 
         # ---- partition into scan runs + per-step items -----------------
+        # DEFT_REPLAY_WINDOWS=0: per-step slab dispatches only.  The
+        # uniform-select stream still runs through ONE compiled executable
+        # (same sizes/override/kind key), so the relayout-copy boundary
+        # cost appears only at bucket changes; per-step fns have a far
+        # smaller compile surface — the robust choice when the remote
+        # compile service is flaky.
+        use_windows = _os.environ.get("DEFT_REPLAY_WINDOWS", "1") == "1"
         items = []  # ("win", start, L, K, proto, W) | ("step", i)
         i = 0
         # width of the ids array the NEXT chained consumer can gather from
@@ -1372,8 +1379,9 @@ class ModelRunner:
         prev_w = getattr(prev_view, "k", 0) if prev_view is not None else 0
         while i < n:
             r = records[i]
-            if ((r["logits_kind"] in ("greedy", "skip")
-                 and r["override_kind"] in ("ids", "none"))
+            if use_windows and (
+                    (r["logits_kind"] in ("greedy", "skip")
+                     and r["override_kind"] in ("ids", "none"))
                     or (r["logits_kind"] == "topk"
                         and r["override_kind"] == "select")):
                 follow = {"greedy": "ids", "skip": "none",
@@ -1530,6 +1538,23 @@ class ModelRunner:
                     np.float32)
 
         t0 = time.perf_counter()
+        # bounded background heartbeat: long remote compiles inside a
+        # dispatch print nothing, which watchdogged harnesses kill as a
+        # stall; this thread keeps the log alive for up to 25 min (after
+        # which silence correctly signals a real wedge)
+        import threading
+
+        _hb_stop = threading.Event()
+
+        def _hb_thread():
+            t_start = time.perf_counter()
+            while not _hb_stop.wait(60.0):
+                if time.perf_counter() - t_start > 1500:
+                    return
+                print("[execute_recorded] alive (long compile/drain)",
+                      file=sys.stderr, flush=True)
+
+        threading.Thread(target=_hb_thread, daemon=True).start()
         views: list = [None] * n
         chunk_buf: list = []  # (i, packed, k) per-step fetches
 
@@ -1668,6 +1693,7 @@ class ModelRunner:
             t_dr = time.perf_counter()
             jax.block_until_ready(last_handle)
             tele["drain_s"] += time.perf_counter() - t_dr
+        _hb_stop.set()
         wall = time.perf_counter() - t0
         print(f"[execute_recorded] done: {n} recs {tele['subs']} subs in "
               f"{wall:.1f}s — {tele['win']} wins {tele['win_s']:.1f}s "

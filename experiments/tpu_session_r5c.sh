@@ -28,6 +28,10 @@ export DEFT_SYNC_PERIOD=32
 # ~(n/64 drains + n/64 chunk fetches) x fixed-cost, so the health gate
 # can admit a moderately degraded link (see wait_healthy threshold).
 export DEFT_REPLAY_EXEC=1
+# per-step executor: the K=32 window compiles intermittently wedge on the
+# remote compile service; per-step slab fns compile reliably and run the
+# uniform stream through one executable anyway
+export DEFT_REPLAY_WINDOWS=0
 
 probe() {
   timeout 300 python - <<'PY'
