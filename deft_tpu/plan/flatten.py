@@ -323,6 +323,7 @@ def build_flatten_plan(
     granularity: int = 512,
     waste_limit: float = _SEG_WASTE_LIMIT,
     runs_of=None,
+    min_leaf_bucket: int = 0,
 ) -> FlattenPlan:
     """Build the flatten plan for the current tree state.
 
@@ -344,7 +345,12 @@ def build_flatten_plan(
     """
     order, leaf_to_q, lo_arr, hi_arr = tree.dfs_plan_order()
     n_leaves = len(tree.leaves)
-    l_pad = pad_leaf_count(n_leaves, q_per_kv)
+    # min_leaf_bucket: monotonic floor from the runner — leaf-count
+    # oscillation (branch/prune cycles) otherwise flips l_pad between
+    # pow2 buckets, and every bucket flip switches the compiled
+    # executable, which costs a full pool relayout copy per switch
+    # (~300 ms at 8B; runner.build_plan bucket floors)
+    l_pad = max(pad_leaf_count(n_leaves, q_per_kv), min_leaf_bucket)
     live_tokens = sum(n.kv_len for n in order)
 
     # Candidate segment lengths, best (fewest DMA descriptors) first; fall

@@ -32,6 +32,7 @@ def build_node_plan(
     chunk_len: Optional[int] = None,
     seg_len=(128, 32),
     waste_limit: float = 1.5,
+    min_leaf_bucket: int = 0,
 ) -> FlattenPlan:
     return build_flatten_plan(
         tree,
@@ -42,6 +43,7 @@ def build_node_plan(
         chunk_len=chunk_len,
         seg_len=seg_len,
         waste_limit=waste_limit,
+        min_leaf_bucket=min_leaf_bucket,
     )
 
 
@@ -52,6 +54,7 @@ def build_tree_index_plan(
     min_token_bucket: int = 1024,
     seg_len=(128, 32),
     waste_limit: float = 1.5,
+    min_leaf_bucket: int = 0,
 ) -> FlattenPlan:
     """Node-aligned plan whose KV indices come from TreeIndexPool rows.
 
@@ -87,4 +90,5 @@ def build_tree_index_plan(
         seg_len=seg_len,
         waste_limit=waste_limit,
         runs_of=runs_from_row,
+        min_leaf_bucket=min_leaf_bucket,
     )

@@ -107,6 +107,7 @@ def build_seq_plan(
     seg_len=(128, 32),
     want_paged: bool = True,
     waste_limit: float = _SEG_WASTE_LIMIT,
+    min_leaf_bucket: int = 0,
 ) -> SeqPlan:
     """Call after TreeCache.alloc() (same contract as build_flatten_plan).
 
@@ -119,7 +120,8 @@ def build_seq_plan(
     # q numbering matches the DFS convention used everywhere else.
     _, leaf_to_q, _, _ = tree.dfs_plan_order()
     n_leaves = len(leaves)
-    l_pad = pad_leaf_count(n_leaves, q_per_kv)
+    l_pad = max(pad_leaf_count(n_leaves, q_per_kv),
+                min_leaf_bucket)  # monotonic floor, see flatten
 
     q_tokens = np.zeros(l_pad, dtype=np.int32)
     q_pos = np.zeros(l_pad, dtype=np.int32)

@@ -349,6 +349,15 @@ class ModelRunner:
         )
         self._plan_dev_cache: Dict[tuple, list] = {}
         self._const_dev_cache: Dict = {}
+        # Monotonic shape-bucket floors per plan kind: leaf-count and
+        # run-count oscillation (branch/prune cycles) otherwise flips
+        # l_pad / r_pad / t_pad between pow2 buckets every few steps, and
+        # EVERY bucket flip switches the compiled executable — which costs
+        # a full KV-pool relayout copy at the call boundary (~300 ms at
+        # 8B int8 pools, measured).  Floors only grow, so after the first
+        # peak the whole decode runs through one executable per kind.
+        self._bucket_floors: Dict[str, dict] = {}
+        self._rpad_floor: Dict[str, int] = {}
         # H2D bytes actually shipped for plans vs what full uploads would
         # have cost (patch-effectiveness accounting, results READMEs)
         self.plan_upload_bytes = 0
@@ -1202,6 +1211,9 @@ class ModelRunner:
             min_token_bucket=self.ecfg.min_token_bucket,
         )
         kind = mode.plan_kind
+        fl = self._bucket_floors.setdefault(kind, {"t": 0, "l": 0})
+        kw["min_token_bucket"] = max(kw["min_token_bucket"], fl["t"])
+        kw["min_leaf_bucket"] = fl["l"]
         # int8 pools: the per-(token, head) scale rows are DMA'd as lane
         # vectors, and Mosaic requires lane-axis slices to be 128-aligned —
         # int8 segments must be 128-token multiples.  Wider segments (512,
@@ -1233,11 +1245,18 @@ class ModelRunner:
                 kw["seg_len"] = (128,)
                 kw["waste_limit"] = 32.0
         if kind == "flatten":
-            return build_flatten_plan(self.tree, **kw)
-        if kind == "node":
-            return build_node_plan(self.tree, chunk_len=a.node_chunk_len, **kw)
-        if kind == "tree_index":
-            return build_tree_index_plan(self.tree, **kw)
+            plan = build_flatten_plan(self.tree, **kw)
+        elif kind == "node":
+            plan = build_node_plan(self.tree, chunk_len=a.node_chunk_len,
+                                   **kw)
+        elif kind == "tree_index":
+            plan = build_tree_index_plan(self.tree, **kw)
+        else:
+            plan = None
+        if plan is not None:
+            fl["t"] = max(fl["t"], plan.t_pad)
+            fl["l"] = max(fl["l"], plan.l_pad)
+            return plan
         if kind == "seq":
             # in-kernel paged reads need a Pallas backend and head packing
             # (128 % D == 0) — same gates as _use_paged; meshes run the
@@ -1247,7 +1266,10 @@ class ModelRunner:
                 self.kernels != "xla"
                 and 128 % self.cfg.head_dim == 0
             )
-            return build_seq_plan(self.tree, want_paged=want_paged, **kw)
+            plan = build_seq_plan(self.tree, want_paged=want_paged, **kw)
+            fl["t"] = max(fl["t"], plan.c_pad)
+            fl["l"] = max(fl["l"], plan.l_pad)
+            return plan
         raise ValueError(kind)
 
     def _use_paged(self, mode: ForwardMode, plan) -> bool:
@@ -1746,7 +1768,9 @@ class ModelRunner:
             # (see _make_unpack) — exact by construction, tested in
             # tests/test_plan.py::test_compact_plan_expansion
             R = len(plan.run_table)
-            r_pad = max(64, next_pow2(R))
+            r_pad = max(64, next_pow2(R),
+                        self._rpad_floor.get(mode.plan_kind, 0))
+            self._rpad_floor[mode.plan_kind] = r_pad
             rt = np.zeros((r_pad, 4), np.int32)
             rt[:R] = plan.run_table
             # pad rows: off beyond every live index so searchsorted never
